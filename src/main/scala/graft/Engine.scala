@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Shared session construction + table access for the graft engine.
+  *
+  * Design notes (100 TB posture):
+  *  - All table access goes through parquet scans so Catalyst can push
+  *    filters/projections into the file source (verify via
+  *    `PushedFilters`/`ReadSchema` in `.explain("formatted")`).
+  *  - Shuffle partitions default to the local core count; on a real
+  *    cluster this is superseded by AQE coalescing
+  *    (`spark.sql.adaptive.coalescePartitions.enabled`, on by default).
+  */
+object Engine {
+
+  /** TPC-H-ish tables the driver materializes per scale factor. */
+  val tableNames: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Dimension tables that are always safe to broadcast: their size is
+    * bounded (region=5, nation=25) regardless of scale factor. */
+  val alwaysBroadcast: Set[String] = Set("region", "nation")
+
+  def session(appName: String = "graft", master: String = s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]"): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(master)
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  /** Read one table from a scale-factor directory.
+    *
+    * `events.ts` is TIMESTAMP(NANOS) parquet, which Spark's reader
+    * rejects; read it as raw nanos (legacy flag) and convert to a
+    * microsecond TimestampType with integer `div` (floor — matching
+    * DuckDB's truncation of ns towards earlier time). */
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events") {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$dir/$name.parquet")
+        .withColumn("ts",
+          org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.expr("ts div 1000")))
+    } else {
+      spark.read.parquet(s"$dir/$name.parquet")
+    }
+
+  /** Register every table as a temp view (idempotent) and return the
+    * session, so SQL-shaped queries (subqueries, window functions) can
+    * run through `spark.sql`. */
+  def registerViews(spark: SparkSession, dir: String): SparkSession = {
+    tableNames.foreach { n =>
+      table(spark, dir, n).createOrReplaceTempView(n)
+    }
+    spark
+  }
+
+  /** Run a SQL text after registering the per-SF views. */
+  def sql(spark: SparkSession, dir: String, text: String): DataFrame = {
+    registerViews(spark, dir)
+    spark.sql(text)
+  }
+}

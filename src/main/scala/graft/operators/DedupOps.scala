@@ -1,0 +1,182 @@
+package graft.operators
+
+import graft.Engine
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators over the `documents` table:
+  *
+  *  - exact:         hash-groupBy on md5(text)
+  *  - n-gram Jaccard: exact pairwise Jaccard over word-3-gram shingles
+  *                    via an inverted-index self-join (DuckDB-oracled)
+  *  - MinHash+LSH:   64 permutations × 16 bands × 4 rows; candidates
+  *                    from band-bucket joins, verified with exact
+  *                    Jaccard (validated against the exact op in tests)
+  *  - SimHash:       64-bit token-hash sign aggregate; candidate pairs
+  *                    from 4×16-bit band buckets, verified by Hamming
+  *                    distance (bit_count(xor))
+  *
+  * Scale posture (100 TB): everything is explode → hash-shuffle →
+  * partition-local aggregate; candidate generation is bounded by band
+  * buckets (LSH/SimHash), never an all-pairs product. The exact-Jaccard
+  * op is the small-scale oracle twin, not the scale path.
+  */
+object DedupOps {
+
+  /** Exact duplicate groups keyed by md5 (group by a 128-bit hash, not
+    * the raw text, so the shuffle carries 32 bytes/row at 100 TB). */
+  def exact(sp: SparkSession, dir: String): DataFrame =
+    Engine.table(sp, dir, "documents")
+      .groupBy(md5(col("text").cast("binary")).as("text_hash"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  val exactOracle: String = """
+    SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_id,
+      COUNT(*) AS n_copies
+    FROM documents GROUP BY md5(text)"""
+
+  /** Distinct word-3-gram shingles per document. */
+  private def shingles(sp: SparkSession, dir: String): DataFrame = {
+    val words = split(col("text"), " ")
+    Engine.table(sp, dir, "documents")
+      .select(col("doc_id"), words.as("ws"))
+      .select(col("doc_id"),
+        explode(transform(
+          sequence(lit(1), greatest(size(col("ws")) - 2, lit(1))),
+          i => concat_ws(" ", slice(col("ws"), i, lit(3))))).as("shingle"))
+      .distinct()
+  }
+
+  /** Exact n-gram Jaccard near-dup pairs (threshold 0.5) via inverted
+    * index: shingle self-join → intersection counts → |A∪B| from per-doc
+    * set sizes. Jaccard is exact int/int division → oracle-safe. */
+  def ngramJaccard(sp: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(sp, dir).cache()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val inter = sh.as("x").join(sh.as("y"),
+        col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("c"))
+    val j = inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "na"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "nb"), "doc_b")
+      .withColumn("jaccard",
+        col("c").cast("double") / (col("na") + col("nb") - col("c")))
+    j.filter(col("jaccard") >= 0.5)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  val ngramJaccardOracle: String = """
+    WITH words AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id,
+        unnest(list_transform(
+          range(1, GREATEST(len(ws) - 1, 2)),
+          i -> array_to_string(ws[i:i+2], ' '))) AS shingle
+      FROM words),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS c
+      FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+      GROUP BY x.doc_id, y.doc_id)
+    SELECT doc_a, doc_b,
+      CAST(c AS DOUBLE) / (sa.n_sh + sb.n_sh - c) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(c AS DOUBLE) / (sa.n_sh + sb.n_sh - c) >= 0.5"""
+
+  // MinHash parameters: 64 permutations in 16 bands of 4 rows →
+  // catches Jaccard ≳ 0.5 with high probability. The permutation
+  // family is seed-keyed xxhash64(shingle, j) — independent hashes
+  // with no 64-bit multiply (ANSI mode would reject the overflow).
+  private val NumPerm = 64
+  private val BandRows = 4
+  private val NumBands = NumPerm / BandRows
+
+  /** MinHash signatures: one row per doc with NumPerm min-hash cols. */
+  private def minhashSigs(sh: DataFrame): DataFrame = {
+    val aggs = (0 until NumPerm).map { j =>
+      min(xxhash64(col("shingle"), lit(j))).as(s"s_$j")
+    }
+    sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** MinHash + LSH near-dup pairs, verified with exact Jaccard ≥ 0.5.
+    * A banding self-join keeps candidate generation bucket-local — the
+    * all-pairs product never materializes. */
+  def minhashLsh(sp: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(sp, dir).cache()
+    val sigs = minhashSigs(sh)
+    val bandStructs = (0 until NumBands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64((b * BandRows until (b + 1) * BandRows).map(j => col(s"s_$j")): _*).as("sig"))
+    }
+    val bands = sigs.select(col("doc_id"),
+      explode(array(bandStructs: _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+    val cands = bands.as("l").join(bands.as("r"),
+        col("l.band") === col("r.band") && col("l.sig") === col("r.sig") &&
+          col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
+      .distinct()
+    // verify candidates with exact Jaccard
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val inter = cands
+      .join(sh.as("xa"), col("xa.doc_id") === col("doc_a"))
+      .join(sh.as("xb"),
+        col("xb.doc_id") === col("doc_b") && col("xa.shingle") === col("xb.shingle"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("c"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "na"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "nb"), "doc_b")
+      .withColumn("jaccard",
+        col("c").cast("double") / (col("na") + col("nb") - col("c")))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** 64-bit SimHash per document + near-dup pairs at Hamming ≤ 8,
+    * candidates from 4×16-bit band buckets. */
+  def simhashPairs(sp: SparkSession, dir: String): DataFrame = {
+    val tokens = Engine.table(sp, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    // per-bit signed vote: +1 if bit set else -1, summed over tokens
+    val bitAggs = (0 until 64).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v_$b")
+    }
+    val votes = tokens.groupBy(col("doc_id")).agg(bitAggs.head, bitAggs.tail: _*)
+    // OR distinct bit positions together (addition could overflow the
+    // sign bit under ANSI mode; OR is exact for disjoint bits).
+    val sim = (0 until 64).map { b =>
+      when(col(s"v_$b") > 0, lit(1L << b)).otherwise(0L)
+    }.reduce((a, b) => a.bitwiseOR(b))
+    val sigs = votes.select(col("doc_id"), sim.as("simhash"))
+    val bands = sigs.select(col("doc_id"), col("simhash"),
+      explode(array((0 until 4).map { b =>
+        struct(lit(b).as("band"),
+          shiftright(col("simhash"), b * 16).bitwiseAND(0xffffL).as("key"))
+      }: _*)).as("bs"))
+      .select(col("doc_id"), col("simhash"),
+        col("bs.band").as("band"), col("bs.key").as("key"))
+    bands.as("l").join(bands.as("r"),
+        col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
+          col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),
+        bit_count(col("l.simhash").bitwiseXOR(col("r.simhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 8)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> (exact _),
+    "dedup_ngram_jaccard" -> (ngramJaccard _),
+    "dedup_minhash_lsh" -> (minhashLsh _),
+    "dedup_simhash" -> (simhashPairs _))
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" -> exactOracle,
+    "dedup_ngram_jaccard" -> ngramJaccardOracle)
+}

@@ -1,0 +1,124 @@
+package graft.operators
+
+import graft.Engine
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Time-series operators over the `events` table: tumbling-window
+  * aggregation, sessionization (gaps-and-islands) and as-of join.
+  *
+  * These are the batch twins of the Structured Streaming pipelines in
+  * `graft.streaming` — same logical shapes, same results on a static
+  * table. The reference has no streaming at all (SURVEY §0), so this
+  * whole module is part of the training-data-pipeline surface.
+  *
+  * Scale notes: every operator here partitions by `user_id` (or window
+  * start) before any per-row work — at 100 TB the shuffle is one
+  * hash-exchange on a high-cardinality key and all window functions run
+  * partition-local. No driver-side collection anywhere.
+  */
+object EventOps {
+
+  private val D = DecimalType(18, 6)
+
+  /** Tumbling 1-hour window aggregation keyed by event_type. */
+  def windowAgg(sp: SparkSession, dir: String): DataFrame =
+    Engine.table(sp, dir, "events")
+      .groupBy(
+        unix_timestamp(date_trunc("hour", col("ts"))).as("hour_ts"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast(D)).cast("double").as("total_value"))
+
+  val windowAggOracle: String = """
+    SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_ts,
+      event_type, COUNT(*) AS n,
+      CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY date_trunc('hour', ts), event_type"""
+
+  /** Sessionization: a session breaks after a 30-minute silence per
+    * user (gaps-and-islands via window functions). */
+  def sessionize(sp: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+    Engine.table(sp, dir, "events")
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      // millisecond epochs floor identically on both engines (DuckDB
+      // epoch_ms / Spark unix_millis); second-level epochs would round
+      // vs floor differently at sub-second precision.
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          unix_millis(col("ts")) - unix_millis(col("prev_ts")) > 1800000L, 1)
+          .otherwise(0))
+      .withColumn("session_seq", sum(col("new_session")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        unix_millis(min(col("ts"))).as("session_start_ms"),
+        sum(col("value").cast(D)).cast("double").as("session_value"))
+  }
+
+  val sessionizeOracle: String = """
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+        CASE WHEN lag(ts) OVER w IS NULL
+          OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000
+          THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), numbered AS (
+      SELECT user_id, ts, value,
+        CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+      FROM flagged
+    )
+    SELECT user_id, session_seq, COUNT(*) AS n_events,
+      epoch_ms(MIN(ts)) AS session_start_ms,
+      CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS session_value
+    FROM numbered GROUP BY user_id, session_seq"""
+
+  /** As-of join: for every click event, the value of that user's most
+    * recent purchase at-or-before the click.
+    *
+    * Implemented scalably as union + partition-local window (one
+    * shuffle on user_id; no inequality join). The oracle uses the
+    * naive O(n·m) formulation — same semantics. */
+  def asofJoin(sp: SparkSession, dir: String): DataFrame = {
+    val ev = Engine.table(sp, dir, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), lit(0).as("tag"),
+        col("value").as("pv"), lit(null).cast("long").as("event_id"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), lit(1).as("tag"),
+        lit(null).cast("double").as("pv"), col("event_id"))
+    // tag orders purchases before clicks at an identical timestamp so
+    // "at-or-before" is inclusive.
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    purchases.unionByName(clicks)
+      .withColumn("last_purchase_value", last(col("pv"), ignoreNulls = true).over(w))
+      .filter(col("tag") === 1)
+      .select(col("event_id"), col("user_id"), col("last_purchase_value"))
+  }
+
+  val asofJoinOracle: String = """
+    SELECT c.event_id, c.user_id, max_by(p.value, p.ts) AS last_purchase_value
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON p.user_id = c.user_id AND p.ts <= c.ts
+    GROUP BY c.event_id, c.user_id"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_window_agg" -> (windowAgg _),
+    "events_sessionize" -> (sessionize _),
+    "events_asof_join" -> (asofJoin _))
+
+  val oracles: Map[String, String] = Map(
+    "events_window_agg" -> windowAggOracle,
+    "events_sessionize" -> sessionizeOracle,
+    "events_asof_join" -> asofJoinOracle)
+}

@@ -1,0 +1,481 @@
+package graft.operators
+
+import graft.Engine
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Relational operator inventory (SURVEY.md §2.1/§2.3): scan, filter
+  * (incl. disjunctive), n-ary joins (equi/theta/pk-fk/n2m), projection,
+  * grouping (expr keys with alias), global aggregation, sorting,
+  * limit/offset, HAVING, scalar + correlated subqueries, LIKE, string
+  * ops, ISNULL, casts — each shaped after the reference's operator set
+  * (`/root/reference/include/mutable/IR/Operator.hpp:560-572`, TPC-H
+  * queries in `/root/reference/benchmark/tpc-h/`).
+  *
+  * Oracle-parity rule: every floating SUM is computed as
+  * `SUM(CAST(expr AS DECIMAL(18,6)))` then cast back to DOUBLE (scale 6 represents every product of the 2-decimal inputs exactly — no rounding midpoints where HALF_UP vs HALF_EVEN could disagree). Decimal
+  * addition is exact and associative, so Spark and DuckDB produce
+  * bit-identical doubles regardless of partial-aggregation order. AVG is
+  * derived as exact-sum / count for the same reason.
+  */
+object Relational {
+
+  private val D = DecimalType(18, 6)
+  /** Exact, order-independent sum of a double expression → double. */
+  private def dsum(c: Column): Column = sum(c.cast(D)).cast("double")
+  private def ts(s: String): Column = lit(s).cast("timestamp")
+  private def t(sp: SparkSession, dir: String, n: String): DataFrame =
+    Engine.table(sp, dir, n)
+
+  // SQL fragment mirroring dsum for the DuckDB oracle.
+  private def sqlDsum(expr: String): String =
+    s"CAST(SUM(CAST(($expr) AS DECIMAL(18,6))) AS DOUBLE)"
+
+  // ---------------------------------------------------------------- TPC-H
+
+  /** Q1 pricing summary — Grouping + multi-aggregate (ref
+    * benchmark/tpc-h/q1.sql, dates adapted to testdata range). */
+  def q1(sp: SparkSession, dir: String): DataFrame =
+    t(sp, dir, "lineitem")
+      .filter(col("l_shipdate") <= ts("2000-12-01 00:00:00"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+        dsum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))).as("sum_charge"),
+        (dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+        (dsum(col("l_extendedprice")) / count(lit(1))).as("avg_price"),
+        (dsum(col("l_discount")) / count(lit(1))).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+
+  val q1Oracle: String = s"""
+    SELECT l_returnflag, l_linestatus,
+      ${sqlDsum("l_quantity")} AS sum_qty,
+      ${sqlDsum("l_extendedprice")} AS sum_base_price,
+      ${sqlDsum("l_extendedprice * (1 - l_discount)")} AS sum_disc_price,
+      ${sqlDsum("l_extendedprice * (1 - l_discount) * (1 + l_tax)")} AS sum_charge,
+      ${sqlDsum("l_quantity")} / COUNT(*) AS avg_qty,
+      ${sqlDsum("l_extendedprice")} / COUNT(*) AS avg_price,
+      ${sqlDsum("l_discount")} / COUNT(*) AS avg_disc,
+      COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus"""
+
+  /** Q3 shipping priority — 3-way join + grouping + top-k (ref
+    * benchmark/tpc-h/q3.sql). customer filter is applied before the
+    * join so the scan prunes; join order left to Catalyst/AQE. */
+  def q3(sp: SparkSession, dir: String): DataFrame = {
+    val c = t(sp, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+    val o = t(sp, dir, "orders").filter(col("o_orderdate") < ts("1998-03-15 00:00:00"))
+    val l = t(sp, dir, "lineitem").filter(col("l_shipdate") > ts("1998-03-15 00:00:00"))
+    c.join(o, col("c_custkey") === col("o_custkey"))
+      .join(l, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+      .select(col("l_orderkey"), col("revenue"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"))
+      .orderBy(col("revenue").desc, col("o_orderdate"), col("l_orderkey"))
+      .limit(10)
+  }
+
+  val q3Oracle: String = s"""
+    SELECT l_orderkey,
+      ${sqlDsum("l_extendedprice * (1 - l_discount)")} AS revenue,
+      strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate
+    FROM customer, orders, lineitem
+    WHERE c_mktsegment = 'BUILDING'
+      AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY l_orderkey, orders.o_orderdate
+    ORDER BY revenue DESC, o_orderdate, l_orderkey
+    LIMIT 10"""
+
+  /** Q6 forecast revenue — filter + global aggregation (ref
+    * benchmark/tpc-h/q6.sql). Filters push to the parquet scan. */
+  def q6(sp: SparkSession, dir: String): DataFrame =
+    t(sp, dir, "lineitem")
+      .filter(col("l_shipdate") >= ts("1996-01-01 00:00:00") &&
+        col("l_shipdate") < ts("1997-01-01 00:00:00") &&
+        col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+        col("l_quantity") < 24)
+      .agg(dsum(col("l_extendedprice") * col("l_discount")).as("revenue"))
+
+  val q6Oracle: String = s"""
+    SELECT ${sqlDsum("l_extendedprice * l_discount")} AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount >= 0.05 AND l_discount <= 0.07
+      AND l_quantity < 24"""
+
+  /** Q12-shaped: pk-fk join + disjunctive filter + grouping (ref
+    * benchmark/tpc-h/q12.sql; l_shipmode doesn't exist in testdata so
+    * the disjunction runs on l_returnflag and grouping on priority). */
+  def q12(sp: SparkSession, dir: String): DataFrame = {
+    val o = t(sp, dir, "orders")
+    val l = t(sp, dir, "lineitem")
+      .filter((col("l_returnflag") === "R" || col("l_returnflag") === "A") &&
+        col("l_shipdate") >= ts("1996-01-01 00:00:00") &&
+        col("l_shipdate") < ts("1997-01-01 00:00:00"))
+    o.join(l, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  val q12Oracle: String = """
+    SELECT o_orderpriority, COUNT(*) AS n
+    FROM orders, lineitem
+    WHERE o_orderkey = l_orderkey
+      AND (l_returnflag = 'R' OR l_returnflag = 'A')
+      AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY o_orderpriority"""
+
+  /** Q14 promo revenue — join + conditional aggregate ratio (ref
+    * benchmark/tpc-h/q14.sql). `part` is a dimension at test scale;
+    * Catalyst/AQE broadcast it automatically — we keep the explicit
+    * hint off because part scales with SF at 100 TB. */
+  def q14(sp: SparkSession, dir: String): DataFrame = {
+    val l = t(sp, dir, "lineitem")
+      .filter(col("l_shipdate") >= ts("1997-09-01 00:00:00") &&
+        col("l_shipdate") < ts("1997-10-01 00:00:00"))
+    val p = t(sp, dir, "part")
+    l.join(p, col("l_partkey") === col("p_partkey"))
+      .agg(
+        (lit(100.0) *
+          dsum(when(col("p_type") === "PROMO",
+            col("l_extendedprice") * (lit(1) - col("l_discount"))).otherwise(0.0)) /
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("promo_revenue"))
+  }
+
+  val q14Oracle: String = s"""
+    SELECT 100.0 *
+      ${sqlDsum("CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END")} /
+      ${sqlDsum("l_extendedprice * (1 - l_discount)")} AS promo_revenue
+    FROM lineitem, part
+    WHERE l_partkey = p_partkey
+      AND l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-10-01 00:00:00'"""
+
+  // ------------------------------------------------- operator microbench
+
+  /** pk-fk equi-join (ref benchmark/operators equi_join_pk_fk). */
+  def joinPkFk(sp: SparkSession, dir: String): DataFrame =
+    t(sp, dir, "orders")
+      .join(t(sp, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total_price"))
+
+  val joinPkFkOracle: String = s"""
+    SELECT c_mktsegment, COUNT(*) AS n, ${sqlDsum("o_totalprice")} AS total_price
+    FROM orders, customer WHERE o_custkey = c_custkey
+    GROUP BY c_mktsegment"""
+
+  /** n:m equi-join on a non-key column (ref equi_join_n2m). */
+  def joinN2M(sp: SparkSession, dir: String): DataFrame =
+    t(sp, dir, "customer")
+      .join(t(sp, dir, "supplier"), col("c_nationkey") === col("s_nationkey"))
+      .groupBy(col("c_nationkey").as("nationkey"))
+      .agg(count(lit(1)).as("n"), dsum(col("c_acctbal") + col("s_acctbal")).as("bal"))
+
+  val joinN2MOracle: String = s"""
+    SELECT c_nationkey AS nationkey, COUNT(*) AS n,
+      ${sqlDsum("c_acctbal + s_acctbal")} AS bal
+    FROM customer, supplier WHERE c_nationkey = s_nationkey
+    GROUP BY c_nationkey"""
+
+  /** theta join (non-equi) → BroadcastNestedLoopJoin; sampled left side
+    * keeps the cross product bounded at any SF. */
+  def thetaJoin(sp: SparkSession, dir: String): DataFrame = {
+    val a = t(sp, dir, "part").filter(col("p_partkey") % 97 === 0)
+      .select(col("p_partkey").as("a_key"), col("p_size").as("a_size"))
+    val b = t(sp, dir, "part").select(col("p_size").as("b_size"))
+    a.join(b, col("a_size") < col("b_size"))
+      .groupBy(col("a_size"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  val thetaJoinOracle: String = """
+    SELECT a.p_size AS a_size, COUNT(*) AS n
+    FROM part a, part b
+    WHERE a.p_partkey % 97 = 0 AND a.p_size < b.p_size
+    GROUP BY a.p_size"""
+
+  /** 5-way star join — exercises join ordering; region/nation are
+    * bounded dims → explicit broadcast survives any scale factor. */
+  def join5Way(sp: SparkSession, dir: String): DataFrame =
+    t(sp, dir, "lineitem")
+      .join(t(sp, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(t(sp, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(sp, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(sp, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("rev"))
+
+  val join5WayOracle: String = s"""
+    SELECT r_name, COUNT(*) AS n, ${sqlDsum("l_extendedprice")} AS rev
+    FROM region, nation, customer, orders, lineitem
+    WHERE r_regionkey = n_regionkey AND n_nationkey = c_nationkey
+      AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+    GROUP BY r_name"""
+
+  /** Left-semi join (EXISTS shape). */
+  def semiJoin(sp: SparkSession, dir: String): DataFrame = {
+    val bigOrders = t(sp, dir, "orders").filter(col("o_totalprice") > 300000.0)
+    t(sp, dir, "customer")
+      .join(bigOrders, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"))
+  }
+
+  val semiJoinOracle: String = """
+    SELECT c_custkey FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 300000.0)"""
+
+  /** Left-anti join (NOT EXISTS shape). */
+  def antiJoin(sp: SparkSession, dir: String): DataFrame =
+    t(sp, dir, "customer")
+      .join(t(sp, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+
+  val antiJoinOracle: String = """
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)"""
+
+  /** Single-key grouping (ref group_by_i32_single). */
+  def groupBySingle(sp: SparkSession, dir: String): DataFrame =
+    t(sp, dir, "lineitem").groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"))
+
+  val groupBySingleOracle: String =
+    "SELECT l_returnflag, COUNT(*) AS n FROM lineitem GROUP BY l_returnflag"
+
+  /** Multi-key grouping (ref group_by_i32_multiple). */
+  def groupByMulti(sp: SparkSession, dir: String): DataFrame =
+    t(sp, dir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"), col("l_linenumber"))
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+
+  val groupByMultiOracle: String = s"""
+    SELECT l_returnflag, l_linestatus, l_linenumber, COUNT(*) AS n,
+      ${sqlDsum("l_quantity")} AS sum_qty
+    FROM lineitem GROUP BY l_returnflag, l_linestatus, l_linenumber"""
+
+  /** Expression grouping key with alias — mutable's `GROUP BY expr AS
+    * alias` feature (ref Sema.cpp:1271-1305). */
+  def groupByExprAlias(sp: SparkSession, dir: String): DataFrame =
+    t(sp, dir, "lineitem")
+      .groupBy((col("l_orderkey") % 10).as("bucket"))
+      .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("rev"))
+
+  val groupByExprAliasOracle: String = s"""
+    SELECT l_orderkey % 10 AS bucket, COUNT(*) AS n,
+      ${sqlDsum("l_extendedprice")} AS rev
+    FROM lineitem GROUP BY l_orderkey % 10"""
+
+  /** Global aggregation, no keys → exactly one row (ref
+    * AggregationOperator, Operator.hpp:503-538). */
+  def aggGlobal(sp: SparkSession, dir: String): DataFrame =
+    t(sp, dir, "lineitem").agg(
+      count(lit(1)).as("n"),
+      min(col("l_quantity")).as("min_qty"),
+      max(col("l_quantity")).as("max_qty"),
+      dsum(col("l_extendedprice")).as("sum_price"),
+      (dsum(col("l_extendedprice")) / count(lit(1))).as("avg_price"))
+
+  val aggGlobalOracle: String = s"""
+    SELECT COUNT(*) AS n, MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty,
+      ${sqlDsum("l_extendedprice")} AS sum_price,
+      ${sqlDsum("l_extendedprice")} / COUNT(*) AS avg_price
+    FROM lineitem"""
+
+  /** ORDER BY multi-key + LIMIT/OFFSET; unique tie-break keys make the
+    * result deterministic under sorted-compare. */
+  def orderByTopK(sp: SparkSession, dir: String): DataFrame =
+    Engine.sql(sp, dir, orderByTopKOracle)
+
+  val orderByTopKOracle: String = """
+    SELECT l_orderkey, l_linenumber, l_extendedprice
+    FROM lineitem
+    ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+    LIMIT 100 OFFSET 10"""
+
+  /** DISTINCT projection (ref group_by_i32_distinct shape). */
+  def distinctPairs(sp: SparkSession, dir: String): DataFrame =
+    t(sp, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_linestatus")).distinct()
+
+  val distinctPairsOracle: String =
+    "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem"
+
+  /** HAVING — filter over grouped result (ref QueryGraph.cpp:1773-1791
+    * rewrites HAVING to a filter over a nested grouped query). */
+  def havingGroups(sp: SparkSession, dir: String): DataFrame =
+    t(sp, dir, "lineitem")
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") > 5)
+
+  val havingGroupsOracle: String = """
+    SELECT l_suppkey, COUNT(*) AS n FROM lineitem
+    GROUP BY l_suppkey HAVING COUNT(*) > 5"""
+
+  /** Scalar (uncorrelated) subquery in WHERE (ref Sema.cpp:953-1070).
+    * l_quantity is integral so sum/avg are exact doubles on both
+    * engines — boundary-safe. */
+  def scalarSubquery(sp: SparkSession, dir: String): DataFrame =
+    Engine.sql(sp, dir, scalarSubqueryOracle)
+
+  val scalarSubqueryOracle: String = """
+    SELECT COUNT(*) AS n_above FROM lineitem
+    WHERE l_quantity > (SELECT AVG(l_quantity) FROM lineitem)"""
+
+  /** Correlated scalar subquery — decorrelated by Catalyst into an
+    * aggregate+join (ref QueryGraph.cpp:30-340 decorrelation). */
+  def correlatedSubquery(sp: SparkSession, dir: String): DataFrame =
+    Engine.sql(sp, dir, correlatedSubqueryOracle)
+
+  val correlatedSubqueryOracle: String = """
+    SELECT l_orderkey, l_linenumber FROM lineitem l1
+    WHERE l_quantity > 1.5 * (SELECT AVG(l_quantity) FROM lineitem l2
+                              WHERE l2.l_partkey = l1.l_partkey)"""
+
+  /** LIKE prefix/contains/suffix (ref WasmUtil.hpp:1367-1379
+    * like_prefix/contains/suffix specializations). */
+  def likeOps(sp: SparkSession, dir: String): DataFrame =
+    t(sp, dir, "part").agg(
+      sum(when(col("p_type").like("PROMO%"), 1).otherwise(0)).as("n_prefix"),
+      sum(when(col("p_name").like("%a%"), 1).otherwise(0)).as("n_contains"),
+      sum(when(col("p_brand").like("%3"), 1).otherwise(0)).as("n_suffix"))
+
+  val likeOpsOracle: String = """
+    SELECT
+      CAST(SUM(CASE WHEN p_type LIKE 'PROMO%' THEN 1 ELSE 0 END) AS BIGINT) AS n_prefix,
+      CAST(SUM(CASE WHEN p_name LIKE '%a%' THEN 1 ELSE 0 END) AS BIGINT) AS n_contains,
+      CAST(SUM(CASE WHEN p_brand LIKE '%3' THEN 1 ELSE 0 END) AS BIGINT) AS n_suffix
+    FROM part"""
+
+  /** Projection expressions: concat (mutable `..`), substring, upper,
+    * length (ref Sema.cpp:794-811). */
+  def stringOps(sp: SparkSession, dir: String): DataFrame =
+    t(sp, dir, "part")
+      .filter(col("p_partkey") % 10 === 0)
+      .select(
+        col("p_partkey"),
+        concat(col("p_brand"), lit(":"), col("p_type")).as("brand_type"),
+        upper(col("p_name")).as("uname"),
+        length(col("p_name")).cast("long").as("name_len"),
+        substring(col("p_name"), 1, 5).as("name5"))
+
+  val stringOpsOracle: String = """
+    SELECT p_partkey, p_brand || ':' || p_type AS brand_type,
+      UPPER(p_name) AS uname, CAST(LENGTH(p_name) AS BIGINT) AS name_len,
+      SUBSTR(p_name, 1, 5) AS name5
+    FROM part WHERE p_partkey % 10 = 0"""
+
+  /** ISNULL + three-valued logic (ref Functions.tbl ISNULL). */
+  def isnullOps(sp: SparkSession, dir: String): DataFrame =
+    t(sp, dir, "customer").agg(
+      sum(when(isnull(nullif(col("c_mktsegment"), lit("BUILDING"))), 1).otherwise(0)).as("n_null"),
+      count(nullif(col("c_mktsegment"), lit("BUILDING"))).as("n_nonnull"))
+
+  val isnullOpsOracle: String = """
+    SELECT
+      CAST(SUM(CASE WHEN NULLIF(c_mktsegment, 'BUILDING') IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+      COUNT(NULLIF(c_mktsegment, 'BUILDING')) AS n_nonnull
+    FROM customer"""
+
+  /** Casts: double→int, bigint→double, bool→int (ref `INT(x)`,
+    * Sema.cpp:645-676). */
+  def castOps(sp: SparkSession, dir: String): DataFrame =
+    t(sp, dir, "lineitem")
+      .filter(col("l_orderkey") % 1000 === 0)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity").cast("int").as("qty_int"),
+        col("l_orderkey").cast("double").as("key_dbl"),
+        (col("l_returnflag") === "R").cast("int").as("flag_int"))
+
+  val castOpsOracle: String = """
+    SELECT l_orderkey, l_linenumber,
+      CAST(l_quantity AS INT) AS qty_int,
+      CAST(l_orderkey AS DOUBLE) AS key_dbl,
+      CAST(l_returnflag = 'R' AS INT) AS flag_int
+    FROM lineitem WHERE l_orderkey % 1000 = 0"""
+
+  /** Filter over date/timestamp comparisons (ref WHERE-over-date
+    * end2end tests). */
+  def dateFilter(sp: SparkSession, dir: String): DataFrame =
+    t(sp, dir, "orders")
+      .filter(col("o_orderdate") >= ts("1999-06-01 00:00:00") &&
+        col("o_orderdate") < ts("1999-09-01 00:00:00"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+
+  val dateFilterOracle: String = s"""
+    SELECT o_orderstatus, COUNT(*) AS n, ${sqlDsum("o_totalprice")} AS total
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1999-06-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1999-09-01 00:00:00'
+    GROUP BY o_orderstatus"""
+
+  // ------------------------------------------------------------ registry
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing_summary" -> (q1 _),
+    "q3_shipping_priority" -> (q3 _),
+    "q6_forecast_revenue" -> (q6 _),
+    "q12_priority_count" -> (q12 _),
+    "q14_promo_revenue" -> (q14 _),
+    "join_pk_fk" -> (joinPkFk _),
+    "join_n2m" -> (joinN2M _),
+    "join_theta" -> (thetaJoin _),
+    "join_5way_star" -> (join5Way _),
+    "join_semi" -> (semiJoin _),
+    "join_anti" -> (antiJoin _),
+    "group_by_single" -> (groupBySingle _),
+    "group_by_multi" -> (groupByMulti _),
+    "group_by_expr_alias" -> (groupByExprAlias _),
+    "agg_global" -> (aggGlobal _),
+    "order_by_topk" -> (orderByTopK _),
+    "distinct_pairs" -> (distinctPairs _),
+    "having_groups" -> (havingGroups _),
+    "subquery_scalar" -> (scalarSubquery _),
+    "subquery_correlated" -> (correlatedSubquery _),
+    "like_ops" -> (likeOps _),
+    "string_ops" -> (stringOps _),
+    "isnull_ops" -> (isnullOps _),
+    "cast_ops" -> (castOps _),
+    "date_filter" -> (dateFilter _))
+
+  val oracles: Map[String, String] = Map(
+    "q1_pricing_summary" -> q1Oracle,
+    "q3_shipping_priority" -> q3Oracle,
+    "q6_forecast_revenue" -> q6Oracle,
+    "q12_priority_count" -> q12Oracle,
+    "q14_promo_revenue" -> q14Oracle,
+    "join_pk_fk" -> joinPkFkOracle,
+    "join_n2m" -> joinN2MOracle,
+    "join_theta" -> thetaJoinOracle,
+    "join_5way_star" -> join5WayOracle,
+    "join_semi" -> semiJoinOracle,
+    "join_anti" -> antiJoinOracle,
+    "group_by_single" -> groupBySingleOracle,
+    "group_by_multi" -> groupByMultiOracle,
+    "group_by_expr_alias" -> groupByExprAliasOracle,
+    "agg_global" -> aggGlobalOracle,
+    "order_by_topk" -> orderByTopKOracle,
+    "distinct_pairs" -> distinctPairsOracle,
+    "having_groups" -> havingGroupsOracle,
+    "subquery_scalar" -> scalarSubqueryOracle,
+    "subquery_correlated" -> correlatedSubqueryOracle,
+    "like_ops" -> likeOpsOracle,
+    "string_ops" -> stringOpsOracle,
+    "isnull_ops" -> isnullOpsOracle,
+    "cast_ops" -> castOpsOracle,
+    "date_filter" -> dateFilterOracle)
+}

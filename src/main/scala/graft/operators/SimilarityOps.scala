@@ -1,0 +1,156 @@
+package graft.operators
+
+import graft.Engine
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (Array[Float], 64-d):
+  *
+  *  - brute-force cosine top-k (the correctness baseline; oracled
+  *    against DuckDB's list_inner_product)
+  *  - LSH-bucketed ANN (random-hyperplane signatures → bucket join →
+  *    exact re-rank within bucket) — the 100 TB path: candidate
+  *    generation is bucket-local, the all-pairs product never forms
+  *  - near-duplicate detection by cosine ≥ 0.95
+  *
+  * All dot products run in double precision, accumulated left-to-right
+  * with `aggregate` over `zip_with` — the same order DuckDB uses, so
+  * cosines are bit-identical and threshold/top-k decisions agree.
+  */
+object SimilarityOps {
+
+  /** embeddings with double-precision vector + L2 norm. */
+  private def vecs(sp: SparkSession, dir: String): DataFrame =
+    Engine.table(sp, dir, "embeddings")
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("nrm", sqrt(aggregate(
+        transform(col("v"), x => x * x), lit(0.0), (acc, x) => acc + x)))
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** Brute-force cosine top-k (k=5) for query vectors vec_id < 10.
+    * Deterministic tie-break on neighbor id. */
+  def knnBruteForce(sp: SparkSession, dir: String): DataFrame = {
+    val all = vecs(sp, dir)
+    val q = all.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val scored = q.join(all, col("vec_id") =!= col("query_id"))
+      .withColumn("cosine", dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("rank"), round(col("cosine"), 4).as("cosine_r"))
+  }
+
+  val knnBruteForceOracle: String = """
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+                                CAST(embedding AS DOUBLE[]))) AS nrm
+      FROM embeddings),
+    scored AS (
+      SELECT q.vec_id AS query_id, a.vec_id AS neighbor_id,
+        list_inner_product(q.v, a.v) / (q.nrm * a.nrm) AS cosine
+      FROM v q JOIN v a ON a.vec_id <> q.vec_id
+      WHERE q.vec_id < 10),
+    ranked AS (
+      SELECT query_id, neighbor_id, cosine,
+        row_number() OVER (PARTITION BY query_id
+                           ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored)
+    SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank,
+      round(cosine, 4) AS cosine_r
+    FROM ranked WHERE rank <= 5"""
+
+  // Random-hyperplane LSH, L independent tables of k bits each
+  // (sig bit = sign(v · plane)); deterministic seeded directions.
+  // L×k trades recall vs candidate volume — the standard knob at scale.
+  private val NumTables = 8
+  private val BitsPerTable = 6
+  private val Dim = 64
+  private val planes: Array[Array[Array[Double]]] = {
+    val r = new scala.util.Random(7)
+    Array.fill(NumTables, BitsPerTable)(Array.fill(Dim)(r.nextGaussian()))
+  }
+
+  /** Per-table LSH signature for a double-vector column. */
+  private def lshSig(v: Column, table: Int): Column =
+    (0 until BitsPerTable).map { p =>
+      val proj = (0 until Dim).map(i => element_at(v, i + 1) * lit(planes(table)(p)(i)))
+        .reduce(_ + _)
+      when(proj >= 0, lit(1L << p)).otherwise(0L)
+    }.reduce((a, b) => a.bitwiseOR(b))
+
+  /** (table, sig) bucket entries, one row per table per vector. */
+  private def buckets(df: DataFrame): DataFrame =
+    df.select(col("*"), explode(array((0 until NumTables).map { t =>
+      struct(lit(t).as("tbl"), lshSig(col("v"), t).as("sig"))
+    }: _*)).as("b"))
+      .select(col("vec_id"), col("v"), col("nrm"),
+        col("b.tbl").as("tbl"), col("b.sig").as("sig"))
+
+  /** ANN: L hash tables + 1-bit-flip multi-probe on the query side,
+    * exact cosine re-rank over the candidate union, top-k per query.
+    * Approximate by construction → no SQL oracle; recall vs brute
+    * force is asserted in DedupSimilaritySpec. */
+  def annLsh(sp: SparkSession, dir: String): DataFrame = {
+    val all = buckets(vecs(sp, dir))
+    val probes = array(
+      col("sig") +: (0 until BitsPerTable).map(b => col("sig").bitwiseXOR(lit(1L << b))): _*)
+    val q = buckets(vecs(sp, dir).filter(col("vec_id") < 10))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"), col("tbl").as("qtbl"), explode(probes).as("qsig"))
+    val cands = q.join(all,
+        col("tbl") === col("qtbl") && col("sig") === col("qsig") &&
+          col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("qv"), col("qn"),
+        col("vec_id"), col("v"), col("nrm"))
+      .distinct() // a pair can collide in several tables/probes
+    val scored = cands
+      .withColumn("cosine", dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("rank"), round(col("cosine"), 4).as("cosine_r"))
+  }
+
+  /** Embedding near-duplicate pairs: cosine ≥ 0.95, id-ordered. */
+  def embeddingNearDup(sp: SparkSession, dir: String): DataFrame = {
+    val a = vecs(sp, dir)
+      .select(col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
+    val b = vecs(sp, dir)
+      .select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cosine", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("cosine") >= 0.95)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine_r"))
+  }
+
+  val embeddingNearDupOracle: String = """
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+                                CAST(embedding AS DOUBLE[]))) AS nrm
+      FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      round(list_inner_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS cosine_r
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
+    WHERE list_inner_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.95"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_knn_bruteforce" -> (knnBruteForce _),
+    "sim_ann_lsh" -> (annLsh _),
+    "sim_embedding_neardup" -> (embeddingNearDup _))
+
+  val oracles: Map[String, String] = Map(
+    "sim_knn_bruteforce" -> knnBruteForceOracle,
+    "sim_embedding_neardup" -> embeddingNearDupOracle)
+}

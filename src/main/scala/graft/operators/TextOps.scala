@@ -1,0 +1,138 @@
+package graft.operators
+
+import graft.Engine
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over the `documents` table: token counting,
+  * quality scoring, language identification, document fingerprinting.
+  * All are single-pass, partition-local column expressions (no shuffle,
+  * no UDF in the hot path except the fingerprint, which is a custom
+  * Catalyst expression) — they stream at 100 TB.
+  *
+  * Oracle-parity rule: counts are derived with the replace-and-measure
+  * trick (`length(x) - length(replace(x, w, ''))`), which is exact
+  * integer arithmetic with identical non-overlapping left-to-right
+  * semantics in Spark and DuckDB.
+  */
+object TextOps {
+
+  /** #occurrences of `w` as a whole whitespace-delimited token, via
+    * the replace-and-measure trick (portable to the DuckDB oracle). */
+  private def occ(padded: Column, w: String): Column =
+    ((length(padded) - length(replace(padded, lit(s" $w "), lit(" ")))) /
+      (w.length + 1)).cast("long")
+
+  private def sqlOcc(w: String): String =
+    s"CAST((LENGTH(padded) - LENGTH(REPLACE(padded, ' $w ', ' '))) / ${w.length + 1} AS BIGINT)"
+
+  /** Whitespace token count + average token length per document. */
+  def tokenStats(sp: SparkSession, dir: String): DataFrame =
+    Engine.table(sp, dir, "documents")
+      .select(col("doc_id"),
+        (length(col("text")) - length(replace(col("text"), lit(" "), lit(""))) + 1)
+          .cast("long").as("n_tokens"),
+        length(col("text")).cast("long").as("len_chars"))
+      .withColumn("avg_token_len",
+        (col("len_chars") - (col("n_tokens") - 1)).cast("double") / col("n_tokens"))
+
+  val tokenStatsOracle: String = """
+    SELECT doc_id,
+      CAST(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS BIGINT) AS n_tokens,
+      CAST(LENGTH(text) AS BIGINT) AS len_chars,
+      CAST(LENGTH(text) - (LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1) + 1 AS DOUBLE)
+        / (LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1) AS avg_token_len
+    FROM documents"""
+
+  /** Heuristic quality score: token count, stopword ratio ('the', 'a'),
+    * type-ish diversity proxy. Pure integer counts + one final double
+    * expression → bit-identical across engines. */
+  def qualityScore(sp: SparkSession, dir: String): DataFrame = {
+    val padded = concat(lit(" "), col("text"), lit(" "))
+    Engine.table(sp, dir, "documents")
+      .select(col("doc_id"), col("text"))
+      .withColumn("n_tokens",
+        (length(col("text")) - length(replace(col("text"), lit(" "), lit(""))) + 1).cast("long"))
+      .withColumn("n_stop", (occ(padded, "the") + occ(padded, "a")).cast("long"))
+      .select(col("doc_id"), col("n_tokens"), col("n_stop"),
+        (col("n_stop").cast("double") / col("n_tokens")).as("stop_ratio"))
+  }
+
+  val qualityScoreOracle: String = s"""
+    WITH p AS (SELECT doc_id, text, ' ' || text || ' ' AS padded FROM documents)
+    SELECT doc_id,
+      CAST(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS BIGINT) AS n_tokens,
+      ${sqlOcc("the")} + ${sqlOcc("a")} AS n_stop,
+      CAST(${sqlOcc("the")} + ${sqlOcc("a")} AS DOUBLE)
+        / (LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1) AS stop_ratio
+    FROM p"""
+
+  /** Language-ID by stopword-marker voting over {en,de,fr,es,zh} with a
+    * deterministic tie-break. Portable CASE chain (first max wins). */
+  def langId(sp: SparkSession, dir: String): DataFrame = {
+    val padded = concat(lit(" "), col("text"), lit(" "))
+    val markers = Map(
+      "en" -> Seq("the", "and", "of"),
+      "de" -> Seq("der", "und", "die"),
+      "fr" -> Seq("le", "et", "les"),
+      "es" -> Seq("el", "y", "los"),
+      "zh" -> Seq("de", "shi", "zai"))
+    val scored = Engine.table(sp, dir, "documents")
+      .select(col("doc_id"), col("text"))
+      .withColumns(markers.map { case (l, ws) =>
+        s"score_$l" -> ws.map(w => occ(padded, w)).reduce(_ + _)
+      })
+    val langs = Seq("en", "de", "fr", "es", "zh")
+    val best = langs.map(l => col(s"score_$l")).reduce((a, b) => greatest(a, b))
+    val pred = langs.foldRight(lit("unknown"): Column) { (l, acc) =>
+      when(col(s"score_$l") === best && best > 0, lit(l)).otherwise(acc)
+    }
+    // foldRight gives priority en > de > fr > es > zh on ties.
+    scored.select(col("doc_id"), pred.as("pred_lang"))
+  }
+
+  val langIdOracle: String = {
+    val markers = Seq(
+      "en" -> Seq("the", "and", "of"),
+      "de" -> Seq("der", "und", "die"),
+      "fr" -> Seq("le", "et", "les"),
+      "es" -> Seq("el", "y", "los"),
+      "zh" -> Seq("de", "shi", "zai"))
+    val scores = markers.map { case (l, ws) =>
+      s"(${ws.map(sqlOcc).mkString(" + ")}) AS score_$l"
+    }.mkString(",\n      ")
+    val best = "GREATEST(score_en, score_de, score_fr, score_es, score_zh)"
+    val cases = Seq("en", "de", "fr", "es", "zh")
+      .map(l => s"WHEN score_$l = $best AND $best > 0 THEN '$l'")
+      .mkString("\n        ")
+    s"""
+    WITH p AS (SELECT doc_id, ' ' || text || ' ' AS padded FROM documents),
+    s AS (SELECT doc_id,
+      $scores
+    FROM p)
+    SELECT doc_id,
+      CASE $cases
+        ELSE 'unknown' END AS pred_lang
+    FROM s"""
+  }
+
+  /** Winnowing-style document fingerprint: min polynomial rolling hash
+    * over character k-grams (k=16), via the custom Catalyst expression
+    * [[graft.functions.RollingMinHash]]. No SQL oracle (not
+    * expressible) — covered by TextOpsSpec instead. */
+  def fingerprint(sp: SparkSession, dir: String): DataFrame =
+    Engine.table(sp, dir, "documents")
+      .select(col("doc_id"),
+        graft.functions.functions.rolling_min_hash(col("text"), 16).as("fp"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_token_stats" -> (tokenStats _),
+    "text_quality_score" -> (qualityScore _),
+    "text_lang_id" -> (langId _),
+    "text_fingerprint" -> (fingerprint _))
+
+  val oracles: Map[String, String] = Map(
+    "text_token_stats" -> tokenStatsOracle,
+    "text_quality_score" -> qualityScoreOracle,
+    "text_lang_id" -> langIdOracle)
+}

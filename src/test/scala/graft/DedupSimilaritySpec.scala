@@ -1,0 +1,48 @@
+package graft
+
+import graft.operators.{DedupOps, SimilarityOps}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic checks for the approximate (non-oracled) dedup/similarity
+  * operators, validated against their exact twins on sf0.001. */
+class DedupSimilaritySpec extends AnyFunSuite {
+  import TestSession._
+
+  test("minhash-LSH finds the same pairs as exact n-gram Jaccard") {
+    val exact = DedupOps.ngramJaccard(spark, sf)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = DedupOps.minhashLsh(spark, sf)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // LSH pairs are verified with exact Jaccard → subset; recall should
+    // be high at 16 bands × 4 rows for threshold 0.5.
+    assert(lsh.subsetOf(exact), s"LSH produced non-dup pairs: ${lsh -- exact}")
+    assert(exact.isEmpty || lsh.size.toDouble / exact.size >= 0.8,
+      s"LSH recall too low: ${lsh.size}/${exact.size}")
+  }
+
+  test("simhash pairs have hamming <= 8 and are symmetric-free (a<b)") {
+    val rows = DedupOps.simhashPairs(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("doc_a") < r.getAs[Long]("doc_b"))
+      assert(r.getAs[Int]("hamming") <= 8)
+    }
+  }
+
+  test("ANN-LSH recall vs brute-force top-5") {
+    val bf = SimilarityOps.knnBruteForce(spark, sf)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = SimilarityOps.annLsh(spark, sf)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (ann & bf).size.toDouble / bf.size
+    assert(recall >= 0.2, s"ANN recall $recall too low (${ann.size} vs ${bf.size})")
+  }
+
+  test("exact dedup keeps one representative per distinct text") {
+    val docs = Engine.table(spark, sf, "documents")
+    val nDistinct = docs.select("text").distinct().count()
+    assert(DedupOps.exact(spark, sf).count() == nDistinct)
+  }
+}
