@@ -1,0 +1,147 @@
+package graft.operators
+
+import graft.{Engine, EngineSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** End-to-end dialect queries: mutable-dialect SQL text (double-quoted
+  * strings, d'…' literals, implicit comma-joins, GROUP BY aliases) run
+  * through graft's own lexer→parser→analyzer→planner against the
+  * testdata tables, oracled by DuckDB like every other operator.
+  * Texts adapted from /root/reference/benchmark/tpc-h/q{1,3,6,12,14}.sql
+  * (dates/columns fitted to the driver's testdata schema). */
+object DialectQueries {
+
+  private def run(sp: SparkSession, dir: String, sql: String): DataFrame =
+    EngineSession.withTestdata(sp, dir).query(sql)
+
+  val q1Text: String = """
+    SELECT l_returnflag, l_linestatus,
+           SUM(l_quantity) AS sum_qty,
+           SUM(l_extendedprice) AS sum_base_price,
+           SUM(l_extendedprice * (1 - l_discount)) AS sum_disc_price,
+           SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS sum_charge,
+           AVG(l_quantity) AS avg_qty,
+           AVG(l_extendedprice) AS avg_price,
+           AVG(l_discount) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= d'2000-12-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus;"""
+
+  val q3Text: String = """
+    SELECT l_orderkey,
+           SUM(l_extendedprice * (1 - l_discount)) AS revenue,
+           o_orderdate
+    FROM customer, orders, lineitem
+    WHERE c_mktsegment = "BUILDING"
+      AND c_custkey = o_custkey
+      AND l_orderkey = o_orderkey
+      AND o_orderdate < d'1998-03-15 00:00:00'
+      AND l_shipdate > d'1998-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, o_orderdate, l_orderkey
+    LIMIT 10;"""
+
+  val q6Text: String = """
+    SELECT SUM(l_extendedprice * l_discount) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= d'1996-01-01 00:00:00'
+      AND l_shipdate < d'1997-01-01 00:00:00'
+      AND l_discount >= 0.05 AND l_discount <= 0.07
+      AND l_quantity < 24;"""
+
+  val q12Text: String = """
+    SELECT o_orderpriority, COUNT(*) AS n
+    FROM orders, lineitem
+    WHERE o_orderkey = l_orderkey
+      AND (l_returnflag = "R" OR l_returnflag = "A")
+      AND l_shipdate >= d'1996-01-01 00:00:00'
+      AND l_shipdate < d'1997-01-01 00:00:00'
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority;"""
+
+  val q14Text: String = """
+    SELECT SUM(l_extendedprice * (1 - l_discount)) AS promo_revenue
+    FROM lineitem, part
+    WHERE l_partkey = p_partkey
+      AND p_type LIKE "PROMO%"
+      AND l_shipdate >= d'1997-09-01 00:00:00'
+      AND l_shipdate < d'1997-10-01 00:00:00';"""
+
+  /** GROUP BY expression alias + HAVING + scalar subquery — the
+    * dialect features Spark SQL itself doesn't have. */
+  val bucketText: String = """
+    SELECT bucket, COUNT(*) AS n, SUM(l_quantity) AS qty
+    FROM lineitem
+    WHERE l_quantity < (SELECT AVG(l_quantity) FROM lineitem)
+    GROUP BY l_orderkey % 7 AS bucket
+    HAVING COUNT(*) > 10
+    ORDER BY bucket;"""
+
+  private def sqlDsum(expr: String): String =
+    s"CAST(SUM(CAST(($expr) AS DECIMAL(18,6))) AS DOUBLE)"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dialect_q1" -> ((s, d) => run(s, d, q1Text)),
+    "dialect_q3" -> ((s, d) => run(s, d, q3Text)),
+    "dialect_q6" -> ((s, d) => run(s, d, q6Text)),
+    "dialect_q12" -> ((s, d) => run(s, d, q12Text)),
+    "dialect_q14" -> ((s, d) => run(s, d, q14Text)),
+    "dialect_groupby_alias" -> ((s, d) => run(s, d, bucketText)))
+
+  val oracles: Map[String, String] = Map(
+    "dialect_q1" -> s"""
+      SELECT l_returnflag, l_linestatus,
+        ${sqlDsum("l_quantity")} AS sum_qty,
+        ${sqlDsum("l_extendedprice")} AS sum_base_price,
+        ${sqlDsum("l_extendedprice * (1 - l_discount)")} AS sum_disc_price,
+        ${sqlDsum("l_extendedprice * (1 - l_discount) * (1 + l_tax)")} AS sum_charge,
+        ${sqlDsum("l_quantity")} / COUNT(l_quantity) AS avg_qty,
+        ${sqlDsum("l_extendedprice")} / COUNT(l_extendedprice) AS avg_price,
+        ${sqlDsum("l_discount")} / COUNT(l_discount) AS avg_disc,
+        COUNT(*) AS count_order
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+      GROUP BY l_returnflag, l_linestatus""",
+    "dialect_q3" -> s"""
+      SELECT l_orderkey,
+        ${sqlDsum("l_extendedprice * (1 - l_discount)")} AS revenue,
+        o_orderdate
+      FROM customer, orders, lineitem
+      WHERE c_mktsegment = 'BUILDING'
+        AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+        AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+        AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+      GROUP BY l_orderkey, o_orderdate
+      ORDER BY revenue DESC, o_orderdate, l_orderkey
+      LIMIT 10""",
+    "dialect_q6" -> s"""
+      SELECT ${sqlDsum("l_extendedprice * l_discount")} AS revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        AND l_discount >= 0.05 AND l_discount <= 0.07
+        AND l_quantity < 24""",
+    "dialect_q12" -> """
+      SELECT o_orderpriority, COUNT(*) AS n
+      FROM orders, lineitem
+      WHERE o_orderkey = l_orderkey
+        AND (l_returnflag = 'R' OR l_returnflag = 'A')
+        AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      GROUP BY o_orderpriority""",
+    "dialect_q14" -> s"""
+      SELECT ${sqlDsum("l_extendedprice * (1 - l_discount)")} AS promo_revenue
+      FROM lineitem, part
+      WHERE l_partkey = p_partkey AND p_type LIKE 'PROMO%'
+        AND l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1997-10-01 00:00:00'""",
+    "dialect_groupby_alias" -> s"""
+      SELECT l_orderkey % 7 AS bucket, COUNT(*) AS n,
+        ${sqlDsum("l_quantity")} AS qty
+      FROM lineitem
+      WHERE l_quantity < (SELECT AVG(l_quantity) FROM lineitem)
+      GROUP BY l_orderkey % 7
+      HAVING COUNT(*) > 10""")
+}

@@ -1,0 +1,77 @@
+package graft.parser
+
+/** AST for the mutable SQL dialect (ref /root/reference/include/
+  * mutable/parse/AST.hpp; grammar in doc/syntax-grammar.md). */
+object Ast {
+
+  // ----------------------------------------------------------- expressions
+  sealed trait Expr
+  final case class Id(table: Option[String], name: String) extends Expr
+  final case class IntLit(v: Long) extends Expr
+  final case class FloatLit(v: Double) extends Expr
+  final case class StrLit(v: String) extends Expr
+  final case class BoolLit(v: Boolean) extends Expr
+  case object NullLit extends Expr
+  final case class DateLit(iso: String) extends Expr
+  final case class DateTimeLit(iso: String) extends Expr
+  /** function call: aggregates, ISNULL, INT; `COUNT(*)` → star=true */
+  final case class FnCall(name: String, args: Seq[Expr], star: Boolean = false) extends Expr
+  final case class Unary(op: String, e: Expr) extends Expr          // + - ~ NOT
+  final case class Binary(op: String, l: Expr, r: Expr) extends Expr // arith/cmp/logic/..
+  final case class Like(e: Expr, pattern: Expr, negated: Boolean) extends Expr
+  /** scalar subquery in an expression position */
+  final case class QueryExpr(q: SelectStmt) extends Expr
+  case object Star extends Expr                                      // SELECT *
+
+  // ------------------------------------------------------------ statements
+  sealed trait Stmt
+
+  final case class SelectItem(expr: Expr, alias: Option[String])
+  sealed trait FromItem { def alias: Option[String] }
+  final case class FromTable(name: String, alias: Option[String]) extends FromItem
+  final case class FromQuery(q: SelectStmt, aliasName: String) extends FromItem {
+    def alias: Option[String] = Some(aliasName)
+  }
+  final case class GroupKey(expr: Expr, alias: Option[String])
+  final case class OrderItem(expr: Expr, ascending: Boolean)
+
+  final case class SelectStmt(
+      items: Seq[SelectItem],           // Star as single item for SELECT *
+      from: Seq[FromItem],
+      where: Option[Expr],
+      groupBy: Seq[GroupKey],
+      having: Option[Expr],
+      orderBy: Seq[OrderItem],
+      limit: Option[Long],
+      offset: Option[Long]) extends Stmt
+
+  final case class CreateDatabase(name: String) extends Stmt
+  final case class DropDatabase(name: String, ifExists: Boolean) extends Stmt
+  final case class UseDatabase(name: String) extends Stmt
+
+  /** column type as written: BOOL, INT(n), FLOAT, DOUBLE, DECIMAL(p,s),
+    * CHAR(n), VARCHAR(n), DATE, DATETIME */
+  final case class TypeName(name: String, args: Seq[Int])
+  sealed trait Constraint
+  case object PrimaryKey extends Constraint
+  case object NotNull extends Constraint
+  case object Unique extends Constraint
+  final case class Check(expr: Expr) extends Constraint
+  final case class References(table: String, col: String) extends Constraint
+  final case class ColumnDef(name: String, tpe: TypeName, constraints: Seq[Constraint])
+
+  final case class CreateTable(name: String, cols: Seq[ColumnDef]) extends Stmt
+  final case class DropTable(names: Seq[String], ifExists: Boolean) extends Stmt
+  final case class CreateIndex(unique: Boolean, ifNotExists: Boolean,
+      name: Option[String], table: String, method: Option[String],
+      exprs: Seq[Expr]) extends Stmt
+  final case class DropIndex(names: Seq[String], ifExists: Boolean) extends Stmt
+
+  final case class InsertStmt(table: String, rows: Seq[Seq[Expr]]) extends Stmt
+  final case class UpdateStmt(table: String) extends Stmt   // parsed, rejected at exec
+  final case class DeleteStmt(table: String) extends Stmt   // parsed, rejected at exec
+
+  final case class ImportDsv(table: String, path: String, rows: Option[Long],
+      delimiter: Option[String], escape: Option[String], quote: Option[String],
+      hasHeader: Boolean, skipHeader: Boolean) extends Stmt
+}

@@ -1,0 +1,480 @@
+package graft.planner
+
+import graft.analyzer._
+import graft.parser.Ast._
+import org.apache.spark.sql.{Column, DataFrame, GraftShim, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import scala.collection.mutable
+
+/** Table visible to the planner: a DataFrame plus the dialect-level
+  * column types the analyzer enforces. */
+final case class CatalogTable(df: DataFrame, fields: Seq[(String, MType)])
+
+/** A typed column under construction. */
+final case class Typed(col: Column, tpe: MType)
+
+/** Analyzer + planner for the mutable dialect: walks the AST, enforces
+  * mutable's stricter-than-Spark typing rules (MTypes), and emits a
+  * Catalyst plan through the public DataFrame/Column API — Catalyst
+  * then does predicate pushdown, join selection, reordering etc. (ref
+  * lifecycle: /root/reference/src/parse/Sema.cpp stage machine +
+  * src/IR/QueryGraph.cpp graph build; we fuse both stages since
+  * Catalyst replaces the reference's plan enumeration).
+  *
+  * Implicit comma-joins lower to crossJoin + WHERE filter; Catalyst's
+  * PushPredicateThroughJoin/ReorderJoin recover proper equi-joins from
+  * exactly this shape — same treatment Spark gives its own SQL
+  * `FROM a, b WHERE a.x = b.y`.
+  *
+  * Deterministic aggregation: SUM/AVG over float columns accumulate in
+  * DECIMAL(27,6) and cast back to double. Plain double sums would make
+  * results depend on partitioning order — unacceptable for an engine
+  * whose results must reproduce across cluster sizes at 100 TB.
+  */
+final class Planner(spark: SparkSession, lookup: String => Option[CatalogTable]) {
+
+  private val AggNames = Set("COUNT", "SUM", "MIN", "MAX", "AVG")
+  private val DetDecimal = DecimalType(27, 6)
+
+  // ------------------------------------------------------------- scopes
+
+  private final case class Source(alias: String, fields: Seq[(String, MType)])
+  private final class Scope(val sources: Seq[Source]) {
+    /** Resolve an identifier → (qualified column name, type). */
+    def resolve(table: Option[String], name: String): (String, MType) = table match {
+      case Some(t) =>
+        val src = sources.find(_.alias.equalsIgnoreCase(t))
+          .getOrElse(throw new SemaError(s"unknown table alias '$t'"))
+        val f = src.fields.find(_._1.equalsIgnoreCase(name))
+          .getOrElse(throw new SemaError(s"no column '$name' in '$t'"))
+        (s"${src.alias}.${f._1}", f._2)
+      case None =>
+        val hits = for {
+          s <- sources; f <- s.fields if f._1.equalsIgnoreCase(name)
+        } yield (s"${s.alias}.${f._1}", f._2)
+        hits match {
+          case Seq(one) => one
+          case Seq() => throw new SemaError(s"unknown identifier '$name'")
+          case _ => throw new SemaError(s"ambiguous identifier '$name'")
+        }
+    }
+  }
+
+  // ------------------------------------------------------------ planning
+
+  def plan(stmt: SelectStmt): DataFrame = {
+    // FROM: alias each source, cross-join; WHERE recovers the joins.
+    val sources: Seq[(Source, DataFrame)] = stmt.from.map {
+      case FromTable(name, alias) =>
+        val ct = lookup(name).getOrElse(
+          throw new SemaError(s"unknown table '$name'"))
+        val a = alias.getOrElse(name)
+        (Source(a, ct.fields), ct.df.alias(a))
+      case fq: FromQuery =>
+        val df = plan(fq.q)
+        val fields = df.schema.fields.toSeq.map(f =>
+          f.name -> MTypes.fromSpark(f.dataType))
+        (Source(fq.aliasName, fields), df.alias(fq.aliasName))
+    }
+    val scope = new Scope(sources.map(_._1))
+    val fromDf: DataFrame =
+      if (sources.isEmpty) spark.range(1).toDF("__dummy")
+      else sources.map(_._2).reduceLeft(_ crossJoin _)
+
+    // WHERE (no aggregates allowed here — ref Sema stage machine)
+    val filtered = stmt.where match {
+      case Some(w) =>
+        val t = resolveScalar(w, scope, allowAgg = false)
+        if (t.tpe != MBool && t.tpe != MNull)
+          throw new SemaError("WHERE condition must be boolean")
+        fromDf.filter(t.col)
+      case None => fromDf
+    }
+
+    // detect aggregates anywhere downstream of WHERE
+    val hasAgg = stmt.groupBy.nonEmpty ||
+      (stmt.items.map(_.expr) ++ stmt.having ++ stmt.orderBy.map(_.expr))
+        .exists(containsAggregate)
+
+    val (workDf, outScope) =
+      if (hasAgg) planGrouped(stmt, scope, filtered)
+      else (filtered, null)
+
+    // SELECT projection
+    val items: Seq[(Column, String, MType)] = stmt.items.flatMap {
+      case SelectItem(Star, _) =>
+        if (hasAgg) throw new SemaError("SELECT * is invalid with aggregates")
+        scope.sources.flatMap { s =>
+          s.fields.map { case (n, t) => (col(s"${s.alias}.$n"), n, t) }
+        }
+      case SelectItem(e, alias) =>
+        val t = if (hasAgg) outScope.resolve(e)
+          else resolveScalar(e, scope, allowAgg = false)
+        Seq((t.col, alias.getOrElse(exprName(e)), t.tpe))
+    }
+
+    // ORDER BY may reference select aliases or arbitrary expressions:
+    // project select items + hidden sort columns, sort, then drop.
+    val aliasMap: Map[String, Int] = items.zipWithIndex
+      .map { case ((_, n, _), i) => n.toLowerCase -> i }.toMap
+    val sortCols = mutable.Buffer.empty[(Column, Boolean, Option[String])]
+    stmt.orderBy.foreach { oi =>
+      oi.expr match {
+        case Id(None, n) if aliasMap.contains(n.toLowerCase) =>
+          sortCols += ((col(items(aliasMap(n.toLowerCase))._2), oi.ascending, None))
+        case e =>
+          val t = if (hasAgg) outScope.resolve(e)
+            else resolveScalar(e, scope, allowAgg = false)
+          val hidden = s"__ord_${sortCols.size}"
+          sortCols += ((t.col, oi.ascending, Some(hidden)))
+      }
+    }
+
+    val hidden = sortCols.collect { case (c, _, Some(h)) => (c, h) }
+    val named = items.map { case (c, n, _) => c.as(n) } ++
+      hidden.map { case (c, h) => c.as(h) }
+    var out = workDf.select(named: _*)
+
+    if (sortCols.nonEmpty) {
+      val orders = sortCols.map {
+        case (_, asc, Some(h)) => if (asc) col(h).asc else col(h).desc
+        case (c, asc, None) => if (asc) c.asc else c.desc
+      }
+      out = out.orderBy(orders.toSeq: _*)
+    }
+    stmt.offset.foreach(o => out = out.offset(o.toInt))
+    stmt.limit.foreach(l => out = out.limit(l.toInt))
+    // drop (not re-select) the hidden sort columns: generated output
+    // names may contain dots/parens that col() would re-parse
+    hidden.foldLeft(out) { case (df, (_, h)) => df.drop(h) }
+  }
+
+  /** Scope over a grouped DataFrame: group keys by structure/alias +
+    * aggregate calls by structure. */
+  private final class GroupedScope(
+      srcScope: Scope,
+      keyByExpr: Seq[(Expr, String, MType)],
+      keyByAlias: Map[String, (String, MType)],
+      aggCols: mutable.LinkedHashMap[FnCall, (String, Typed)]) {
+
+    def resolve(e: Expr): Typed = e match {
+      case _ if keyByExpr.exists(_._1 == e) =>
+        val (_, n, t) = keyByExpr.find(_._1 == e).get
+        Typed(col(n), t)
+      case Id(None, n) if keyByAlias.contains(n.toLowerCase) =>
+        val (cn, t) = keyByAlias(n.toLowerCase)
+        Typed(col(cn), t)
+      case fc: FnCall if AggNames.contains(fc.name.toUpperCase) =>
+        val (n, t) = aggCols.getOrElseUpdate(fc,
+          throw new SemaError(s"internal: unregistered aggregate $fc"))
+        Typed(col(n), t.tpe)
+      case IntLit(v) => Typed(lit(v), MInt(8))
+      case FloatLit(v) => Typed(lit(v), MFloat(64))
+      case StrLit(v) => Typed(lit(v), MStr(v.length, varying = true))
+      case BoolLit(v) => Typed(lit(v), MBool)
+      case NullLit => Typed(lit(null), MNull)
+      case d: DateLit => literalDate(d)
+      case d: DateTimeLit => literalDateTime(d)
+      case Unary(op, x) => buildUnary(op, resolve(x))
+      case Binary(op, l, r) => buildBinary(op, resolve(l), resolve(r))
+      case Like(x, p, neg) => buildLike(resolve(x), resolve(p), neg)
+      case FnCall(n, args, _) if !AggNames.contains(n.toUpperCase) =>
+        buildScalarFn(n, args.map(resolve))
+      case Id(t, n) =>
+        val (qn, _) = srcScope.resolve(t, n)
+        throw new SemaError(
+          s"column '$qn' must appear in GROUP BY or inside an aggregate")
+      case q: QueryExpr => scalarSubquery(q)
+      case other => throw new SemaError(s"cannot use $other here")
+    }
+  }
+
+  /** Build the grouped/aggregated DataFrame and its resolution scope. */
+  private def planGrouped(stmt: SelectStmt, scope: Scope,
+      input: DataFrame): (DataFrame, GroupedScope) = {
+    // group keys: arbitrary expressions, each aliasable (ref
+    // Sema.cpp:1271-1305 GROUP BY alias feature)
+    val keys: Seq[(Expr, String, Option[String], Typed)] =
+      stmt.groupBy.zipWithIndex.map { case (gk, i) =>
+        val t = resolveScalar(gk.expr, scope, allowAgg = false)
+        if (!containsId(gk.expr))
+          throw new SemaError("cannot GROUP BY a scalar (constant) expression")
+        val name = gk.alias.getOrElse(exprName(gk.expr))
+        (gk.expr, name, gk.alias, t)
+      }
+
+    // collect aggregate calls from SELECT / HAVING / ORDER BY
+    val aggCalls = mutable.LinkedHashMap.empty[FnCall, (String, Typed)]
+    def collect(e: Expr): Unit = e match {
+      case fc @ FnCall(n, args, star) if AggNames.contains(n.toUpperCase) =>
+        if (args.exists(containsAggregate))
+          throw new SemaError("nested aggregates are not allowed")
+        if (!aggCalls.contains(fc)) {
+          val idx = aggCalls.size
+          aggCalls(fc) = (s"__agg_$idx", buildAggregate(fc, scope))
+        }
+      case Unary(_, x) => collect(x)
+      case Binary(_, l, r) => { collect(l); collect(r) }
+      case Like(l, p, _) => { collect(l); collect(p) }
+      case FnCall(_, args, _) => args.foreach(collect)
+      case _ => ()
+    }
+    (stmt.items.map(_.expr) ++ stmt.having ++ stmt.orderBy.map(_.expr))
+      .foreach(collect)
+
+    val keyCols = keys.map { case (_, name, _, t) => t.col.as(name) }
+    val aggColsSeq = aggCalls.toSeq.map { case (_, (n, t)) => t.col.as(n) }
+    val grouped =
+      if (keys.isEmpty) input.agg(aggColsSeq.head, aggColsSeq.tail: _*)
+      else if (aggColsSeq.isEmpty)
+        input.select(keyCols: _*).distinct() // pure GROUP BY ≡ distinct keys
+      else input.groupBy(keyCols: _*).agg(aggColsSeq.head, aggColsSeq.tail: _*)
+
+    val gscope = new GroupedScope(
+      scope,
+      keys.map { case (e, n, _, t) => (e, n, t.tpe) },
+      keys.collect { case (_, n, Some(a), t) => a.toLowerCase -> (n, t.tpe) }.toMap,
+      aggCalls)
+
+    // HAVING filters the grouped result (ref QueryGraph.cpp:1773-1791)
+    val withHaving = stmt.having match {
+      case Some(h) =>
+        val t = gscope.resolve(h)
+        if (t.tpe != MBool && t.tpe != MNull)
+          throw new SemaError("HAVING condition must be boolean")
+        grouped.filter(t.col)
+      case None => grouped
+    }
+    (withHaving, gscope)
+  }
+
+  // ----------------------------------------------------- expression build
+
+  private def containsAggregate(e: Expr): Boolean = e match {
+    case FnCall(n, _, _) if AggNames.contains(n.toUpperCase) => true
+    case FnCall(_, args, _) => args.exists(containsAggregate)
+    case Unary(_, x) => containsAggregate(x)
+    case Binary(_, l, r) => containsAggregate(l) || containsAggregate(r)
+    case Like(l, p, _) => containsAggregate(l) || containsAggregate(p)
+    case _ => false
+  }
+
+  private def containsId(e: Expr): Boolean = e match {
+    case _: Id => true
+    case FnCall(_, args, _) => args.exists(containsId)
+    case Unary(_, x) => containsId(x)
+    case Binary(_, l, r) => containsId(l) || containsId(r)
+    case Like(l, p, _) => containsId(l) || containsId(p)
+    case _ => false
+  }
+
+  /** Resolve an expression in a row context. */
+  private def resolveScalar(e: Expr, scope: Scope, allowAgg: Boolean): Typed = e match {
+    case Id(t, n) =>
+      val (qn, tpe) = scope.resolve(t, n)
+      Typed(col(qn), tpe)
+    case IntLit(v) => Typed(lit(v), MInt(8))
+    case FloatLit(v) => Typed(lit(v), MFloat(64))
+    case StrLit(v) => Typed(lit(v), MStr(v.length, varying = true))
+    case BoolLit(v) => Typed(lit(v), MBool)
+    case NullLit => Typed(lit(null), MNull)
+    case d: DateLit => literalDate(d)
+    case d: DateTimeLit => literalDateTime(d)
+    case Unary(op, x) => buildUnary(op, resolveScalar(x, scope, allowAgg))
+    case Binary(op, l, r) =>
+      buildBinary(op, resolveScalar(l, scope, allowAgg),
+        resolveScalar(r, scope, allowAgg))
+    case Like(x, p, neg) =>
+      buildLike(resolveScalar(x, scope, allowAgg),
+        resolveScalar(p, scope, allowAgg), neg)
+    case FnCall(n, _, _) if AggNames.contains(n.toUpperCase) =>
+      throw new SemaError(s"aggregate ${n.toUpperCase} is not allowed here")
+    case FnCall(n, args, _) =>
+      buildScalarFn(n, args.map(resolveScalar(_, scope, allowAgg)))
+    case q: QueryExpr => scalarSubquery(q)
+    case Star => throw new SemaError("'*' is only valid in SELECT or COUNT(*)")
+  }
+
+  private def scalarSubquery(q: QueryExpr): Typed = {
+    val sub = plan(q.q)
+    if (sub.schema.fields.length != 1)
+      throw new SemaError("scalar subquery must return exactly one column")
+    Typed(GraftShim.scalarSubquery(sub),
+      MTypes.fromSpark(sub.schema.fields.head.dataType))
+  }
+
+  private def buildUnary(op: String, x: Typed): Typed = op match {
+    case "NOT" =>
+      if (x.tpe != MBool && x.tpe != MNull)
+        throw new SemaError("NOT requires a boolean operand")
+      Typed(!x.col, MBool)
+    case "+" =>
+      if (!x.tpe.isNumeric) throw new SemaError("unary + requires numeric")
+      x
+    case "-" =>
+      if (!x.tpe.isNumeric) throw new SemaError("unary - requires numeric")
+      Typed(negate(x.col), x.tpe)
+    case "~" => x.tpe match {
+      case MInt(_) => Typed(bitwise_not(x.col), x.tpe)
+      case _ => throw new SemaError("~ requires an integer operand")
+    }
+  }
+
+  private def buildBinary(op: String, l: Typed, r: Typed): Typed = op match {
+    case "+" | "-" | "*" | "/" | "%" =>
+      if (!opOk(l.tpe) || !opOk(r.tpe))
+        throw new SemaError(s"invalid operands to '$op': ${l.tpe}, ${r.tpe}")
+      val res = MTypes.arithmeticJoin(l.tpe, r.tpe)
+      val c = op match {
+        case "+" => l.col + r.col
+        case "-" => l.col - r.col
+        case "*" => l.col * r.col
+        case "/" => (l.tpe, r.tpe) match {
+          case (MInt(_), MInt(_)) => GraftShim.integralDivide(l.col, r.col)
+          case _ => l.col / r.col
+        }
+        case "%" => l.col % r.col
+      }
+      // integral divide yields long; keep the lattice type
+      Typed(if (op == "/" && res.isInstanceOf[MInt]) c.cast(MTypes.toSpark(res)) else c, res)
+    case ".." =>
+      if (!strOk(l.tpe) || !strOk(r.tpe))
+        throw new SemaError("'..' requires string operands")
+      val len = (l.tpe, r.tpe) match {
+        case (MStr(a, _), MStr(b, _)) =>
+          if (a == Int.MaxValue || b == Int.MaxValue) Int.MaxValue else a + b
+        case _ => Int.MaxValue
+      }
+      Typed(concat(l.col, r.col), MStr(len, varying = false))
+    case "=" | "!=" | "<" | "<=" | ">" | ">=" =>
+      val eq = op == "=" || op == "!="
+      if (!MTypes.comparable(l.tpe, r.tpe, eq))
+        throw new SemaError(s"cannot compare ${l.tpe} with ${r.tpe}")
+      val c = op match {
+        case "=" => l.col === r.col
+        case "!=" => l.col =!= r.col
+        case "<" => l.col < r.col
+        case "<=" => l.col <= r.col
+        case ">" => l.col > r.col
+        case ">=" => l.col >= r.col
+      }
+      Typed(c, MBool)
+    case "AND" | "OR" =>
+      if (!boolOk(l.tpe) || !boolOk(r.tpe))
+        throw new SemaError(s"$op requires boolean operands")
+      Typed(if (op == "AND") l.col && r.col else l.col || r.col, MBool)
+    case other => throw new SemaError(s"unknown operator '$other'")
+  }
+
+  private def opOk(t: MType): Boolean = t.isNumeric || t == MNull
+  private def strOk(t: MType): Boolean = t.isString || t == MNull
+  private def boolOk(t: MType): Boolean = t == MBool || t == MNull
+
+  private def buildLike(x: Typed, p: Typed, negated: Boolean): Typed = {
+    if (!strOk(x.tpe) || !strOk(p.tpe))
+      throw new SemaError("LIKE requires string operands")
+    val c = GraftShim.like(x.col, p.col)
+    Typed(if (negated) !c else c, MBool)
+  }
+
+  private def buildScalarFn(name: String, args: Seq[Typed]): Typed =
+    name.toUpperCase match {
+      case "ISNULL" =>
+        if (args.length != 1) throw new SemaError("ISNULL takes one argument")
+        Typed(isnull(args.head.col), MBool)
+      case "INT" =>
+        if (args.length != 1) throw new SemaError("INT takes one argument")
+        val a = args.head
+        if (!a.tpe.isNumeric && a.tpe != MBool && a.tpe != MNull)
+          throw new SemaError(s"cannot cast ${a.tpe} to INT")
+        Typed(a.col.cast("int"), MInt(4))
+      case other => throw new SemaError(s"unknown function '$other'")
+    }
+
+  /** Aggregate typing per ref Functions.tbl/Sema.cpp:554-643:
+    * COUNT→INT(8); MIN/MAX preserve; AVG→DOUBLE; SUM: int→INT(8),
+    * float→DOUBLE, decimal→DECIMAL(19,s). Float SUM/AVG accumulate in
+    * exact decimal for cross-partition determinism. */
+  private def buildAggregate(fc: FnCall, scope: Scope): Typed = {
+    val name = fc.name.toUpperCase
+    if (name == "COUNT" && (fc.star || fc.args.isEmpty))
+      return Typed(count(lit(1)), MInt(8))
+    if (fc.args.length != 1)
+      throw new SemaError(s"$name takes exactly one argument")
+    val a = resolveScalar(fc.args.head, scope, allowAgg = false)
+    name match {
+      case "COUNT" => Typed(count(a.col), MInt(8))
+      case "MIN" | "MAX" =>
+        if (!a.tpe.isNumeric && a.tpe != MDate && a.tpe != MDateTime && !a.tpe.isString)
+          throw new SemaError(s"$name requires a comparable argument")
+        Typed(if (name == "MIN") min(a.col) else max(a.col), a.tpe)
+      case "SUM" => a.tpe match {
+        case MInt(_) => Typed(sum(a.col).cast("long"), MInt(8))
+        case MFloat(_) =>
+          Typed(sum(a.col.cast(DetDecimal)).cast("double"), MFloat(64))
+        case MDecimal(_, s) =>
+          Typed(sum(a.col).cast(DecimalType(19, s)), MDecimal(19, s))
+        case t => throw new SemaError(s"SUM requires numeric, got $t")
+      }
+      case "AVG" => a.tpe match {
+        case MFloat(_) =>
+          // exact decimal sum → double, THEN divide: double division is
+          // IEEE-identical everywhere, decimal division is not
+          Typed(sum(a.col.cast(DetDecimal)).cast("double") / count(a.col), MFloat(64))
+        case t if a.tpe.isNumeric =>
+          Typed(avg(a.col).cast("double"), MFloat(64))
+        case t => throw new SemaError(s"AVG requires numeric, got $t")
+      }
+    }
+  }
+
+  // ------------------------------------------------------------- literals
+
+  private def literalDate(d: DateLit): Typed = {
+    val (y, m, dd) = parseYmd(d.iso)
+    Typed(lit(java.time.LocalDate.of(y, m, dd)), MDate)
+  }
+
+  private def literalDateTime(d: DateTimeLit): Typed = {
+    val parts = d.iso.trim.split("[ ]+")
+    val (y, m, dd) = parseYmd(parts(0))
+    val Array(hh, mi, ss) = parts(1).split(":").map(_.toInt)
+    val instant = java.time.LocalDateTime.of(y, m, dd, hh, mi, ss)
+      .toInstant(java.time.ZoneOffset.UTC)
+    Typed(lit(instant), MDateTime)
+  }
+
+  /** Parse 'Y...Y-MM-DD' with possibly negative / >4-digit year (ref
+    * Lexer.cpp:229-267; fixtures contain -4820-04-04). */
+  private def parseYmd(s: String): (Int, Int, Int) = {
+    val body = s.trim
+    val (sign, rest) = if (body.startsWith("-")) (-1, body.drop(1)) else (1, body)
+    rest.split("-") match {
+      case Array(y, m, d) => (sign * y.toInt, m.toInt, d.toInt)
+      case _ => throw new SemaError(s"malformed date literal '$s'")
+    }
+  }
+
+  /** Output name for an unaliased select item (bare column name for
+    * designators, pretty-printed text otherwise). */
+  private def exprName(e: Expr): String = e match {
+    case Id(_, n) => n
+    case FnCall(n, args, star) =>
+      val inner = if (star) "*" else args.map(exprName).mkString(", ")
+      s"${n.toLowerCase}($inner)"
+    case IntLit(v) => v.toString
+    case FloatLit(v) => v.toString
+    case StrLit(v) => v
+    case BoolLit(v) => v.toString
+    case NullLit => "NULL"
+    case DateLit(i) => s"d'$i'"
+    case DateTimeLit(i) => s"d'$i'"
+    case Unary(op, x) => s"($op${exprName(x)})"
+    case Binary(op, l, r) => s"(${exprName(l)} $op ${exprName(r)})"
+    case Like(l, p, _) => s"(${exprName(l)} LIKE ${exprName(p)})"
+    case _: QueryExpr => "(subquery)"
+    case Star => "*"
+  }
+}

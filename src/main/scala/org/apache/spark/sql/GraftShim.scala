@@ -9,4 +9,20 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftShim {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Uncorrelated scalar subquery as a Column (Catalyst ScalarSubquery
+    * over the child's analyzed plan). */
+  def scalarSubquery(df: DataFrame): Column = {
+    val plan = df.asInstanceOf[classic.Dataset[_]].queryExecution.analyzed
+    column(catalyst.expressions.ScalarSubquery(plan))
+  }
+
+  /** LIKE with an arbitrary pattern expression (Column.like only takes
+    * a literal string). */
+  def like(input: Column, pattern: Column): Column =
+    column(catalyst.expressions.Like(expression(input), expression(pattern), '\\'))
+
+  /** C-style integral division (mutable's `/` on integer operands). */
+  def integralDivide(l: Column, r: Column): Column =
+    column(catalyst.expressions.IntegralDivide(expression(l), expression(r)))
 }

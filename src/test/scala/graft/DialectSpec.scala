@@ -1,0 +1,172 @@
+package graft
+
+import graft.analyzer.SemaError
+import graft.parser.{Lexer, Parser, ParseError}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Frontend tests shaped after the reference's test/ours corpus:
+  * DDL + INSERT round-trips, expression semantics, dialect-specific
+  * features (GROUP BY alias, `..`, d'…', implicit joins), and the
+  * stricter-than-Spark Sema rejections. */
+class DialectSpec extends AnyFunSuite {
+  import TestSession._
+
+  private def freshSession(): EngineSession = {
+    val s = new EngineSession(spark)
+    s.execute("CREATE DATABASE test; USE test;")
+    s.execute("""CREATE TABLE R (key INT(4) PRIMARY KEY, value INT(4),
+      name VARCHAR(20), score DOUBLE, flag BOOL, born DATE)""")
+    s.execute("""INSERT INTO R VALUES
+      (1, 10, "alpha", 1.5, TRUE, d'1990-01-01'),
+      (2, 20, "beta", 2.5, FALSE, d'1995-06-15'),
+      (3, 30, "gamma", 3.5, TRUE, d'-0044-03-15'),
+      (4, 40, "delta", 4.5, FALSE, d'2000-12-31'),
+      (5, NULL, "epsilon", 5.5, TRUE, d'1990-01-01')""")
+    s
+  }
+
+  private def rows(s: EngineSession, sql: String): Seq[Seq[Any]] =
+    s.query(sql).collect().toSeq.map(r => r.toSeq)
+
+  test("DDL + INSERT + SELECT round-trip") {
+    val s = freshSession()
+    assert(rows(s, "SELECT key, value FROM R WHERE key < 3 ORDER BY key;") ==
+      Seq(Seq(1, 10), Seq(2, 20)))
+  }
+
+  test("projection expressions: arithmetic, concat, INT cast") {
+    val s = freshSession()
+    val got = rows(s,
+      """SELECT key + 100, name .. "_x", INT(score), key / 2 FROM R
+         WHERE key = 3;""").head
+    assert(got == Seq(103L, "gamma_x", 3, 1))
+  }
+
+  test("integer division truncates like C; % works") {
+    val s = freshSession()
+    assert(rows(s, "SELECT 7 / 2, -7 / 2, 7 % 2 FROM R WHERE key = 1;").head ==
+      Seq(3L, -3L, 1L))
+  }
+
+  test("LIKE prefix/contains, ISNULL, NOT, boolean logic") {
+    val s = freshSession()
+    assert(rows(s, """SELECT key FROM R WHERE name LIKE "%eta%" ORDER BY key;""")
+      .flatten == Seq(2))
+    assert(rows(s, "SELECT key FROM R WHERE ISNULL(value);").flatten == Seq(5))
+    assert(rows(s,
+      """SELECT key FROM R WHERE NOT flag AND score > 3.0 ORDER BY key;""")
+      .flatten == Seq(4))
+  }
+
+  test("date literals incl. negative year") {
+    val s = freshSession()
+    assert(rows(s, "SELECT key FROM R WHERE born < d'0001-01-01';").flatten ==
+      Seq(3))
+  }
+
+  test("GROUP BY expression alias referenced in SELECT and ORDER BY") {
+    val s = freshSession()
+    val got = rows(s,
+      """SELECT b, COUNT(*), SUM(key) FROM R GROUP BY key % 2 AS b
+         ORDER BY b;""")
+    assert(got == Seq(Seq(0L, 2L, 6L), Seq(1L, 3L, 9L)))
+  }
+
+  test("HAVING filters groups; aggregates in HAVING only") {
+    val s = freshSession()
+    val got = rows(s,
+      """SELECT flag, COUNT(*) AS n FROM R GROUP BY flag
+         HAVING COUNT(*) > 2;""")
+    assert(got == Seq(Seq(true, 3L)))
+  }
+
+  test("ORDER BY DESC + LIMIT/OFFSET") {
+    val s = freshSession()
+    assert(rows(s,
+      "SELECT key FROM R ORDER BY key DESC LIMIT 2 OFFSET 1;").flatten ==
+      Seq(4, 3))
+  }
+
+  test("implicit comma-join with WHERE equi-predicate") {
+    val s = freshSession()
+    s.execute("""CREATE TABLE S (rkey INT(4), tag VARCHAR(10))""")
+    s.execute("""INSERT INTO S VALUES (1, "one"), (1, "uno"), (3, "three")""")
+    val got = rows(s,
+      """SELECT R.key, tag FROM R, S WHERE R.key = S.rkey ORDER BY tag;""")
+    assert(got == Seq(Seq(1, "one"), Seq(3, "three"), Seq(1, "uno")))
+  }
+
+  test("nested FROM subquery with alias") {
+    val s = freshSession()
+    val got = rows(s,
+      """SELECT t.k2 FROM (SELECT key + 1 AS k2 FROM R WHERE key < 3) AS t
+         ORDER BY t.k2;""")
+    assert(got.flatten == Seq(2L, 3L))
+  }
+
+  test("uncorrelated scalar subquery") {
+    val s = freshSession()
+    assert(rows(s,
+      """SELECT key FROM R WHERE score > (SELECT AVG(score) FROM R)
+         ORDER BY key;""").flatten == Seq(4, 5))
+  }
+
+  test("SUM/AVG/MIN/MAX/COUNT typing") {
+    val s = freshSession()
+    val got = rows(s,
+      """SELECT COUNT(*), COUNT(value), SUM(value), AVG(score),
+         MIN(key), MAX(name) FROM R;""").head
+    assert(got == Seq(5L, 4L, 100L, 3.5, 1, "gamma"))
+  }
+
+  test("Sema rejects cross-category comparisons (stricter than Spark)") {
+    val s = freshSession()
+    intercept[SemaError](s.query("SELECT key FROM R WHERE flag < 1;"))
+    intercept[SemaError](s.query("""SELECT key FROM R WHERE name = 1;"""))
+    intercept[SemaError](s.query("SELECT key FROM R WHERE born = 5;"))
+  }
+
+  test("Sema rejects aggregates in WHERE and bare columns under grouping") {
+    val s = freshSession()
+    intercept[SemaError](s.query("SELECT key FROM R WHERE SUM(key) > 1;"))
+    intercept[SemaError](
+      s.query("SELECT value FROM R GROUP BY flag;"))
+    intercept[SemaError](s.query("SELECT key FROM R GROUP BY 1 + 2;"))
+  }
+
+  test("Sema rejects unknown identifiers and ambiguity") {
+    val s = freshSession()
+    intercept[SemaError](s.query("SELECT nosuch FROM R;"))
+    s.execute("CREATE TABLE R2 (key INT(4))")
+    intercept[SemaError](s.query("SELECT key FROM R, R2;"))
+  }
+
+  test("UPDATE/DELETE parse but are rejected at execution (parity)") {
+    val s = freshSession()
+    intercept[UnsupportedOperationException](
+      s.execute("UPDATE R SET value = 1;"))
+    intercept[UnsupportedOperationException](s.execute("DELETE FROM R;"))
+  }
+
+  test("CREATE INDEX accepted as no-op; DROP TABLE IF EXISTS") {
+    val s = freshSession()
+    s.execute("CREATE INDEX idx ON R (key);")
+    s.execute("DROP TABLE IF EXISTS nosuch;")
+    intercept[SemaError](s.execute("DROP TABLE nosuch;"))
+  }
+
+  test("lexer rejects garbage; parser reports position") {
+    intercept[ParseError](Parser.parse("SELECT FROM WHERE"))
+    intercept[graft.parser.LexError](Lexer.tokenize("SELECT `x`"))
+  }
+
+  test("dialect q1 equals the DataFrame-API q1") {
+    val dialect = operators.DialectQueries.queries("dialect_q1")(spark, sf)
+      .select("l_returnflag", "l_linestatus", "sum_qty", "count_order")
+      .collect().map(_.toSeq).sortBy(_.toString)
+    val api = operators.Relational.q1(spark, sf)
+      .select("l_returnflag", "l_linestatus", "sum_qty", "count_order")
+      .collect().map(_.toSeq).sortBy(_.toString)
+    assert(dialect.toSeq == api.toSeq)
+  }
+}
