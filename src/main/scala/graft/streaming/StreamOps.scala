@@ -1,0 +1,135 @@
+package graft.streaming
+
+import graft.Engine
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming twins of graft.operators.EventOps: the same
+  * logical pipelines expressed over an unbounded `events` stream.
+  * The reference has no streaming at all (SURVEY §0) — this module is
+  * part of the training-data-pipeline surface, built on watermarks +
+  * windowed aggregation + flatMapGroupsWithState.
+  *
+  * At 100 TB/day the shapes hold: hash-partition by user_id/window,
+  * state pruned by watermark, no driver materialization. Local tests
+  * drive them with the parquet file source + memory sink.
+  */
+object StreamOps {
+
+  /** events schema as the parquet file source needs it (ts read as raw
+    * nanos — see Engine.table for the batch twin). */
+  private val rawSchema = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** Unbounded events stream from a directory of parquet files. */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream.schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet") // file source wants a dir
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Tumbling 1-hour event-time windows per event_type with a
+    * 2-hour watermark — streaming twin of EventOps.windowAgg. */
+  def windowAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(unix_timestamp(col("window.start")).as("hour_ts"),
+        col("event_type"), col("n"), col("total_value"))
+
+  // ------------------------------------------------- sessionization
+
+  final case class Ev(user_id: Long, ts: java.sql.Timestamp, value: Double) {
+    def ts_ms: Long = ts.getTime
+  }
+  final case class SessionState(start_ms: Long, last_ms: Long, n: Long, sum: Double)
+  final case class Session(user_id: Long, session_start_ms: Long,
+      n_events: Long, session_value: Double)
+
+  private val GapMs = 30L * 60 * 1000
+
+  /** Streaming sessionization: sessions close after a 30-minute
+    * event-time silence (in-batch gaps close immediately; the open
+    * tail session closes via event-time timeout once the watermark
+    * passes). Twin of EventOps.sessionize. */
+  def sessionize(spark: SparkSession, events: DataFrame): Dataset[Session] = {
+    import spark.implicits._
+    events
+      .withWatermark("ts", "1 hour")
+      // keep the watermarked ts column itself — event-time timeout
+      // needs it visible to the stateful operator
+      .select(col("user_id"), col("ts"), col("value"))
+      .as[Ev]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[Ev], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(Session(user, s.start_ms, s.n, s.sum))
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts_ms)
+            val out = Seq.newBuilder[Session]
+            var cur = state.getOption
+            for (e <- sorted) {
+              cur match {
+                case Some(s) if e.ts_ms - s.last_ms <= GapMs =>
+                  cur = Some(SessionState(s.start_ms, e.ts_ms, s.n + 1, s.sum + e.value))
+                case Some(s) =>
+                  out += Session(user, s.start_ms, s.n, s.sum)
+                  cur = Some(SessionState(e.ts_ms, e.ts_ms, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(e.ts_ms, e.ts_ms, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.last_ms + GapMs)
+            }
+            out.result().iterator
+          }
+      }
+  }
+
+  /** Streaming as-of enrichment: each click carries the latest
+    * purchase value seen so far for that user (processing order within
+    * a user is event-time sorted per micro-batch). Stateful twin of
+    * EventOps.asofJoin for the streaming regime. */
+  final case class Tagged(user_id: Long, ts_ms: Long, is_purchase: Boolean,
+      value: Double, event_id: Long)
+  final case class Enriched(event_id: Long, user_id: Long,
+      last_purchase_value: Option[Double])
+
+  def asofEnrich(spark: SparkSession, events: DataFrame): Dataset[Enriched] = {
+    import spark.implicits._
+    events
+      .filter(col("event_type").isin("purchase", "click"))
+      .withWatermark("ts", "1 hour")
+      .select(col("user_id"), unix_millis(col("ts")).as("ts_ms"),
+        (col("event_type") === "purchase").as("is_purchase"),
+        col("value"), col("event_id"))
+      .as[Tagged]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Double, Enriched](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[Tagged], state: GroupState[Double]) =>
+          val sorted = rows.toSeq.sortBy(t => (t.ts_ms, !t.is_purchase))
+          val out = Seq.newBuilder[Enriched]
+          var last = state.getOption
+          for (t <- sorted) {
+            if (t.is_purchase) last = Some(t.value)
+            else out += Enriched(t.event_id, user, last)
+          }
+          last.foreach(state.update)
+          out.result().iterator
+      }
+  }
+}

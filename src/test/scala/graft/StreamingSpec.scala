@@ -1,0 +1,64 @@
+package graft
+
+import graft.operators.EventOps
+import graft.streaming.StreamOps
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Streaming twins must agree with their batch counterparts when the
+  * whole table is replayed as one stream. */
+class StreamingSpec extends AnyFunSuite {
+  import TestSession._
+
+  test("streaming window agg matches batch on full replay") {
+    val events = StreamOps.readEvents(spark, sf)
+    val q = StreamOps.windowAgg(events).writeStream
+      .outputMode("complete").format("memory").queryName("winagg").start()
+    try {
+      q.processAllAvailable()
+      val stream = spark.table("winagg")
+        .selectExpr("hour_ts", "event_type", "n").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      val batch = EventOps.windowAgg(spark, sf)
+        .selectExpr("hour_ts", "event_type", "n").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      assert(stream == batch)
+    } finally q.stop()
+  }
+
+  test("streaming sessionization emits exactly the closed sessions") {
+    val events = StreamOps.readEvents(spark, sf)
+    val q = StreamOps.sessionize(spark, events).writeStream
+      .outputMode("append").format("memory").queryName("sessions").start()
+    try {
+      q.processAllAvailable()
+      val emitted = spark.table("sessions")
+        .selectExpr("user_id", "session_start_ms", "n_events").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val batch = EventOps.sessionize(spark, sf)
+        .selectExpr("user_id", "session_start_ms", "n_events").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      // one un-timed-out open session may remain in state per user
+      assert(emitted.subsetOf(batch))
+      val nUsers = Engine.table(spark, sf, "events")
+        .select("user_id").distinct().count()
+      assert(emitted.size >= batch.size - nUsers)
+      assert(emitted.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("streaming as-of enrichment matches batch as-of join") {
+    val events = StreamOps.readEvents(spark, sf)
+    val q = StreamOps.asofEnrich(spark, events).writeStream
+      .outputMode("append").format("memory").queryName("enriched").start()
+    try {
+      q.processAllAvailable()
+      val stream = spark.table("enriched")
+        .selectExpr("event_id", "last_purchase_value").collect()
+        .map(r => (r.getLong(0), Option(r.get(1)))).toMap
+      val batch = EventOps.asofJoin(spark, sf)
+        .selectExpr("event_id", "last_purchase_value").collect()
+        .map(r => (r.getLong(0), Option(r.get(1)))).toMap
+      assert(stream == batch)
+    } finally q.stop()
+  }
+}
