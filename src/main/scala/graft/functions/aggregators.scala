@@ -1,0 +1,73 @@
+package graft.functions
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Custom typed aggregators for the dedup operators. One buffer per
+  * group instead of 64 independent aggregate columns — a single
+  * partial-aggregating shuffle with an Array[Long] payload (the
+  * standard sketch-aggregation shape; ~10× less agg-buffer bookkeeping
+  * than 64 separate min() columns).
+  */
+object Hashing {
+  /** splitmix64 finalizer — cheap, well-mixed 64-bit permutation
+    * family h_j(x) = mix(x + GOLDEN * j). JVM arithmetic wraps (this
+    * is Scala code, not a Catalyst expression — ANSI overflow checks
+    * don't apply). */
+  final val Golden = 0x9e3779b97f4a7c15L
+  @inline def mix(z0: Long): Long = {
+    var z = z0
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+}
+
+/** MinHash signature: element j = min over inputs of mix(h + j*GOLDEN). */
+class MinHashSigAgg(numPerm: Int) extends Aggregator[Long, Array[Long], Array[Long]] {
+  def zero: Array[Long] = Array.fill(numPerm)(Long.MaxValue)
+  def reduce(b: Array[Long], h: Long): Array[Long] = {
+    var j = 0
+    while (j < numPerm) {
+      val v = Hashing.mix(h + j * Hashing.Golden)
+      if (v < b(j)) b(j) = v
+      j += 1
+    }
+    b
+  }
+  def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    var j = 0
+    while (j < numPerm) { if (b(j) < a(j)) a(j) = b(j); j += 1 }
+    a
+  }
+  def finish(b: Array[Long]): Array[Long] = b
+  def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+  def outputEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+}
+
+/** SimHash: per-bit ±1 votes over token hashes → 64-bit sign vector. */
+object SimHashAgg extends Aggregator[Long, Array[Int], Long] {
+  def zero: Array[Int] = new Array[Int](64)
+  def reduce(b: Array[Int], h: Long): Array[Int] = {
+    var j = 0
+    while (j < 64) {
+      if (((h >>> j) & 1L) == 1L) b(j) += 1 else b(j) -= 1
+      j += 1
+    }
+    b
+  }
+  def merge(a: Array[Int], b: Array[Int]): Array[Int] = {
+    var j = 0
+    while (j < 64) { a(j) += b(j); j += 1 }
+    a
+  }
+  def finish(b: Array[Int]): Long = {
+    var out = 0L
+    var j = 0
+    while (j < 64) { if (b(j) > 0) out |= (1L << j); j += 1 }
+    out
+  }
+  def bufferEncoder: Encoder[Array[Int]] = ExpressionEncoder[Array[Int]]()
+  def outputEncoder: Encoder[Long] = Encoders.scalaLong
+}

@@ -35,17 +35,25 @@ object DedupOps {
       COUNT(*) AS n_copies
     FROM documents GROUP BY md5(text)"""
 
-  /** Distinct word-3-gram shingles per document. */
-  private def shingles(sp: SparkSession, dir: String): DataFrame = {
+  /** Word-3-gram shingles per document (with duplicates). Hash-
+    * repartition by doc_id BEFORE the explode: the shingling work runs
+    * parallel even when the scan has fewer splits than cores, and the
+    * downstream per-doc aggregation inherits the partitioning — one
+    * sketch buffer per doc, no partial-agg fan-out of Array buffers. */
+  private def shinglesRaw(sp: SparkSession, dir: String): DataFrame = {
     val words = split(col("text"), " ")
     Engine.table(sp, dir, "documents")
+      .repartition(sp.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"), words.as("ws"))
       .select(col("doc_id"),
         explode(transform(
           sequence(lit(1), greatest(size(col("ws")) - 2, lit(1))),
           i => concat_ws(" ", slice(col("ws"), i, lit(3))))).as("shingle"))
-      .distinct()
   }
+
+  /** Distinct string shingles (the exact-Jaccard/oracle path). */
+  private def shingles(sp: SparkSession, dir: String): DataFrame =
+    shinglesRaw(sp, dir).distinct()
 
   /** Exact n-gram Jaccard near-dup pairs (threshold 0.5) via inverted
     * index: shingle self-join → intersection counts → |A∪B| from per-doc
@@ -88,44 +96,56 @@ object DedupOps {
     WHERE CAST(c AS DOUBLE) / (sa.n_sh + sb.n_sh - c) >= 0.5"""
 
   // MinHash parameters: 64 permutations in 16 bands of 4 rows →
-  // catches Jaccard ≳ 0.5 with high probability. The permutation
-  // family is seed-keyed xxhash64(shingle, j) — independent hashes
-  // with no 64-bit multiply (ANSI mode would reject the overflow).
+  // catches Jaccard ≳ 0.5 with high probability. The whole signature
+  // is built by one custom Aggregator (single Array[Long] buffer per
+  // doc — one partial-aggregating shuffle, not 64 agg columns).
   private val NumPerm = 64
   private val BandRows = 4
   private val NumBands = NumPerm / BandRows
-
-  /** MinHash signatures: one row per doc with NumPerm min-hash cols. */
-  private def minhashSigs(sh: DataFrame): DataFrame = {
-    val aggs = (0 until NumPerm).map { j =>
-      min(xxhash64(col("shingle"), lit(j))).as(s"s_$j")
-    }
-    sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
-  }
+  private val minhashSig = udaf(new graft.functions.MinHashSigAgg(NumPerm))
 
   /** MinHash + LSH near-dup pairs, verified with exact Jaccard ≥ 0.5.
     * A banding self-join keeps candidate generation bucket-local — the
-    * all-pairs product never materializes. */
+    * all-pairs product never materializes. Shingles are hashed to
+    * 64-bit longs up front: every downstream shuffle/join carries 8
+    * bytes instead of a ~20-char string (collisions are ~2^-64·n²,
+    * irrelevant next to LSH's own approximation). */
   def minhashLsh(sp: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(sp, dir).cache()
-    val sigs = minhashSigs(sh)
-    val bandStructs = (0 until NumBands).map { b =>
-      struct(lit(b).as("band"),
-        xxhash64((b * BandRows until (b + 1) * BandRows).map(j => col(s"s_$j")): _*).as("sig"))
-    }
+    // keep the one-object-buffer-per-group aggregation path for the
+    // signature udaf (default fallback threshold of 128 groups would
+    // switch it to sort-based aggregation)
+    sp.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1000000")
+    // min() is duplicate-insensitive → no distinct before the agg;
+    // one shuffle (by doc_id) builds every signature
+    val shRaw = shinglesRaw(sp, dir)
+      .select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
+      .cache() // reused by signature agg + candidate verification
+    val sigs = shRaw.groupBy(col("doc_id"))
+      .agg(minhashSig(col("shingle")).as("sig"))
     val bands = sigs.select(col("doc_id"),
-      explode(array(bandStructs: _*)).as("bs"))
-      .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+      explode(array((0 until NumBands).map { b =>
+        struct(lit(b).as("band"),
+          xxhash64(slice(col("sig"), b * BandRows + 1, BandRows)).as("bh"))
+      }: _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.bh").as("bh"))
     val cands = bands.as("l").join(bands.as("r"),
-        col("l.band") === col("r.band") && col("l.sig") === col("r.sig") &&
+        col("l.band") === col("r.band") && col("l.bh") === col("r.bh") &&
           col("l.doc_id") < col("r.doc_id"))
       .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
       .distinct()
-    // verify candidates with exact Jaccard
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val inter = cands
-      .join(sh.as("xa"), col("xa.doc_id") === col("doc_a"))
-      .join(sh.as("xb"),
+    // exact-Jaccard verification touches only candidate docs: semi-join
+    // the raw shingles down to that (tiny) set first, then dedup
+    val candIds = cands
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .distinct()
+    val shCand = shRaw
+      .join(broadcast(candIds), "doc_id", "left_semi")
+      .distinct()
+      .cache()
+    val sizes = shCand.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val inter = broadcast(cands)
+      .join(shCand.as("xa"), col("xa.doc_id") === col("doc_a"))
+      .join(shCand.as("xb"),
         col("xb.doc_id") === col("doc_b") && col("xa.shingle") === col("xb.shingle"))
       .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("c"))
     inter
@@ -138,22 +158,18 @@ object DedupOps {
   }
 
   /** 64-bit SimHash per document + near-dup pairs at Hamming ≤ 8,
-    * candidates from 4×16-bit band buckets. */
+    * candidates from 4×16-bit band buckets. The sign-vote vector is a
+    * single custom Aggregator buffer (Array[Int](64)), not 64 sum()
+    * columns. */
   def simhashPairs(sp: SparkSession, dir: String): DataFrame = {
+    sp.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1000000")
+    val simhashAgg = udaf(graft.functions.SimHashAgg)
     val tokens = Engine.table(sp, dir, "documents")
+      .repartition(sp.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .withColumn("h", xxhash64(col("tok")))
-    // per-bit signed vote: +1 if bit set else -1, summed over tokens
-    val bitAggs = (0 until 64).map { b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v_$b")
-    }
-    val votes = tokens.groupBy(col("doc_id")).agg(bitAggs.head, bitAggs.tail: _*)
-    // OR distinct bit positions together (addition could overflow the
-    // sign bit under ANSI mode; OR is exact for disjoint bits).
-    val sim = (0 until 64).map { b =>
-      when(col(s"v_$b") > 0, lit(1L << b)).otherwise(0L)
-    }.reduce((a, b) => a.bitwiseOR(b))
-    val sigs = votes.select(col("doc_id"), sim.as("simhash"))
+    val sigs = tokens.groupBy(col("doc_id"))
+      .agg(simhashAgg(col("h")).as("simhash"))
     val bands = sigs.select(col("doc_id"), col("simhash"),
       explode(array((0 until 4).map { b =>
         struct(lit(b).as("band"),
