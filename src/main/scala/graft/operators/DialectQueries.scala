@@ -79,6 +79,13 @@ object DialectQueries {
     HAVING COUNT(*) > 10
     ORDER BY bucket;"""
 
+  /** Correlated scalar subquery — decorrelated by our planner via
+    * grouping-lift (quantities are integral → engine-exact doubles). */
+  val correlatedText: String = """
+    SELECT l_orderkey, l_linenumber FROM lineitem AS l1
+    WHERE l_quantity > 1.5 * (SELECT AVG(l2.l_quantity) FROM lineitem AS l2
+                              WHERE l2.l_partkey = l1.l_partkey);"""
+
   private def sqlDsum(expr: String): String =
     s"CAST(SUM(CAST(($expr) AS DECIMAL(18,6))) AS DOUBLE)"
 
@@ -88,7 +95,8 @@ object DialectQueries {
     "dialect_q6" -> ((s, d) => run(s, d, q6Text)),
     "dialect_q12" -> ((s, d) => run(s, d, q12Text)),
     "dialect_q14" -> ((s, d) => run(s, d, q14Text)),
-    "dialect_groupby_alias" -> ((s, d) => run(s, d, bucketText)))
+    "dialect_groupby_alias" -> ((s, d) => run(s, d, bucketText)),
+    "dialect_correlated" -> ((s, d) => run(s, d, correlatedText)))
 
   val oracles: Map[String, String] = Map(
     "dialect_q1" -> s"""
@@ -143,5 +151,9 @@ object DialectQueries {
       FROM lineitem
       WHERE l_quantity < (SELECT AVG(l_quantity) FROM lineitem)
       GROUP BY l_orderkey % 7
-      HAVING COUNT(*) > 10""")
+      HAVING COUNT(*) > 10""",
+    "dialect_correlated" -> """
+      SELECT l_orderkey, l_linenumber FROM lineitem l1
+      WHERE l_quantity > 1.5 * (SELECT AVG(l2.l_quantity) FROM lineitem l2
+                                WHERE l2.l_partkey = l1.l_partkey)""")
 }

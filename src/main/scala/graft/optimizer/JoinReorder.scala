@@ -1,0 +1,217 @@
+package graft.optimizer
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.expressions.{And, Expression, PredicateHelper}
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical.{Join, JoinHint, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+
+/** Join-order optimization re-expressing the reference's research core
+  * (ref /root/reference/src/IR/PlanEnumerator.cpp — DPsize at :69, GOO
+  * at :684; cost model CostFunctionCout, include/mutable/catalog/
+  * CostFunctionCout.hpp:10-14: C_out = Σ intermediate cardinalities).
+  *
+  * The rule extracts a flat inner-equi-join graph from a Catalyst plan,
+  * enumerates orders with DPsize (exact DP over connected subsets, used
+  * up to [[JoinGraph.DpLimit]] relations) or GOO (greedy operator
+  * ordering beyond that), and rebuilds the join tree. Cardinalities
+  * come from Catalyst's logical statistics (sizeInBytes; rowCount when
+  * CBO stats exist) with the classic |L⋈R| = |L|·|R| / max(|L|,|R|)
+  * equi-join estimate.
+  *
+  * Injected via [[GraftExtensions]] (SparkSessionExtensions) — opt-in,
+  * the shape the reference gives its pluggable PlanEnumerator catalog
+  * components (Catalog.hpp:440-490).
+  */
+object JoinReorder {
+
+  /** One relation (leaf) in the join graph. */
+  final case class Rel(plan: LogicalPlan, card: Double, idx: Int)
+
+  /** Extracted join graph: relations + equi-join edges + residual
+    * conditions that reference >2 relations. */
+  final case class JoinGraph(rels: Vector[Rel],
+      edges: Seq[(Int, Int, Expression)], residual: Seq[Expression])
+
+  object JoinGraph {
+    val DpLimit = 12
+
+    /** Cardinality of a subset join (C_out building block). */
+    def joinCard(cardA: Double, cardB: Double): Double =
+      (cardA * cardB) / math.max(1.0, math.max(cardA, cardB))
+  }
+
+  /** A plan enumerator maps a join graph to a join order: a binary
+    * tree over relation indices. Mirrors the reference's pluggable
+    * `PlanEnumerator` interface. */
+  sealed trait JoinTree { def card: Double; def cost: Double; def set: Set[Int] }
+  final case class Leaf(r: Rel) extends JoinTree {
+    def card: Double = r.card; def cost: Double = 0.0; def set = Set(r.idx)
+  }
+  final case class Node(l: JoinTree, r: JoinTree, card: Double) extends JoinTree {
+    def cost: Double = l.cost + r.cost + card // C_out
+    def set: Set[Int] = l.set ++ r.set
+  }
+
+  trait PlanEnumerator {
+    def name: String
+    def enumerate(g: JoinGraph): JoinTree
+  }
+
+  private def connected(g: JoinGraph, a: Set[Int], b: Set[Int]): Boolean =
+    g.edges.exists { case (x, y, _) =>
+      (a.contains(x) && b.contains(y)) || (a.contains(y) && b.contains(x))
+    }
+
+  private def joinedCard(g: JoinGraph, l: JoinTree, r: JoinTree): Double =
+    if (connected(g, l.set, r.set)) JoinGraph.joinCard(l.card, r.card)
+    else l.card * r.card // cross product — heavily penalized by C_out
+
+  /** DPsize (ref PlanEnumerator.cpp:69): dynamic programming over
+    * subset sizes; exact w.r.t. the cost model. Exponential — used up
+    * to DpLimit relations. */
+  object DPsize extends PlanEnumerator {
+    val name = "DPsize"
+    def enumerate(g: JoinGraph): JoinTree = {
+      val n = g.rels.length
+      val best = collection.mutable.Map.empty[Set[Int], JoinTree]
+      g.rels.foreach(r => best(Set(r.idx)) = Leaf(r))
+      for (size <- 2 to n) {
+        val subsets = (0 until n).combinations(size).map(_.toSet)
+        for (s <- subsets) {
+          var bestTree: JoinTree = null
+          // split into (left, right): iterate proper non-empty subsets
+          val members = s.toVector
+          val limit = 1 << members.length
+          var mask = 1
+          while (mask < limit - 1) {
+            val left = members.indices.collect {
+              case i if (mask & (1 << i)) != 0 => members(i)
+            }.toSet
+            val right = s -- left
+            // left always contains min(s): halves the enumeration,
+            // loses only the mirror tree (same cost under C_out)
+            if (left.contains(s.min)) {
+              (best.get(left), best.get(right)) match {
+                case (Some(lt), Some(rt)) =>
+                  val card = joinedCard(g, lt, rt)
+                  val cand = Node(lt, rt, card)
+                  if (bestTree == null || cand.cost < bestTree.cost)
+                    bestTree = cand
+                case _ => ()
+              }
+            }
+            mask += 1
+          }
+          if (bestTree != null) best(s) = bestTree
+        }
+      }
+      best((0 until n).toSet)
+    }
+  }
+
+  /** GOO — greedy operator ordering (ref PlanEnumerator.cpp:684):
+    * repeatedly join the pair with the smallest result cardinality.
+    * O(n³), used beyond DpLimit. */
+  object GOO extends PlanEnumerator {
+    val name = "GOO"
+    def enumerate(g: JoinGraph): JoinTree = {
+      var forest: Vector[JoinTree] = g.rels.map(Leaf(_): JoinTree)
+      while (forest.length > 1) {
+        var bi = 0; var bj = 1
+        var bestCard = Double.MaxValue
+        for (i <- forest.indices; j <- (i + 1) until forest.length) {
+          val c = joinedCard(g, forest(i), forest(j))
+          if (c < bestCard) { bestCard = c; bi = i; bj = j }
+        }
+        val merged = Node(forest(bi), forest(bj), bestCard)
+        forest = forest.zipWithIndex
+          .collect { case (t, k) if k != bi && k != bj => t } :+ merged
+      }
+      forest.head
+    }
+  }
+
+  /** Pick the enumerator like the reference's default policy: exact DP
+    * while affordable, greedy beyond. */
+  def enumerate(g: JoinGraph): JoinTree =
+    if (g.rels.length <= JoinGraph.DpLimit) DPsize.enumerate(g)
+    else GOO.enumerate(g)
+}
+
+/** The Catalyst rule: flatten inner-join trees, reorder via the
+  * enumerators, rebuild (with a Project to restore output order). */
+object JoinReorderRule extends Rule[LogicalPlan] with PredicateHelper {
+  import JoinReorder._
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
+    case j @ Join(_, _, Inner, _, _) =>
+      val (leaves, conds) = flatten(j)
+      if (leaves.length < 3) j
+      else {
+        val rels = leaves.zipWithIndex.map { case (p, i) =>
+          Rel(p, p.stats.sizeInBytes.toDouble.max(1.0), i)
+        }.toVector
+        val (edges, residual) = splitConds(rels, conds)
+        val graph = JoinGraph(rels, edges, residual)
+        val tree = enumerate(graph)
+        val rebuilt = build(tree, conds)
+        Project(j.output, rebuilt)
+      }
+  }
+
+  /** Collect the leaves + conjunctive conditions of a maximal inner
+    * join subtree. */
+  private def flatten(plan: LogicalPlan): (Seq[LogicalPlan], Seq[Expression]) =
+    plan match {
+      case Join(l, r, Inner, cond, _) =>
+        val (ll, lc) = flatten(l)
+        val (rl, rc) = flatten(r)
+        (ll ++ rl, lc ++ rc ++ cond.toSeq.flatMap(splitConjunctivePredicates))
+      case other => (Seq(other), Nil)
+    }
+
+  private def splitConds(rels: Vector[Rel], conds: Seq[Expression])
+      : (Seq[(Int, Int, Expression)], Seq[Expression]) = {
+    def owners(e: Expression): Set[Int] = {
+      val refs = e.references.toSeq
+      rels.collect {
+        case r if refs.exists(a => r.plan.outputSet.contains(a)) => r.idx
+      }.toSet
+    }
+    val edges = Seq.newBuilder[(Int, Int, Expression)]
+    val residual = Seq.newBuilder[Expression]
+    conds.foreach { c =>
+      owners(c).toSeq.sorted match {
+        case Seq(a, b) => edges += ((a, b, c))
+        case _ => residual += c
+      }
+    }
+    (edges.result(), residual.result())
+  }
+
+  /** Rebuild the join tree, attaching every condition at the lowest
+    * node where all its references are in scope. */
+  private def build(tree: JoinTree, conds: Seq[Expression]): LogicalPlan = {
+    val remaining = collection.mutable.Set[Expression](conds: _*)
+    def rec(t: JoinTree): LogicalPlan = t match {
+      case Leaf(r) => r.plan
+      case Node(l, r, _) =>
+        val lp = rec(l); val rp = rec(r)
+        val scope = lp.outputSet ++ rp.outputSet
+        val applicable = remaining.filter(_.references.subsetOf(scope)).toSeq
+        applicable.foreach(remaining -= _)
+        val cond = applicable.reduceOption(And)
+        Join(lp, rp, Inner, cond, JoinHint.NONE)
+    }
+    rec(tree)
+  }
+}
+
+/** SparkSessionExtensions entry point:
+  * `SparkSession.builder().withExtensions(new GraftExtensions)` or
+  * `--conf spark.sql.extensions=graft.optimizer.GraftExtensions`. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  def apply(e: SparkSessionExtensions): Unit =
+    e.injectOptimizerRule(_ => JoinReorderRule)
+}

@@ -64,9 +64,9 @@ final class Planner(spark: SparkSession, lookup: String => Option[CatalogTable])
 
   // ------------------------------------------------------------ planning
 
-  def plan(stmt: SelectStmt): DataFrame = {
+  def plan(stmt0: SelectStmt): DataFrame = {
     // FROM: alias each source, cross-join; WHERE recovers the joins.
-    val sources: Seq[(Source, DataFrame)] = stmt.from.map {
+    val sources: Seq[(Source, DataFrame)] = stmt0.from.map {
       case FromTable(name, alias) =>
         val ct = lookup(name).getOrElse(
           throw new SemaError(s"unknown table '$name'"))
@@ -78,10 +78,31 @@ final class Planner(spark: SparkSession, lookup: String => Option[CatalogTable])
           f.name -> MTypes.fromSpark(f.dataType))
         (Source(fq.aliasName, fields), df.alias(fq.aliasName))
     }
-    val scope = new Scope(sources.map(_._1))
-    val fromDf: DataFrame =
+    var scope = new Scope(sources.map(_._1))
+    var fromDf: DataFrame =
       if (sources.isEmpty) spark.range(1).toDF("__dummy")
       else sources.map(_._2).reduceLeft(_ crossJoin _)
+
+    // Decorrelate correlated scalar subqueries by grouping-lift (ref
+    // QueryGraph.cpp:30-340): group the inner query by its correlated
+    // keys and left-join it into the outer FROM; the subquery
+    // expression becomes a column reference. Like the reference (and
+    // unlike standard SQL), an empty correlated group yields NULL.
+    val stmt = {
+      var st = stmt0
+      def rw(e: Expr): Expr = transformExpr(e) {
+        case q @ QueryExpr(sub) if isCorrelated(sub, scope) =>
+          val (joined, newScope, ref) = decorrelate(sub, scope, fromDf)
+          fromDf = joined; scope = newScope
+          ref
+      }
+      st.copy(
+        items = st.items.map(i => i.copy(expr = rw(i.expr))),
+        where = st.where.map(rw),
+        groupBy = st.groupBy.map(k => k.copy(expr = rw(k.expr))),
+        having = st.having.map(rw),
+        orderBy = st.orderBy.map(o => o.copy(expr = rw(o.expr))))
+    }
 
     // WHERE (no aggregates allowed here — ref Sema stage machine)
     val filtered = stmt.where match {
@@ -248,6 +269,126 @@ final class Planner(spark: SparkSession, lookup: String => Option[CatalogTable])
       case None => grouped
     }
     (withHaving, gscope)
+  }
+
+  // ------------------------------------------------- decorrelation
+
+  private var sqCounter = 0
+
+  /** Bottom-up expression transform. */
+  private def transformExpr(e: Expr)(f: PartialFunction[Expr, Expr]): Expr = {
+    val rec = (x: Expr) => transformExpr(x)(f)
+    val mapped = e match {
+      case Unary(op, x) => Unary(op, rec(x))
+      case Binary(op, l, r) => Binary(op, rec(l), rec(r))
+      case Like(l, p, n) => Like(rec(l), rec(p), n)
+      case FnCall(n, args, s) => FnCall(n, args.map(rec), s)
+      case other => other
+    }
+    f.applyOrElse(mapped, identity[Expr])
+  }
+
+  private def collectIds(e: Expr): Seq[Id] = e match {
+    case i: Id => Seq(i)
+    case Unary(_, x) => collectIds(x)
+    case Binary(_, l, r) => collectIds(l) ++ collectIds(r)
+    case Like(l, p, _) => collectIds(l) ++ collectIds(p)
+    case FnCall(_, args, _) => args.flatMap(collectIds)
+    case _ => Nil
+  }
+
+  private def innerScopeOf(sub: SelectStmt): Scope = new Scope(sub.from.map {
+    case FromTable(name, alias) =>
+      val ct = lookup(name).getOrElse(
+        throw new SemaError(s"unknown table '$name'"))
+      Source(alias.getOrElse(name), ct.fields)
+    case fq: FromQuery =>
+      // conservatively treat nested-query sources as opaque here
+      Source(fq.aliasName, Nil)
+  })
+
+  private def resolvesIn(id: Id, s: Scope): Boolean =
+    try { s.resolve(id.table, id.name); true }
+    catch { case _: SemaError => false }
+
+  /** A subquery is correlated iff some identifier resolves only in the
+    * outer scope. */
+  private def isCorrelated(sub: SelectStmt, outer: Scope): Boolean = {
+    val inner = innerScopeOf(sub)
+    val ids = (sub.items.map(_.expr) ++ sub.where ++
+      sub.groupBy.map(_.expr) ++ sub.having ++ sub.orderBy.map(_.expr))
+      .flatMap(collectIds)
+    ids.exists(id => !resolvesIn(id, inner) && resolvesIn(id, outer))
+  }
+
+  /** Grouping-lift decorrelation: split the subquery's WHERE into
+    * inner-only conjuncts and correlated equi-predicates
+    * `innerExpr = outerExpr`; group the inner query by its correlated
+    * keys; left-join on those keys. Returns the widened FROM plan, the
+    * widened scope, and the replacement column reference. */
+  private def decorrelate(sub: SelectStmt, outer: Scope, fromDf: DataFrame)
+      : (DataFrame, Scope, Expr) = {
+    if (sub.items.length != 1 || !containsAggregate(sub.items.head.expr))
+      throw new SemaError(
+        "correlated subquery must select exactly one aggregate expression")
+    if (sub.groupBy.nonEmpty || sub.having.nonEmpty || sub.orderBy.nonEmpty)
+      throw new SemaError(
+        "correlated subquery with GROUP BY/HAVING/ORDER BY is not supported")
+    val inner = innerScopeOf(sub)
+    def sideIsInner(e: Expr): Boolean =
+      collectIds(e).forall(resolvesIn(_, inner))
+    def sideIsOuter(e: Expr): Boolean = {
+      val ids = collectIds(e)
+      ids.nonEmpty && ids.forall(id =>
+        !resolvesIn(id, inner) && resolvesIn(id, outer))
+    }
+    val conjuncts = sub.where.toSeq.flatMap(splitAnd)
+    val (innerOnly, correlated) = {
+      val io = Seq.newBuilder[Expr]
+      val co = Seq.newBuilder[(Expr, Expr)] // (innerKey, outerKey)
+      conjuncts.foreach {
+        case c if sideIsInner(c) => io += c
+        case Binary("=", l, r) if sideIsInner(l) && sideIsOuter(r) => co += ((l, r))
+        case Binary("=", l, r) if sideIsOuter(l) && sideIsInner(r) => co += ((r, l))
+        case other => throw new SemaError(
+          s"unsupported correlated predicate: ${exprName(other)}")
+      }
+      (io.result(), co.result())
+    }
+    if (correlated.isEmpty)
+      throw new SemaError("internal: subquery is not correlated")
+
+    sqCounter += 1
+    val alias = s"__sq$sqCounter"
+    val valName = "__sq_val"
+    val keyNames = correlated.indices.map(i => s"__sq_k$i")
+    // rebuild the inner query: SELECT agg AS __sq_val, k_i… GROUP BY k_i…
+    val lifted = SelectStmt(
+      items = SelectItem(sub.items.head.expr, Some(valName)) +:
+        correlated.zipWithIndex.map { case ((k, _), i) =>
+          SelectItem(k, Some(keyNames(i)))
+        },
+      from = sub.from,
+      where = innerOnly.reduceOption((a, b) => Binary("AND", a, b)),
+      groupBy = correlated.zipWithIndex.map { case ((k, _), i) =>
+        GroupKey(k, Some(keyNames(i)))
+      },
+      having = None, orderBy = Nil, limit = None, offset = None)
+    val subDf = plan(lifted).alias(alias)
+
+    val joinCond = correlated.zipWithIndex.map { case ((_, outerKey), i) =>
+      val ok = resolveScalar(outerKey, outer, allowAgg = false)
+      ok.col === col(s"$alias.${keyNames(i)}")
+    }.reduce(_ && _)
+    val joined = fromDf.join(subDf, joinCond, "left_outer")
+    val widened = new Scope(outer.sources :+ Source(alias,
+      subDf.schema.fields.toSeq.map(f => f.name -> MTypes.fromSpark(f.dataType))))
+    (joined, widened, Id(Some(alias), valName))
+  }
+
+  private def splitAnd(e: Expr): Seq[Expr] = e match {
+    case Binary("AND", l, r) => splitAnd(l) ++ splitAnd(r)
+    case other => Seq(other)
   }
 
   // ----------------------------------------------------- expression build

@@ -160,6 +160,36 @@ class DialectSpec extends AnyFunSuite {
     intercept[graft.parser.LexError](Lexer.tokenize("SELECT `x`"))
   }
 
+  test("correlated scalar subquery decorrelates via grouping-lift") {
+    val s = freshSession()
+    // rows whose score exceeds their flag-group average
+    // flag=true: scores 1.5, 3.5, 5.5 avg 3.5 → key 5
+    // flag=false: scores 2.5, 4.5 avg 3.5 → key 4
+    assert(rows(s,
+      """SELECT key FROM R WHERE score > (SELECT AVG(r2.score) FROM R AS r2
+         WHERE r2.flag = R.flag) ORDER BY key;""").flatten == Seq(4, 5))
+  }
+
+  test("correlated subquery over lineitem matches spark.sql decorrelation") {
+    Engine.registerViews(spark, sf)
+    val viaDialect = operators.DialectQueries
+      .queries("dialect_correlated")(spark, sf)
+      .collect().map(_.toSeq.toString).sorted
+    val viaSpark = spark.sql(
+      """SELECT l_orderkey, l_linenumber FROM lineitem l1
+         WHERE l_quantity > 1.5 * (SELECT AVG(l2.l_quantity) FROM lineitem l2
+                                   WHERE l2.l_partkey = l1.l_partkey)""")
+      .collect().map(_.toSeq.toString).sorted
+    assert(viaDialect.toSeq == viaSpark.toSeq)
+  }
+
+  test("unsupported correlated shapes are rejected, not mis-planned") {
+    val s = freshSession()
+    intercept[SemaError](s.query(
+      """SELECT key FROM R WHERE score > (SELECT AVG(r2.score) FROM R AS r2
+         WHERE r2.value < R.value);"""))
+  }
+
   test("dialect q1 equals the DataFrame-API q1") {
     val dialect = operators.DialectQueries.queries("dialect_q1")(spark, sf)
       .select("l_returnflag", "l_linestatus", "sum_qty", "count_order")

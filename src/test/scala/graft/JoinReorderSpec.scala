@@ -1,0 +1,96 @@
+package graft
+
+import graft.optimizer.JoinReorder._
+import graft.optimizer.JoinReorderRule
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-enumerator tests mirroring the reference's
+  * unittest/IR/PlanEnumeratorTest.cpp (DP-vs-exhaustive equivalence,
+  * greedy sanity) plus the Catalyst rule end-to-end. */
+class JoinReorderSpec extends AnyFunSuite {
+  import TestSession._
+
+  /** Exhaustive optimal cost over all binary trees (test oracle). */
+  private def bruteForce(g: JoinGraph): Double = {
+    val memo = collection.mutable.Map.empty[Set[Int], (Double, Double)] // (cost, card)
+    def solve(s: Set[Int]): (Double, Double) = memo.getOrElseUpdate(s, {
+      if (s.size == 1) (0.0, g.rels(s.head).card)
+      else {
+        var best = (Double.MaxValue, 0.0)
+        val members = s.toVector
+        for (mask <- 1 until (1 << members.length) - 1) {
+          val left = members.indices.collect {
+            case i if (mask & (1 << i)) != 0 => members(i)
+          }.toSet
+          val right = s -- left
+          val (lc, lcard) = solve(left)
+          val (rc, rcard) = solve(right)
+          val connected = g.edges.exists { case (x, y, _) =>
+            (left(x) && right(y)) || (left(y) && right(x))
+          }
+          val card = if (connected)
+            JoinGraph.joinCard(lcard, rcard) else lcard * rcard
+          val cost = lc + rc + card
+          if (cost < best._1) best = (cost, card)
+        }
+        best
+      }
+    })
+    solve((0 until g.rels.length).toSet)._1
+  }
+
+  private def randomGraph(n: Int, seed: Int, shape: String): JoinGraph = {
+    val rnd = new scala.util.Random(seed)
+    val rels = (0 until n).map(i =>
+      Rel(null, math.pow(10, 2 + rnd.nextInt(4)) * (1 + rnd.nextDouble()), i)).toVector
+    val edges = shape match {
+      case "chain" => (0 until n - 1).map(i => (i, i + 1, null: org.apache.spark.sql.catalyst.expressions.Expression))
+      case "star" => (1 until n).map(i => (0, i, null: org.apache.spark.sql.catalyst.expressions.Expression))
+      case "clique" => for (i <- 0 until n; j <- i + 1 until n)
+        yield (i, j, null: org.apache.spark.sql.catalyst.expressions.Expression)
+    }
+    JoinGraph(rels, edges.toSeq, Nil)
+  }
+
+  for (shape <- Seq("chain", "star", "clique"); seed <- 1 to 3) {
+    test(s"DPsize is optimal on $shape graphs (seed $seed)") {
+      val g = randomGraph(6, seed, shape)
+      val dp = DPsize.enumerate(g)
+      assert(math.abs(dp.cost - bruteForce(g)) / bruteForce(g) < 1e-9)
+    }
+  }
+
+  for (shape <- Seq("chain", "star", "clique")) {
+    test(s"GOO is within 10x of optimal and never better on $shape") {
+      val g = randomGraph(7, 42, shape)
+      val dp = DPsize.enumerate(g)
+      val goo = GOO.enumerate(g)
+      assert(goo.cost >= dp.cost - 1e-6)
+      assert(goo.cost <= dp.cost * 10)
+      assert(goo.set == dp.set)
+    }
+  }
+
+  test("rule preserves results on the 5-way star join") {
+    val base = operators.Relational.join5Way(spark, sf)
+      .collect().map(_.toSeq.toString).sorted
+    // apply the rule through an experimental-methods injection
+    spark.experimental.extraOptimizations = Seq(JoinReorderRule)
+    try {
+      val reordered = operators.Relational.join5Way(spark, sf)
+        .collect().map(_.toSeq.toString).sorted
+      assert(reordered.toSeq == base.toSeq)
+    } finally spark.experimental.extraOptimizations = Nil
+  }
+
+  test("rule preserves results on dialect comma-joins (q3 shape)") {
+    val base = operators.DialectQueries.queries("dialect_q3")(spark, sf)
+      .collect().map(_.toSeq.toString).sorted
+    spark.experimental.extraOptimizations = Seq(JoinReorderRule)
+    try {
+      val reordered = operators.DialectQueries.queries("dialect_q3")(spark, sf)
+        .collect().map(_.toSeq.toString).sorted
+      assert(reordered.toSeq == base.toSeq)
+    } finally spark.experimental.extraOptimizations = Nil
+  }
+}
