@@ -122,6 +122,48 @@ object SimilarityOps {
         col("rank"), round(col("cosine"), 4).as("cosine_r"))
   }
 
+  /** IVF ANN: k-means coarse quantizer (MLlib, seeded) partitions the
+    * corpus into inverted lists; queries probe the nProbe nearest
+    * centroids and re-rank exactly inside those lists. The 100 TB
+    * path: train on a sample, assignment is one map pass, probing
+    * touches nProbe/k of the data. No SQL oracle (quantizer is
+    * iterative); recall vs brute force asserted in the spec. */
+  def annIvf(sp: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val k = 16
+    val nProbe = 4
+    val all = vecs(sp, dir).withColumn("fv", array_to_vector(col("v")))
+    val model = new KMeans().setK(k).setSeed(7).setMaxIter(5)
+      .setFeaturesCol("fv").setPredictionCol("list_id").fit(all)
+    val assigned = model.transform(all)
+      .select(col("vec_id"), col("v"), col("nrm"), col("list_id"))
+    // centroid table is tiny (k rows) → literal DataFrame, broadcast
+    val centroids = sp.createDataFrame(
+      model.clusterCenters.zipWithIndex.toSeq
+        .map { case (c, i) => (i, c.toArray) })
+      .toDF("cid", "centroid")
+    val q = vecs(sp, dir).filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val qProbes = q.crossJoin(broadcast(centroids))
+      .withColumn("cdist", aggregate(
+        zip_with(col("qv"), col("centroid"), (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, x) => acc + x))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("cdist"), col("cid"))))
+      .filter(col("crank") <= nProbe)
+      .select(col("query_id"), col("qv"), col("qn"), col("cid"))
+    val scored = qProbes.join(assigned,
+        col("list_id") === col("cid") && col("vec_id") =!= col("query_id"))
+      .withColumn("cosine", dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("rank"), round(col("cosine"), 4).as("cosine_r"))
+  }
+
   /** Embedding near-duplicate pairs: cosine ≥ 0.95, id-ordered. */
   def embeddingNearDup(sp: SparkSession, dir: String): DataFrame = {
     val a = vecs(sp, dir)
@@ -148,6 +190,7 @@ object SimilarityOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_knn_bruteforce" -> (knnBruteForce _),
     "sim_ann_lsh" -> (annLsh _),
+    "sim_ann_ivf" -> (annIvf _),
     "sim_embedding_neardup" -> (embeddingNearDup _))
 
   val oracles: Map[String, String] = Map(

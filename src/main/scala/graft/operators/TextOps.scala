@@ -125,14 +125,32 @@ object TextOps {
       .select(col("doc_id"),
         graft.functions.functions.rolling_min_hash(col("text"), 16).as("fp"))
 
+  /** Corpus token histogram: explode → hash-shuffle count → frequent
+    * tokens (the vocabulary-building shape; explode parallelized like
+    * the dedup shingles). */
+  def tokenHistogram(sp: SparkSession, dir: String): DataFrame =
+    Engine.table(sp, dir, "documents")
+      .repartition(sp.sparkContext.defaultParallelism)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 100)
+
+  val tokenHistogramOracle: String = """
+    SELECT token, COUNT(*) AS n
+    FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+    GROUP BY token HAVING COUNT(*) >= 100"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_token_stats" -> (tokenStats _),
     "text_quality_score" -> (qualityScore _),
     "text_lang_id" -> (langId _),
-    "text_fingerprint" -> (fingerprint _))
+    "text_fingerprint" -> (fingerprint _),
+    "text_token_histogram" -> (tokenHistogram _))
 
   val oracles: Map[String, String] = Map(
     "text_token_stats" -> tokenStatsOracle,
     "text_quality_score" -> qualityScoreOracle,
-    "text_lang_id" -> langIdOracle)
+    "text_lang_id" -> langIdOracle,
+    "text_token_histogram" -> tokenHistogramOracle)
 }

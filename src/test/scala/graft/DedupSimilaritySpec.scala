@@ -40,6 +40,17 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.2, s"ANN recall $recall too low (${ann.size} vs ${bf.size})")
   }
 
+  test("IVF-ANN recall vs brute-force top-5") {
+    val bf = SimilarityOps.knnBruteForce(spark, sf)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = SimilarityOps.annIvf(spark, sf)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (ivf & bf).size.toDouble / bf.size
+    assert(recall >= 0.3, s"IVF recall $recall too low (${ivf.size} vs ${bf.size})")
+  }
+
   test("exact dedup keeps one representative per distinct text") {
     val docs = Engine.table(spark, sf, "documents")
     val nDistinct = docs.select("text").distinct().count()

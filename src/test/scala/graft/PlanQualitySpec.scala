@@ -1,0 +1,60 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan assertions: the properties that matter at 100 TB —
+  * filters reaching the parquet scan, column pruning, broadcast for
+  * bounded dims, whole-stage codegen presence. Guard against
+  * regressions that correctness tests can't see. */
+class PlanQualitySpec extends AnyFunSuite {
+  import TestSession._
+
+  private def planOf(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.collect() // finalize this queryExecution's AQE plan
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q6 pushes its filters into the parquet scan") {
+    val plan = planOf("q6_forecast_revenue")
+    assert(plan.contains("PushedFilters:"))
+    assert(plan.contains("IsNotNull(l_shipdate)") || plan.contains("GreaterThan"),
+      s"expected shipdate pushdown in:\n$plan")
+  }
+
+  test("q6 prunes columns: scans only what it needs") {
+    val plan = planOf("q6_forecast_revenue")
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_extendedprice") && readSchema.contains("l_discount"))
+    assert(!readSchema.contains("l_orderkey") && !readSchema.contains("l_tax"),
+      s"over-wide scan: $readSchema")
+  }
+
+  test("5-way star broadcasts the bounded dims") {
+    val plan = planOf("join_5way_star")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"expected broadcast joins in:\n$plan")
+  }
+
+  test("q1 aggregation stays in whole-stage codegen") {
+    val plan = planOf("q1_pricing_summary")
+    // codegen'd operators carry the "*(n)" stage prefix in simple mode
+    assert(plan.contains("*("), s"no codegen stages in:\n$plan")
+    assert(plan.contains("HashAggregate"))
+  }
+
+  test("dialect comma-join lowers to a real equi-join, not a filtered cross product") {
+    val df = operators.DialectQueries.queries("dialect_q12")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"comma-join fell back to cartesian:\n$plan")
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"))
+  }
+
+  test("dialect filter pushdown reaches the scan through our planner") {
+    val df = operators.DialectQueries.queries("dialect_q6")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters:") && plan.contains("l_shipdate"),
+      s"dialect filters not pushed:\n$plan")
+  }
+}
