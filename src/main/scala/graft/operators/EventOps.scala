@@ -4,7 +4,6 @@ import graft.Engine
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
 
 /** Time-series operators over the `events` table: tumbling-window
   * aggregation, sessionization (gaps-and-islands) and as-of join.
@@ -21,7 +20,7 @@ import org.apache.spark.sql.types.DecimalType
   */
 object EventOps {
 
-  private val D = DecimalType(18, 6)
+  import Exact.dsum
 
   /** Tumbling 1-hour window aggregation keyed by event_type. */
   def windowAgg(sp: SparkSession, dir: String): DataFrame =
@@ -31,7 +30,7 @@ object EventOps {
         col("event_type"))
       .agg(
         count(lit(1)).as("n"),
-        sum(col("value").cast(D)).cast("double").as("total_value"))
+        dsum(col("value")).as("total_value"))
 
   val windowAggOracle: String = """
     SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_ts,
@@ -59,7 +58,7 @@ object EventOps {
       .agg(
         count(lit(1)).as("n_events"),
         unix_millis(min(col("ts"))).as("session_start_ms"),
-        sum(col("value").cast(D)).cast("double").as("session_value"))
+        dsum(col("value")).as("session_value"))
   }
 
   val sessionizeOracle: String = """

@@ -1,0 +1,40 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Order-independent exact summation of double expressions whose true
+  * values have ≤ 6 decimal digits (all monetary/quantity columns in
+  * the TPC-H-ish testdata: products of 2-decimal inputs).
+  *
+  * Two modes, identical results where both are defined:
+  *  - `long` (default): Σ rint(x·10⁶) as 64-bit integers, ÷10⁶ at the
+  *    end. Integer addition is exact and associative → bit-identical
+  *    doubles on any partitioning, and ~5× faster than decimal
+  *    aggregation (plain long sums in Tungsten). Bound: |Σx| < 9.2e12
+  *    per group — beyond that ANSI mode fails loudly with
+  *    ARITHMETIC_OVERFLOW rather than returning a wrong answer.
+  *  - `decimal` (GRAFT_EXACT_SUM=decimal): SUM(CAST(x AS
+  *    DECIMAL(18,6))) — slower, no practical bound; the scale-up path.
+  *
+  * rint (round-half-even to nearest integer) is safe because the true
+  * values are exactly representable at scale 6 — never at a rounding
+  * midpoint — so any nearest-rounding recovers the exact scaled
+  * integer on every engine (this is also why results match a DuckDB
+  * oracle that sums DECIMAL(18,6) casts).
+  */
+object Exact {
+  private val D = DecimalType(18, 6)
+  private val mode = sys.env.getOrElse("GRAFT_EXACT_SUM", "long")
+
+  /** Exact, order-independent sum of a double expression → double. */
+  def dsum(c: Column): Column =
+    if (mode == "decimal") sum(c.cast(D)).cast("double")
+    else sum(rint(c * 1e6).cast("long")) / 1e6
+
+  /** Matching DuckDB oracle fragment (always the decimal form — both
+    * modes produce exactly its values). */
+  def sqlDsum(expr: String): String =
+    s"CAST(SUM(CAST(($expr) AS DECIMAL(18,6))) AS DOUBLE)"
+}

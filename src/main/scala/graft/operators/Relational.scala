@@ -3,7 +3,6 @@ package graft.operators
 import graft.Engine
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
 
 /** Relational operator inventory (SURVEY.md §2.1/§2.3): scan, filter
   * (incl. disjunctive), n-ary joins (equi/theta/pk-fk/n2m), projection,
@@ -21,16 +20,10 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Relational {
 
-  private val D = DecimalType(18, 6)
-  /** Exact, order-independent sum of a double expression → double. */
-  private def dsum(c: Column): Column = sum(c.cast(D)).cast("double")
+  import Exact.{dsum, sqlDsum}
   private def ts(s: String): Column = lit(s).cast("timestamp")
   private def t(sp: SparkSession, dir: String, n: String): DataFrame =
     Engine.table(sp, dir, n)
-
-  // SQL fragment mirroring dsum for the DuckDB oracle.
-  private def sqlDsum(expr: String): String =
-    s"CAST(SUM(CAST(($expr) AS DECIMAL(18,6))) AS DOUBLE)"
 
   // ---------------------------------------------------------------- TPC-H
 

@@ -554,16 +554,16 @@ final class Planner(spark: SparkSession, lookup: String => Option[CatalogTable])
       case "SUM" => a.tpe match {
         case MInt(_) => Typed(sum(a.col).cast("long"), MInt(8))
         case MFloat(_) =>
-          Typed(sum(a.col.cast(DetDecimal)).cast("double"), MFloat(64))
+          Typed(graft.operators.Exact.dsum(a.col), MFloat(64))
         case MDecimal(_, s) =>
           Typed(sum(a.col).cast(DecimalType(19, s)), MDecimal(19, s))
         case t => throw new SemaError(s"SUM requires numeric, got $t")
       }
       case "AVG" => a.tpe match {
         case MFloat(_) =>
-          // exact decimal sum → double, THEN divide: double division is
-          // IEEE-identical everywhere, decimal division is not
-          Typed(sum(a.col.cast(DetDecimal)).cast("double") / count(a.col), MFloat(64))
+          // exact sum → double, THEN divide: double division is
+          // IEEE-identical everywhere
+          Typed(graft.operators.Exact.dsum(a.col) / count(a.col), MFloat(64))
         case t if a.tpe.isNumeric =>
           Typed(avg(a.col).cast("double"), MFloat(64))
         case t => throw new SemaError(s"AVG requires numeric, got $t")
