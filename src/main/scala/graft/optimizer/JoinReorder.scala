@@ -140,9 +140,26 @@ object JoinReorder {
 }
 
 /** The Catalyst rule: flatten inner-join trees, reorder via the
-  * enumerators, rebuild (with a Project to restore output order). */
+  * enumerators, rebuild (with a Project to restore output order).
+  *
+  * Cardinalities default to Catalyst's logical statistics; an
+  * injection map (ref InjectionCardinalityEstimator,
+  * CardinalityEstimator.hpp:227 — true/fabricated cardinalities for
+  * optimizer experiments) can override them per relation, keyed by the
+  * table name appearing in the leaf's scan. */
 object JoinReorderRule extends Rule[LogicalPlan] with PredicateHelper {
   import JoinReorder._
+
+  /** name → cardinality overrides (test/experiment injection). */
+  @volatile var injectedCards: Map[String, Double] = Map.empty
+
+  private def leafCard(p: LogicalPlan): Double = {
+    val injected = injectedCards.collectFirst {
+      case (name, card) if p.collectLeaves().exists(
+        _.toString.toLowerCase.contains(name.toLowerCase)) => card
+    }
+    injected.getOrElse(p.stats.sizeInBytes.toDouble.max(1.0))
+  }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
     case j @ Join(_, _, Inner, _, _) =>
@@ -150,7 +167,7 @@ object JoinReorderRule extends Rule[LogicalPlan] with PredicateHelper {
       if (leaves.length < 3) j
       else {
         val rels = leaves.zipWithIndex.map { case (p, i) =>
-          Rel(p, p.stats.sizeInBytes.toDouble.max(1.0), i)
+          Rel(p, leafCard(p), i)
         }.toVector
         val (edges, residual) = splitConds(rels, conds)
         val graph = JoinGraph(rels, edges, residual)

@@ -83,6 +83,24 @@ class JoinReorderSpec extends AnyFunSuite {
     } finally spark.experimental.extraOptimizations = Nil
   }
 
+  test("injected cardinalities steer the chosen order (and results hold)") {
+    // make lineitem "tiny" and region "huge": the enumerator must still
+    // produce correct results whatever order it picks
+    val base = operators.Relational.join5Way(spark, sf)
+      .collect().map(_.toSeq.toString).sorted
+    JoinReorderRule.injectedCards = Map(
+      "lineitem" -> 10.0, "region" -> 1e12, "nation" -> 1e11)
+    spark.experimental.extraOptimizations = Seq(JoinReorderRule)
+    try {
+      val reordered = operators.Relational.join5Way(spark, sf)
+        .collect().map(_.toSeq.toString).sorted
+      assert(reordered.toSeq == base.toSeq)
+    } finally {
+      spark.experimental.extraOptimizations = Nil
+      JoinReorderRule.injectedCards = Map.empty
+    }
+  }
+
   test("rule preserves results on dialect comma-joins (q3 shape)") {
     val base = operators.DialectQueries.queries("dialect_q3")(spark, sf)
       .collect().map(_.toSeq.toString).sorted

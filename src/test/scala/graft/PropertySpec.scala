@@ -1,0 +1,149 @@
+package graft
+
+import graft.analyzer.{MBool, MDecimal, MFloat, MInt, MType, MTypes}
+import graft.parser.Ast._
+import graft.parser.Parser
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property tests mirroring the reference's unit coverage of the type
+  * lattice (arithmetic_join, Type.cpp) and a printer/parser round-trip
+  * over the expression grammar. ScalaCheck generators driven by a
+  * seeded sampling loop (no scalatest-plus bridge in the offline
+  * dependency cache). */
+class PropertySpec extends AnyFunSuite {
+
+  private def forAll[T](g: Gen[T], n: Int = 200)(f: T => Unit): Unit = {
+    var seed = Seed(42L)
+    (1 to n).foreach { _ =>
+      f(g.pureApply(Gen.Parameters.default, seed))
+      seed = seed.next
+    }
+  }
+  private def forAll[A, B](ga: Gen[A], gb: Gen[B])(f: (A, B) => Unit): Unit =
+    forAll(Gen.zip(ga, gb))(t => f(t._1, t._2))
+
+  // ------------------------------------------------ arithmetic lattice
+
+  private val genNumeric: Gen[MType] = Gen.oneOf(
+    Gen.oneOf(1, 2, 4, 8).map(MInt(_)),
+    Gen.oneOf(32, 64).map(MFloat(_)),
+    for { p <- Gen.choose(1, 19); s <- Gen.choose(0, 6) } yield MDecimal(p, math.min(p, s)))
+
+  test("arithmetic_join is commutative over numerics") {
+    forAll(genNumeric, genNumeric) { (a: graft.analyzer.MType, b: graft.analyzer.MType) =>
+      assert(MTypes.arithmeticJoin(a, b) == MTypes.arithmeticJoin(b, a))
+    }
+  }
+
+  test("arithmetic_join is idempotent and closed over numerics") {
+    forAll(genNumeric) { (a: graft.analyzer.MType) =>
+      assert(MTypes.arithmeticJoin(a, a) == a)
+    }
+    forAll(genNumeric, genNumeric) { (a: graft.analyzer.MType, b: graft.analyzer.MType) =>
+      assert(MTypes.arithmeticJoin(a, b).isNumeric)
+    }
+  }
+
+  test("comparability is symmetric and rejects cross-category") {
+    forAll(genNumeric) { (a: graft.analyzer.MType) =>
+      assert(MTypes.comparable(a, MBool, equality = true) ==
+        MTypes.comparable(MBool, a, equality = true))
+      assert(!MTypes.comparable(a, MBool, equality = false))
+    }
+  }
+
+  // ------------------------------------------------ parser round-trip
+
+  private val genIdent: Gen[String] = for {
+    h <- Gen.alphaLowerChar
+    t <- Gen.listOfN(5, Gen.oneOf(Gen.alphaLowerChar, Gen.numChar))
+  } yield (h :: t).mkString
+
+  private def genExpr(depth: Int): Gen[Expr] =
+    if (depth == 0) Gen.oneOf(
+      genIdent.map(Id(None, _)),
+      Gen.zip(genIdent, genIdent).map { case (t, n) => Id(Some(t), n) },
+      Gen.choose(0L, 1000000L).map(IntLit(_)),
+      Gen.choose(0.001, 1e6).map(FloatLit(_)),
+      Gen.asciiPrintableStr.map(s => StrLit(s.take(12))),
+      Gen.oneOf(BoolLit(true), BoolLit(false), NullLit),
+      Gen.const(DateLit("1996-07-04")),
+      Gen.const(DateTimeLit("1996-07-04 12:30:00")))
+    else Gen.frequency(
+      3 -> genExpr(0),
+      2 -> (for {
+        op <- Gen.oneOf("+", "-", "*", "/", "%", "=", "!=", "<", "<=",
+          ">", ">=", "AND", "OR", "..")
+        l <- genExpr(depth - 1); r <- genExpr(depth - 1)
+      } yield Binary(op, l, r)),
+      1 -> (for {
+        op <- Gen.oneOf("+", "-", "~", "NOT")
+        x <- genExpr(depth - 1)
+      } yield Unary(op, x)),
+      1 -> (for {
+        l <- genExpr(depth - 1); p <- genExpr(depth - 1)
+      } yield Like(l, p, negated = false)),
+      1 -> (for {
+        n <- Gen.oneOf("sum", "avg", "min", "max", "foo")
+        a <- genExpr(depth - 1)
+      } yield FnCall(n, Seq(a))),
+      1 -> Gen.const(FnCall("count", Nil, star = true)))
+
+  /** Print an expression in dialect syntax (fully parenthesized). */
+  private def print(e: Expr): String = e match {
+    case Id(None, n) => n
+    case Id(Some(t), n) => s"$t.$n"
+    case IntLit(v) => v.toString
+    case FloatLit(v) => v.toString
+    case StrLit(v) =>
+      "\"" + v.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case '\n' => "\\n"
+        case '\t' => "\\t"
+        case c => c.toString
+      } + "\""
+    case BoolLit(v) => if (v) "TRUE" else "FALSE"
+    case NullLit => "NULL"
+    case DateLit(i) => s"d'$i'"
+    case DateTimeLit(i) => s"d'$i'"
+    case Unary(op, x) =>
+      if (op == "NOT") s"(NOT ${print(x)})" else s"($op${print(x)})"
+    case Binary(op, l, r) => s"(${print(l)} $op ${print(r)})"
+    case Like(l, p, _) => s"(${print(l)} LIKE ${print(p)})"
+    case FnCall(n, _, true) => s"$n(*)"
+    case FnCall(n, args, _) => s"$n(${args.map(print).mkString(", ")})"
+    case other => fail(s"unprintable $other")
+  }
+
+  private def parseExpr(text: String): Expr = {
+    Parser.parseOne(s"SELECT $text;") match {
+      case s: SelectStmt => s.items.head.expr
+      case other => fail(s"unexpected $other")
+    }
+  }
+
+  test("print → parse round-trips the expression grammar") {
+    forAll(genExpr(3), 300) { (e: Expr) =>
+      assert(parseExpr(print(e)) == e)
+    }
+  }
+
+  test("operator precedence matches the reference's table") {
+    // unary > mult > add > .. > cmp > NOT > AND > OR (Parser.cpp:20-50)
+    assert(parseExpr("1 + 2 * 3") ==
+      Binary("+", IntLit(1), Binary("*", IntLit(2), IntLit(3))))
+    assert(parseExpr("a .. b = c") ==
+      Binary("=", Binary("..", Id(None, "a"), Id(None, "b")), Id(None, "c")))
+    assert(parseExpr("NOT a = b") ==
+      Unary("NOT", Binary("=", Id(None, "a"), Id(None, "b"))))
+    assert(parseExpr("a OR b AND c") ==
+      Binary("OR", Id(None, "a"), Binary("AND", Id(None, "b"), Id(None, "c"))))
+    assert(parseExpr("1 + 2 .. x") ==
+      Binary("..", Binary("+", IntLit(1), IntLit(2)), Id(None, "x")))
+    assert(parseExpr("-a * b") ==
+      Binary("*", Unary("-", Id(None, "a")), Id(None, "b")))
+  }
+}
