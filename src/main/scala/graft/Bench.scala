@@ -16,9 +16,11 @@ object Bench {
     "q1_pricing_summary", "q3_shipping_priority", "q6_forecast_revenue",
     "q12_priority_count", "q14_promo_revenue",
     "join_pk_fk", "join_n2m", "join_5way_star",
-    "group_by_single", "group_by_multi", "agg_global", "order_by_topk",
+    "group_by_single", "group_by_multi", "group_by_salted_skew",
+    "agg_global", "order_by_topk",
     "dedup_exact", "dedup_minhash_lsh", "sim_knn_bruteforce",
-    "text_quality_score", "events_sessionize")
+    "text_quality_score", "events_sessionize", "events_asof_join",
+    "dialect_q1")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

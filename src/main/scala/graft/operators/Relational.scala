@@ -270,6 +270,25 @@ object Relational {
       ${sqlDsum("l_extendedprice")} AS rev
     FROM lineitem GROUP BY l_orderkey % 10"""
 
+  /** Skew-mitigating two-stage aggregation: salt the hot grouping key
+    * (l_returnflag has only 3 values → 3 reducers would own the whole
+    * table), partially aggregate per (key, salt), then re-aggregate.
+    * The oracle is the plain GROUP BY — salting must be invisible in
+    * the result. Re-summing the exact partial sums stays exact because
+    * every partial is an integer multiple of 1e-6 (see Exact). */
+  def groupBySalted(sp: SparkSession, dir: String): DataFrame = {
+    val partial = t(sp, dir, "lineitem")
+      .groupBy(col("l_returnflag"), pmod(col("l_orderkey"), lit(16)).as("salt"))
+      .agg(count(lit(1)).as("pn"), dsum(col("l_extendedprice")).as("psum"))
+    partial.groupBy(col("l_returnflag"))
+      .agg(sum(col("pn")).as("n"), dsum(col("psum")).as("total"))
+  }
+
+  val groupBySaltedOracle: String = s"""
+    SELECT l_returnflag, COUNT(*) AS n,
+      ${sqlDsum("l_extendedprice")} AS total
+    FROM lineitem GROUP BY l_returnflag"""
+
   /** Global aggregation, no keys → exactly one row (ref
     * AggregationOperator, Operator.hpp:503-538). */
   def aggGlobal(sp: SparkSession, dir: String): DataFrame =
@@ -433,6 +452,7 @@ object Relational {
     "group_by_single" -> (groupBySingle _),
     "group_by_multi" -> (groupByMulti _),
     "group_by_expr_alias" -> (groupByExprAlias _),
+    "group_by_salted_skew" -> (groupBySalted _),
     "agg_global" -> (aggGlobal _),
     "order_by_topk" -> (orderByTopK _),
     "distinct_pairs" -> (distinctPairs _),
@@ -460,6 +480,7 @@ object Relational {
     "group_by_single" -> groupBySingleOracle,
     "group_by_multi" -> groupByMultiOracle,
     "group_by_expr_alias" -> groupByExprAliasOracle,
+    "group_by_salted_skew" -> groupBySaltedOracle,
     "agg_global" -> aggGlobalOracle,
     "order_by_topk" -> orderByTopKOracle,
     "distinct_pairs" -> distinctPairsOracle,
