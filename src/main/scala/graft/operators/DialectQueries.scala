@@ -11,8 +11,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * (dates/columns fitted to the driver's testdata schema). */
 object DialectQueries {
 
+  // one catalog per (session, sfDir): table schema reads are paid once
+  private val sessions =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), EngineSession]()
+
   private def run(sp: SparkSession, dir: String, sql: String): DataFrame =
-    EngineSession.withTestdata(sp, dir).query(sql)
+    sessions.computeIfAbsent((sp, dir),
+      _ => EngineSession.withTestdata(sp, dir)).query(sql)
 
   val q1Text: String = """
     SELECT l_returnflag, l_linestatus,

@@ -141,7 +141,49 @@ object TextOps {
     FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
     GROUP BY token HAVING COUNT(*) >= 100"""
 
+  /** Composed preprocessing pipeline — the shape a training-data run
+    * chains: quality gate (token count + stopword ratio) → language
+    * filter → exact-dedup survivor set. One declarative plan; Catalyst
+    * fuses the three stages into a single pass + one aggregation. */
+  def qualityFilterPipeline(sp: SparkSession, dir: String): DataFrame = {
+    val scored = qualityScore(sp, dir)
+    val langs = langId(sp, dir)
+    scored.join(langs, "doc_id")
+      .filter(col("n_tokens") >= 20 && col("stop_ratio") < 0.25 &&
+        col("pred_lang") =!= "unknown")
+      .join(Engine.table(sp, dir, "documents"), "doc_id")
+      .groupBy(md5(col("text").cast("binary")).as("text_hash"))
+      .agg(min(col("doc_id")).as("keep_id"))
+      .select(col("keep_id"))
+  }
+
+  val qualityFilterPipelineOracle: String = {
+    // inline the quality + langid oracle logic over one CTE chain
+    val occ = (w: String) =>
+      s"CAST((LENGTH(padded) - LENGTH(REPLACE(padded, ' $w ', ' '))) / ${w.length + 1} AS BIGINT)"
+    val markers = Seq(
+      "en" -> Seq("the", "and", "of"), "de" -> Seq("der", "und", "die"),
+      "fr" -> Seq("le", "et", "les"), "es" -> Seq("el", "y", "los"),
+      "zh" -> Seq("de", "shi", "zai"))
+    val scores = markers.map { case (l, ws) =>
+      s"(${ws.map(occ).mkString(" + ")}) AS score_$l" }.mkString(", ")
+    s"""
+    WITH p AS (
+      SELECT doc_id, text, ' ' || text || ' ' AS padded,
+        CAST(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS BIGINT) AS n_tokens
+      FROM documents),
+    s AS (SELECT doc_id, text, n_tokens,
+      CAST(${occ("the")} + ${occ("a")} AS DOUBLE) / n_tokens AS stop_ratio,
+      $scores FROM p),
+    kept AS (
+      SELECT doc_id, text FROM s
+      WHERE n_tokens >= 20 AND stop_ratio < 0.25
+        AND GREATEST(score_en, score_de, score_fr, score_es, score_zh) > 0)
+    SELECT MIN(doc_id) AS keep_id FROM kept GROUP BY md5(text)"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_quality_filter" -> (qualityFilterPipeline _),
     "text_token_stats" -> (tokenStats _),
     "text_quality_score" -> (qualityScore _),
     "text_lang_id" -> (langId _),
@@ -149,6 +191,7 @@ object TextOps {
     "text_token_histogram" -> (tokenHistogram _))
 
   val oracles: Map[String, String] = Map(
+    "pipeline_quality_filter" -> qualityFilterPipelineOracle,
     "text_token_stats" -> tokenStatsOracle,
     "text_quality_score" -> qualityScoreOracle,
     "text_lang_id" -> langIdOracle,
