@@ -190,6 +190,60 @@ class DialectSpec extends AnyFunSuite {
          WHERE r2.value < R.value);"""))
   }
 
+  test("LIKE escape: backslash escapes the wildcard") {
+    val s = freshSession()
+    s.execute("""CREATE TABLE P (v VARCHAR(20))""")
+    s.execute("""INSERT INTO P VALUES ("100%"), ("100x"), ("abc")""")
+    // \% matches a literal percent (escape char is backslash, like ref)
+    assert(rows(s, """SELECT v FROM P WHERE v LIKE "100\\%";""").flatten ==
+      Seq("100%"))
+    assert(rows(s, """SELECT COUNT(*) FROM P WHERE v LIKE "100%";""")
+      .flatten == Seq(2L))
+  }
+
+  test("concat chain is left-associative and typed") {
+    val s = freshSession()
+    assert(rows(s, """SELECT "a" .. "b" .. "c" FROM R WHERE key = 1;""")
+      .flatten == Seq("abc"))
+    intercept[SemaError](s.query("SELECT key .. 1 FROM R;"))
+  }
+
+  test("join with duplicate keys multiplies rows (ref n:m join tests)") {
+    val s = freshSession()
+    s.execute("CREATE TABLE A (k INT(4))")
+    s.execute("CREATE TABLE B (k INT(4))")
+    s.execute("INSERT INTO A VALUES (1), (1), (2)")
+    s.execute("INSERT INTO B VALUES (1), (1), (3)")
+    assert(rows(s, "SELECT COUNT(*) FROM A, B WHERE A.k = B.k;")
+      .flatten == Seq(4L))
+  }
+
+  test("grouping over a nested FROM query") {
+    val s = freshSession()
+    val got = rows(s,
+      """SELECT t.b, COUNT(*) FROM
+           (SELECT key % 2 AS b FROM R WHERE key < 5) AS t
+         GROUP BY t.b ORDER BY t.b;""")
+    assert(got == Seq(Seq(0L, 2L), Seq(1L, 2L)))
+  }
+
+  test("INSERT DEFAULT inserts NULL (ref grammar:100)") {
+    val s = freshSession()
+    s.execute("""INSERT INTO R VALUES (9, DEFAULT, "z", 0.0, FALSE, d'2001-01-01')""")
+    assert(rows(s, "SELECT key FROM R WHERE ISNULL(value) ORDER BY key;")
+      .flatten == Seq(5, 9))
+  }
+
+  test("datetime comparison in dialect against timestamp columns") {
+    Engine.registerViews(spark, sf)
+    val n = operators.DialectQueries.queries("dialect_q6")(spark, sf).count()
+    assert(n == 1)
+    // date literal vs datetime column must be REJECTED (strict categories)
+    val s = EngineSession.withTestdata(spark, sf)
+    intercept[SemaError](
+      s.query("SELECT COUNT(*) FROM orders WHERE o_orderdate < d'1996-01-01';"))
+  }
+
   test("dialect q1 equals the DataFrame-API q1") {
     val dialect = operators.DialectQueries.queries("dialect_q1")(spark, sf)
       .select("l_returnflag", "l_linestatus", "sum_qty", "count_order")
