@@ -31,6 +31,9 @@ object Engine {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // java.time collect types: proleptic Gregorian end-to-end, so
+      // negative-year DATEs survive the driver boundary unrebased
+      .config("spark.sql.datetime.java8API.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

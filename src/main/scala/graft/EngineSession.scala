@@ -4,7 +4,8 @@ import graft.analyzer._
 import graft.parser.{Ast, Parser}
 import graft.parser.Ast._
 import graft.planner.{CatalogTable, Planner}
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import scala.collection.mutable
@@ -20,16 +21,30 @@ final case class CommandOk(message: String) extends ExecResult
   * populated by INSERT VALUES / IMPORT DSV, or registered externally
   * (parquet-backed) for scale. One database is "in use" at a time
   * (`USE db`), like the reference. */
-final class EngineSession(val spark: SparkSession) {
-
-  final case class TableDef(
-      name: String,
-      fields: Seq[(String, MType)],
-      constraints: Map[String, Seq[Ast.Constraint]],
-      var df: DataFrame)
+final class EngineSession(val spark: SparkSession,
+    val refParity: Boolean = false) {
+  import EngineSession.TableDef
 
   private val databases = mutable.Map[String, mutable.Map[String, TableDef]]()
+  /** db name → (index name → table name); ref Database keeps a named
+    * index registry (Schema.hpp:869, add_index/drop_index). */
+  private val dbIndexes = mutable.Map[String, mutable.Map[String, String]]()
   private var currentDb: Option[String] = None
+
+  /** Cheap copy-on-write clone: new catalog maps, shared (immutable)
+    * DataFrames. Used by the golden-corpus harness to give every spec
+    * file a fresh catalog over the same cached fixture tables. */
+  def fork(): EngineSession = {
+    val s = new EngineSession(spark, refParity)
+    databases.foreach { case (dbName, tables) =>
+      val copy = mutable.Map[String, TableDef]()
+      tables.foreach { case (n, t) => copy(n) = t.copy() }
+      s.databases(dbName) = copy
+    }
+    dbIndexes.foreach { case (dbName, idx) => s.dbIndexes(dbName) = idx.clone() }
+    s.currentDb = currentDb
+    s
+  }
 
   private def db(): mutable.Map[String, TableDef] = currentDb match {
     case Some(n) => databases(n)
@@ -47,7 +62,7 @@ final class EngineSession(val spark: SparkSession) {
   private def lookup(name: String): Option[CatalogTable] =
     db().get(name.toLowerCase).map(t => CatalogTable(t.df, t.fields))
 
-  private def planner = new Planner(spark, lookup)
+  private def planner = new Planner(spark, lookup, refParity)
 
   /** Execute one or more dialect statements; returns the result of the
     * last one. */
@@ -56,6 +71,10 @@ final class EngineSession(val spark: SparkSession) {
     if (stmts.isEmpty) throw new SemaError("empty input")
     stmts.map(executeStmt).last
   }
+
+  /** Plan a SELECT without executing it (runs our Sema + Spark
+    * analysis; used by the golden-corpus sema stage). */
+  def planOnly(s: SelectStmt): DataFrame = planner.plan(s)
 
   /** Convenience: execute a single SELECT and return its DataFrame. */
   def query(sql: String): DataFrame = execute(sql) match {
@@ -70,12 +89,17 @@ final class EngineSession(val spark: SparkSession) {
       if (databases.contains(name.toLowerCase))
         throw new SemaError(s"database '$name' already exists")
       databases(name.toLowerCase) = mutable.Map.empty
+      dbIndexes(name.toLowerCase) = mutable.Map.empty
       CommandOk(s"created database $name")
 
     case DropDatabase(name, ifExists) =>
+      // ref Sema: the database in use cannot be dropped, even with
+      // IF EXISTS (test/ddl sema-san-drop_database-in_use*)
+      if (currentDb.contains(name.toLowerCase))
+        throw new SemaError(s"cannot drop database '$name' while it is in use")
       if (databases.remove(name.toLowerCase).isEmpty && !ifExists)
         throw new SemaError(s"no database '$name'")
-      if (currentDb.contains(name.toLowerCase)) currentDb = None
+      dbIndexes.remove(name.toLowerCase)
       CommandOk(s"dropped database $name")
 
     case UseDatabase(name) =>
@@ -88,6 +112,34 @@ final class EngineSession(val spark: SparkSession) {
       if (db().contains(name.toLowerCase))
         throw new SemaError(s"table '$name' already exists")
       val fields = cols.map(c => c.name -> typeOf(c.tpe))
+      // ---- constraint sema (ref src/parse/Sema.cpp:1490-1560) ----
+      fields.groupBy(_._1.toLowerCase).foreach { case (n, hits) =>
+        if (hits.size > 1)
+          throw new SemaError(s"table '$name' has duplicate attribute '$n'")
+      }
+      val fieldMap = fields.map { case (n, t) => n.toLowerCase -> t }.toMap
+      cols.foreach { c =>
+        val refs = c.constraints.collect { case r: Ast.References => r }
+        if (refs.size > 1)
+          throw new SemaError(
+            s"attribute '${c.name}' has multiple REFERENCES constraints")
+        refs.foreach { case Ast.References(rt, rc) =>
+          val target = db().getOrElse(rt.toLowerCase,
+            throw new SemaError(s"REFERENCES unknown table '$rt'"))
+          val tc = target.fields.find(_._1.equalsIgnoreCase(rc)).getOrElse(
+            throw new SemaError(s"REFERENCES unknown column '$rt.$rc'"))
+          if (tc._2 != typeOf(c.tpe))
+            throw new SemaError(
+              s"REFERENCES type mismatch: '${c.name}' is ${typeOf(c.tpe)}, '$rt.$rc' is ${tc._2}")
+        }
+        c.constraints.collect { case Ast.Check(e) =>
+          // the CHECK expression must type-check against the table's
+          // own columns and be boolean (ref Sema.cpp:1548)
+          val t = inferType(e, fieldMap, name)
+          if (t != MBool && t != MNull)
+            throw new SemaError(s"CHECK constraint on '${c.name}' is not boolean")
+        }
+      }
       val schema = StructType(fields.map { case (n, t) =>
         StructField(n, MTypes.toSpark(t))
       })
@@ -104,14 +156,47 @@ final class EngineSession(val spark: SparkSession) {
       }
       CommandOk(s"dropped ${names.mkString(", ")}")
 
-    // Indexes: accepted, recorded nowhere — physical access paths are
-    // Spark's concern (ref SURVEY §1.1: ArrayIndex/RMI ≈ research
-    // surface with no Spark equivalent; parity = accept the DDL).
-    case CreateIndex(_, _, name, table, _, _) =>
-      if (!db().contains(table.toLowerCase))
-        throw new SemaError(s"no table '$table'")
-      CommandOk(s"created index ${name.getOrElse("(anonymous)")} on $table (no-op)")
-    case DropIndex(names, _) => CommandOk(s"dropped index ${names.mkString(", ")}")
+    // Indexes: sema-validated and recorded by name; physically a no-op
+    // — access paths are Spark's concern (ref SURVEY §1.1: ArrayIndex/
+    // RMI ≈ research surface). Sema rules per ref Sema.cpp:1620-1700:
+    // name required, unique (IF NOT EXISTS skips), table must exist,
+    // method ∈ {DEFAULT, array, rmi}, exactly one plain-attribute key.
+    case CreateIndex(_, ifNot, name, table, method, keys) =>
+      val indexes = dbIndexes(currentDb.getOrElse(
+        throw new SemaError("no database in use")))
+      val idxName = name.getOrElse(
+        throw new SemaError("indexes without name are not supported"))
+      if (indexes.contains(idxName.toLowerCase)) {
+        if (ifNot) CommandOk(s"index $idxName already exists, skipping")
+        else throw new SemaError(s"index '$idxName' already exists")
+      } else {
+        val t = db().getOrElse(table.toLowerCase,
+          throw new SemaError(s"no table '$table'"))
+        method.foreach { m =>
+          if (!Set("default", "array", "rmi").contains(m.toLowerCase))
+            throw new SemaError(s"index method '$m' is not supported")
+        }
+        if (keys.size > 1)
+          throw new SemaError("more than one key field for indexes is not supported")
+        keys.foreach {
+          case Id(_, attr) =>
+            if (!t.fields.exists(_._1.equalsIgnoreCase(attr)))
+              throw new SemaError(s"attribute '$attr' does not exist in table '$table'")
+          case _ =>
+            throw new SemaError("non-attribute key fields for indexes are not supported")
+        }
+        indexes(idxName.toLowerCase) = table.toLowerCase
+        CommandOk(s"created index $idxName on $table (no-op)")
+      }
+
+    case DropIndex(names, ifExists) =>
+      val indexes = dbIndexes(currentDb.getOrElse(
+        throw new SemaError("no database in use")))
+      names.foreach { n =>
+        if (indexes.remove(n.toLowerCase).isEmpty && !ifExists)
+          throw new SemaError(s"no index '$n'")
+      }
+      CommandOk(s"dropped index ${names.mkString(", ")}")
 
     case InsertStmt(table, rows) =>
       val t = db().getOrElse(table.toLowerCase,
@@ -119,16 +204,35 @@ final class EngineSession(val spark: SparkSession) {
       val schema = StructType(t.fields.map { case (n, tp) =>
         StructField(n, MTypes.toSpark(tp))
       })
+      // NOT NULL / PRIMARY KEY enforcement (ref Sema validates tuple
+      // shape; a NULL in a non-nullable attribute is a sema error)
+      val notNull: Set[String] = t.constraints.collect {
+        case (n, cs) if cs.contains(Ast.NotNull) || cs.contains(Ast.PrimaryKey) =>
+          n.toLowerCase
+      }.toSet
       val data = rows.map { r =>
         if (r.length != t.fields.length)
           throw new SemaError(
             s"INSERT arity ${r.length} != table arity ${t.fields.length}")
-        Row.fromSeq(r.zip(t.fields).map { case (e, (_, tp)) =>
-          literalValue(e, tp)
+        Row.fromSeq(r.zip(t.fields).map { case (e, (n, tp)) =>
+          val v = literalValue(e, tp)
+          if (v == null && notNull.contains(n.toLowerCase))
+            throw new SemaError(s"NULL value for NOT NULL attribute '$n'")
+          v
         })
       }
       val newDf = spark.createDataFrame(
         spark.sparkContext.parallelize(data), schema)
+      // CHECK enforcement: every inserted row must satisfy every CHECK
+      // (evaluated distributed as a filter — no driver loop)
+      val checks = t.constraints.toSeq.flatMap { case (cn, cs) =>
+        cs.collect { case Ast.Check(e) => (cn, e) }
+      }
+      checks.foreach { case (cn, e) =>
+        val cond = checkColumn(e, t.fields)
+        if (newDf.filter(!coalesce(cond, lit(true))).limit(1).count() > 0)
+          throw new SemaError(s"CHECK constraint on '$cn' violated by INSERT")
+      }
       t.df = t.df.unionByName(newDf)
       CommandOk(s"inserted ${rows.length} rows into $table")
 
@@ -141,10 +245,19 @@ final class EngineSession(val spark: SparkSession) {
     case ImportDsv(table, path, rows, delim, esc, quote, hasHeader, skipHeader) =>
       val t = db().getOrElse(table.toLowerCase,
         throw new SemaError(s"no table '$table'"))
+      // DATE/DATETIME cells may carry negative or >4-digit years
+      // (ref Lexer.cpp:229-267; fixtures test/ours/data/D.csv), which
+      // Spark's CSV date parser rejects — read them as strings and
+      // convert declaratively with make_date/make_timestamp (codegen'd,
+      // no UDF; stays fully pushdown-friendly for the other columns).
       val schema = StructType(t.fields.map { case (n, tp) =>
-        StructField(n, MTypes.toSpark(tp))
+        val dt = tp match {
+          case MDate | MDateTime => StringType
+          case other => MTypes.toSpark(other)
+        }
+        StructField(n, dt)
       })
-      var reader = spark.read
+      val reader = spark.read
         .schema(schema)
         .option("delimiter", delim.getOrElse(","))
         .option("quote", quote.getOrElse("\""))
@@ -152,8 +265,111 @@ final class EngineSession(val spark: SparkSession) {
         .option("header", (hasHeader || skipHeader).toString)
       var df = reader.csv(path)
       rows.foreach(n => df = df.limit(n.toInt))
-      t.df = t.df.unionByName(df)
+      val converted = t.fields.map {
+        case (n, MDate) =>
+          val ymd = "^(-?\\d+)-(\\d{1,2})-(\\d{1,2})$"
+          make_date(
+            regexp_extract(col(n), ymd, 1).cast("int"),
+            regexp_extract(col(n), ymd, 2).cast("int"),
+            regexp_extract(col(n), ymd, 3).cast("int")).as(n)
+        case (n, MDateTime) =>
+          val p = "^(-?\\d+)-(\\d{1,2})-(\\d{1,2})[ T](\\d{1,2}):(\\d{1,2}):(\\d{1,2})$"
+          make_timestamp(
+            regexp_extract(col(n), p, 1).cast("int"),
+            regexp_extract(col(n), p, 2).cast("int"),
+            regexp_extract(col(n), p, 3).cast("int"),
+            regexp_extract(col(n), p, 4).cast("int"),
+            regexp_extract(col(n), p, 5).cast("int"),
+            regexp_extract(col(n), p, 6).cast("decimal(8,6)")).as(n)
+        case (n, _) => col(n)
+      }
+      t.df = t.df.unionByName(df.select(converted: _*))
       CommandOk(s"imported $path into $table")
+  }
+
+  /** Type-check an expression against a bare column→type map (used for
+    * CHECK constraints, where the only visible scope is the table being
+    * created — ref Sema.cpp:1548). Mirrors the planner's typing rules
+    * without needing a DataFrame. */
+  private def inferType(e: Expr, cols: Map[String, MType], table: String): MType = {
+    def go(e: Expr): MType = e match {
+      case Id(qual, n) =>
+        if (qual.exists(!_.equalsIgnoreCase(table)))
+          throw new SemaError(s"unknown table '${qual.get}' in CHECK")
+        cols.getOrElse(n.toLowerCase,
+          throw new SemaError(s"unknown attribute '$n' in CHECK"))
+      case IntLit(_) => MInt(8)
+      case FloatLit(_) => MFloat(64)
+      case StrLit(v) => MStr(v.length, varying = true)
+      case BoolLit(_) => MBool
+      case NullLit => MNull
+      case DateLit(_) => MDate
+      case DateTimeLit(_) => MDateTime
+      case Unary("NOT", x) =>
+        if (go(x) != MBool) throw new SemaError("NOT requires boolean"); MBool
+      case Unary(_, x) =>
+        val t = go(x)
+        if (!t.isNumeric) throw new SemaError("unary +/-/~ requires numeric"); t
+      case Binary(op, l, r) if Set("+", "-", "*", "/", "%").contains(op) =>
+        MTypes.arithmeticJoin(go(l), go(r))
+      case Binary("..", l, r) =>
+        if (!go(l).isString || !go(r).isString)
+          throw new SemaError("'..' requires string operands")
+        MStr(Int.MaxValue, varying = false)
+      case Binary(op, l, r) if Set("=", "!=", "<", "<=", ">", ">=").contains(op) =>
+        if (!MTypes.comparable(go(l), go(r), op == "=" || op == "!="))
+          throw new SemaError(s"cannot compare ${go(l)} with ${go(r)}")
+        MBool
+      case Binary(op, l, r) if op == "AND" || op == "OR" =>
+        if (go(l) != MBool || go(r) != MBool)
+          throw new SemaError(s"$op requires boolean operands")
+        MBool
+      case Like(l, p, _) =>
+        if (!go(l).isString || !go(p).isString)
+          throw new SemaError("LIKE requires string operands")
+        MBool
+      case FnCall(n, args, _) if n.equalsIgnoreCase("ISNULL") && args.size == 1 =>
+        go(args.head); MBool
+      case FnCall(n, args, _) if n.equalsIgnoreCase("INT") && args.size == 1 =>
+        go(args.head); MInt(4)
+      case other => throw new SemaError(s"invalid expression in CHECK: $other")
+    }
+    go(e)
+  }
+
+  /** Compile a CHECK expression to a Spark Column over the table's own
+    * bare column names. */
+  private def checkColumn(e: Expr, fields: Seq[(String, MType)]): Column = e match {
+    case Id(_, n) => col(fields.find(_._1.equalsIgnoreCase(n)).get._1)
+    case IntLit(v) => lit(v)
+    case FloatLit(v) => lit(v)
+    case StrLit(v) => lit(v)
+    case BoolLit(v) => lit(v)
+    case NullLit => lit(null)
+    case Unary("NOT", x) => !checkColumn(x, fields)
+    case Unary("-", x) => negate(checkColumn(x, fields))
+    case Unary("+", x) => checkColumn(x, fields)
+    case Unary("~", x) => bitwise_not(checkColumn(x, fields))
+    case Binary(op, l, r) =>
+      val (a, b) = (checkColumn(l, fields), checkColumn(r, fields))
+      op match {
+        case "+" => a + b; case "-" => a - b; case "*" => a * b
+        case "/" => a / b; case "%" => a % b
+        case "=" => a === b; case "!=" => a =!= b
+        case "<" => a < b; case "<=" => a <= b
+        case ">" => a > b; case ">=" => a >= b
+        case "AND" => a && b; case "OR" => a || b
+        case ".." => concat(a, b)
+      }
+    case Like(l, p, neg) =>
+      val c = org.apache.spark.sql.GraftShim.like(
+        checkColumn(l, fields), checkColumn(p, fields))
+      if (neg) !c else c
+    case FnCall(n, args, _) if n.equalsIgnoreCase("ISNULL") =>
+      isnull(checkColumn(args.head, fields))
+    case FnCall(n, args, _) if n.equalsIgnoreCase("INT") =>
+      checkColumn(args.head, fields).cast("int")
+    case other => throw new SemaError(s"invalid expression in CHECK: $other")
   }
 
   private def typeOf(t: TypeName): MType = t.name match {
@@ -238,6 +454,12 @@ final class EngineSession(val spark: SparkSession) {
 }
 
 object EngineSession {
+  final case class TableDef(
+      name: String,
+      fields: Seq[(String, MType)],
+      constraints: Map[String, Seq[Ast.Constraint]],
+      var df: DataFrame)
+
   /** Session preloaded with the driver testdata as external tables in
     * database `testdata`. */
   def withTestdata(spark: SparkSession, dir: String): EngineSession = {

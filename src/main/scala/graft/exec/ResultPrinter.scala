@@ -2,10 +2,49 @@ package graft.exec
 
 import org.apache.spark.sql.DataFrame
 
-/** Golden-output printer matching the reference's PrintOperator format
-  * (ref test/ours YAML end2end `out:` blocks): comma-separated values,
-  * strings double-quoted, NULL for nulls, booleans as TRUE/FALSE. */
+/** Golden-output printer matching the reference's result formatting
+  * (ref src/backend/V8Engine.cpp:360-420 print of typed values, golden
+  * blocks in test/ours YAML `out:`):
+  *  - comma-separated values, strings double-quoted, NULL for nulls,
+  *    booleans as TRUE/FALSE
+  *  - FLOAT printed with ostream precision max_digits10-1 = 8
+  *    significant digits, DOUBLE with 16, default (%g-style) format
+  *    with trailing zeros stripped
+  *  - DATE as [-]YYYY-MM-DD (year zero-padded to 4, sign kept),
+  *    DATETIME as [-]YYYY-MM-DD HH:MM:SS in UTC. */
 object ResultPrinter {
+
+  /** C-faithful `%.{prec}g`: round the EXACT binary value of the
+    * double to `prec` significant decimal digits (ties-to-even, like
+    * printf's correctly-rounded conversion — Java's Formatter rounds
+    * HALF_UP on the shortest repr and diverges on exact ties), strip
+    * trailing zeros, switch to scientific for exponent < -4 or
+    * ≥ prec. */
+  def fmtG(v: Double, prec: Int): String = {
+    if (v.isNaN) return "nan"
+    if (v.isInfinite) return if (v > 0) "inf" else "-inf"
+    if (v == 0.0) return if (1.0 / v < 0) "-0" else "0"
+    val bd = new java.math.BigDecimal(v).round(
+      new java.math.MathContext(prec, java.math.RoundingMode.HALF_EVEN))
+    val exp = bd.precision - bd.scale - 1
+    if (exp < -4 || exp >= prec) {
+      val mant = bd.movePointLeft(exp).stripTrailingZeros
+      val es = (if (exp < 0) "-" else "+") + f"${math.abs(exp)}%02d"
+      s"${mant.toPlainString}e$es"
+    } else bd.stripTrailingZeros.toPlainString
+  }
+
+  private def fmtYear(y: Int): String = {
+    val a = math.abs(y)
+    val pad = if (a < 1000) f"$a%04d" else a.toString
+    if (y < 0) s"-$pad" else pad
+  }
+
+  def fmtDate(d: java.time.LocalDate): String =
+    f"${fmtYear(d.getYear)}-${d.getMonthValue}%02d-${d.getDayOfMonth}%02d"
+
+  def fmtDateTime(t: java.time.LocalDateTime): String =
+    f"${fmtDate(t.toLocalDate)} ${t.getHour}%02d:${t.getMinute}%02d:${t.getSecond}%02d"
 
   def format(row: org.apache.spark.sql.Row): String =
     (0 until row.length).map { i =>
@@ -13,8 +52,15 @@ object ResultPrinter {
       else row.get(i) match {
         case s: String => "\"" + s + "\""
         case b: Boolean => if (b) "TRUE" else "FALSE"
-        case d: java.sql.Date => d.toString
-        case t: java.sql.Timestamp => t.toString.stripSuffix(".0")
+        case f: Float => fmtG(f.toDouble, 8)
+        case d: Double => fmtG(d, 16)
+        case d: java.time.LocalDate => fmtDate(d)
+        case t: java.time.Instant =>
+          fmtDateTime(java.time.LocalDateTime.ofInstant(t, java.time.ZoneOffset.UTC))
+        case d: java.sql.Date => fmtDate(d.toLocalDate)
+        case t: java.sql.Timestamp => fmtDateTime(t.toLocalDateTime)
+        case b: java.math.BigDecimal => b.toPlainString
+        case b: scala.math.BigDecimal => b.underlying.toPlainString
         case other => other.toString
       }
     }.mkString(",")
@@ -26,6 +72,11 @@ object ResultPrinter {
     df.toLocalIterator().forEachRemaining { r => out.println(format(r)); n += 1 }
     n
   }
+
+  /** Collect formatted lines (test/golden harness path; the corpus
+    * fixtures are ≤100 rows). */
+  def lines(df: DataFrame): Seq[String] =
+    df.collect().toSeq.map(format)
 }
 
 /** Minimal REPL over EngineSession — the E1 entry point shape of the

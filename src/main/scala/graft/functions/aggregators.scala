@@ -71,3 +71,30 @@ object SimHashAgg extends Aggregator[Long, Array[Int], Long] {
   def bufferEncoder: Encoder[Array[Int]] = ExpressionEncoder[Array[Int]]()
   def outputEncoder: Encoder[Long] = Encoders.scalaLong
 }
+
+/** Knuth iterative mean (TAOCP Vol 2, 4.2.2): m += (x - m)/n — the
+  * reference's AVG semantics (ref src/backend/Interpreter.cpp:1241,
+  * WasmOperator.cpp running-avg path). Parallel-safe via the standard
+  * pairwise merge m = m1 + (m2 - m1)·n2/(n1+n2); on a single ordered
+  * partition it reproduces the reference's sequential result
+  * bit-for-bit (used by the golden-corpus parity mode). */
+object RunningAvgAgg extends Aggregator[java.lang.Double, Array[Double], java.lang.Double] {
+  // buffer = (count, mean)
+  def zero: Array[Double] = Array(0.0, 0.0)
+  def reduce(b: Array[Double], x: java.lang.Double): Array[Double] = {
+    if (x != null) { b(0) += 1; b(1) += (x - b(1)) / b(0) }
+    b
+  }
+  def merge(a: Array[Double], b: Array[Double]): Array[Double] = {
+    if (a(0) == 0) b
+    else if (b(0) == 0) a
+    else {
+      val n = a(0) + b(0)
+      Array(n, a(1) + (b(1) - a(1)) * b(0) / n)
+    }
+  }
+  def finish(b: Array[Double]): java.lang.Double =
+    if (b(0) == 0) null else b(1)
+  def bufferEncoder: Encoder[Array[Double]] = ExpressionEncoder[Array[Double]]()
+  def outputEncoder: Encoder[java.lang.Double] = Encoders.DOUBLE
+}

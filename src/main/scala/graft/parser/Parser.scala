@@ -144,14 +144,29 @@ final class Parser(tokens: Vector[Token]) {
     val ifNot = if (cur.is("IF")) {
       advance(); expect("NOT"); expect("EXISTS"); true
     } else false
-    val name = if (cur.tpe == IDENT && !cur.is("ON")) Some(expectIdent()) else None
+    // ref grammar: IF NOT EXISTS requires a name (test/ddl parse-san)
+    val name = if (ifNot) Some(expectIdent())
+      else if (cur.tpe == IDENT && !cur.is("ON")) Some(expectIdent()) else None
     expect("ON")
     val table = expectIdent()
-    val method = if (accept("USING")) Some(expectIdent()) else None
+    // method may be an identifier or the DEFAULT keyword (ref ddl
+    // fixtures: CREATE INDEX … USING DEFAULT (a))
+    val method = if (accept("USING")) {
+      if (accept("DEFAULT")) Some("DEFAULT") else Some(expectIdent())
+    } else None
     expect("(")
+    // ref grammar: a key is a plain designator or a parenthesized
+    // expression — `(a+b)` is fine, bare `a+b` is a parse error
+    def parseKey(): Expr =
+      if (cur.tpe == IDENT) {
+        val first = advance().text
+        if (accept(".")) Id(Some(first), expectIdent()) else Id(None, first)
+      } else if (accept("(")) {
+        val e = parseExpr(); expect(")"); e
+      } else fail("expected identifier or parenthesized expression")
     val exprs = Seq.newBuilder[Expr]
-    exprs += parseExpr()
-    while (accept(",")) exprs += parseExpr()
+    exprs += parseKey()
+    while (accept(",")) exprs += parseKey()
     expect(")")
     CreateIndex(unique, ifNot, name, table, method, exprs.result())
   }
@@ -317,11 +332,13 @@ final class Parser(tokens: Vector[Token]) {
 
   private def parsePostfix(): Expr = {
     var e = parsePrimary()
-    // function call: designator '(' [* | args] ')'
-    while (cur.is("(") && e.isInstanceOf[Id] &&
-        e.asInstanceOf[Id].table.isEmpty) {
+    // function call: designator '(' [* | args] ')' — a qualified
+    // designator (`t.fn(x)`) parses as a call too and is rejected by
+    // Sema as an unknown function (ref sema-san deligator_as_function)
+    while (cur.is("(") && e.isInstanceOf[Id]) {
       advance()
-      val name = e.asInstanceOf[Id].name
+      val id = e.asInstanceOf[Id]
+      val name = id.table.map(_ + ".").getOrElse("") + id.name
       if (accept("*")) { expect(")"); e = FnCall(name, Nil, star = true) }
       else if (accept(")")) e = FnCall(name, Nil)
       else {
@@ -339,7 +356,12 @@ final class Parser(tokens: Vector[Token]) {
     case IDENT =>
       val first = advance().text
       if (accept(".")) Id(Some(first), expectIdent()) else Id(None, first)
-    case INT_LIT => IntLit(advance().text.toLong)
+    case INT_LIT =>
+      val t = advance().text
+      IntLit(
+        if (t.startsWith("0x") || t.startsWith("0X"))
+          java.lang.Long.parseLong(t.drop(2), 16)
+        else t.toLong)
     case FLOAT_LIT => FloatLit(advance().text.toDouble)
     case STR_LIT => StrLit(advance().text)
     case DATE_LIT => DateLit(advance().text)

@@ -33,7 +33,8 @@ final case class Typed(col: Column, tpe: MType)
   * results depend on partitioning order — unacceptable for an engine
   * whose results must reproduce across cluster sizes at 100 TB.
   */
-final class Planner(spark: SparkSession, lookup: String => Option[CatalogTable]) {
+final class Planner(spark: SparkSession, lookup: String => Option[CatalogTable],
+    refParity: Boolean = false) {
 
   private val AggNames = Set("COUNT", "SUM", "MIN", "MAX", "AVG")
   private val DetDecimal = DecimalType(27, 6)
@@ -76,7 +77,23 @@ final class Planner(spark: SparkSession, lookup: String => Option[CatalogTable])
         val df = plan(fq.q)
         val fields = df.schema.fields.toSeq.map(f =>
           f.name -> MTypes.fromSpark(f.dataType))
+        // ref Sema: a nested-query source with duplicate attribute
+        // names is an error ("Source X has multiple attributes a") —
+        // the planner uniquifies duplicates as `name__dupN`, so group
+        // by the original name
+        val dups = fields
+          .groupBy(_._1.toLowerCase.replaceAll("__dup\\d+$", ""))
+          .filter(_._2.size > 1).keys
+        if (dups.nonEmpty)
+          throw new SemaError(
+            s"source ${fq.aliasName} has multiple attributes ${dups.mkString(", ")}")
         (Source(fq.aliasName, fields), df.alias(fq.aliasName))
+    }
+    // ref Sema: two sources may not share an alias in one FROM
+    sources.map(_._1.alias.toLowerCase).groupBy(identity).foreach {
+      case (a, hits) if hits.size > 1 =>
+        throw new SemaError(s"duplicate table name or alias '$a' in FROM")
+      case _ => ()
     }
     var scope = new Scope(sources.map(_._1))
     var fromDf: DataFrame =
@@ -114,19 +131,31 @@ final class Planner(spark: SparkSession, lookup: String => Option[CatalogTable])
       case None => fromDf
     }
 
-    // detect aggregates anywhere downstream of WHERE
-    val hasAgg = stmt.groupBy.nonEmpty ||
-      (stmt.items.map(_.expr) ++ stmt.having ++ stmt.orderBy.map(_.expr))
+    // detect aggregates anywhere downstream of WHERE; a HAVING clause
+    // always implies an aggregation context (ref: HAVING without
+    // GROUP BY is a filter over the single global-aggregate row)
+    val hasAgg = stmt.groupBy.nonEmpty || stmt.having.nonEmpty ||
+      (stmt.items.map(_.expr) ++ stmt.orderBy.map(_.expr))
         .exists(containsAggregate)
 
     val (workDf, outScope) =
       if (hasAgg) planGrouped(stmt, scope, filtered)
       else (filtered, null)
 
-    // SELECT projection
+    // SELECT projection. With grouping, `*` expands to the grouping
+    // keys; a bare key name occurring in several keys is ambiguous
+    // (ref sema-san "Designator … multiple occurrences in GROUP BY").
     val items: Seq[(Column, String, MType)] = stmt.items.flatMap {
+      case SelectItem(Star, _) if hasAgg =>
+        if (stmt.groupBy.isEmpty)
+          throw new SemaError("SELECT * is invalid with global aggregates")
+        val keys = outScope.starKeys
+        keys.groupBy(_._2.toLowerCase).foreach { case (n, hits) =>
+          if (hits.size > 1) throw new SemaError(
+            s"designator $n is ambiguous, multiple occurrences in GROUP BY clause")
+        }
+        keys
       case SelectItem(Star, _) =>
-        if (hasAgg) throw new SemaError("SELECT * is invalid with aggregates")
         scope.sources.flatMap { s =>
           s.fields.map { case (n, t) => (col(s"${s.alias}.$n"), n, t) }
         }
@@ -134,6 +163,19 @@ final class Planner(spark: SparkSession, lookup: String => Option[CatalogTable])
         val t = if (hasAgg) outScope.resolve(e)
           else resolveScalar(e, scope, allowAgg = false)
         Seq((t.col, alias.getOrElse(exprName(e)), t.tpe))
+    }
+
+    // Duplicate output names (SELECT key, key / SELECT *, key) are
+    // legal in the dialect but trip Spark's optimizer on self-referring
+    // plans — uniquify the internal aliases; printing ignores names.
+    val uniqueNames: Seq[String] = {
+      val seen = mutable.Map.empty[String, Int]
+      items.map { case (_, n, _) =>
+        val k = n.toLowerCase
+        val c = seen.getOrElse(k, 0)
+        seen(k) = c + 1
+        if (c == 0) n else s"${n}__dup$c"
+      }
     }
 
     // ORDER BY may reference select aliases or arbitrary expressions:
@@ -144,8 +186,12 @@ final class Planner(spark: SparkSession, lookup: String => Option[CatalogTable])
     stmt.orderBy.foreach { oi =>
       oi.expr match {
         case Id(None, n) if aliasMap.contains(n.toLowerCase) =>
-          sortCols += ((col(items(aliasMap(n.toLowerCase))._2), oi.ascending, None))
+          sortCols += ((col(uniqueNames(aliasMap(n.toLowerCase))), oi.ascending, None))
         case e =>
+          // ref Sema: ORDER BY keys must be vectorial — a constant
+          // (scalar) sort key is an error
+          if (!containsId(e) && !containsAggregate(e))
+            throw new SemaError("cannot ORDER BY a scalar (constant) expression")
           val t = if (hasAgg) outScope.resolve(e)
             else resolveScalar(e, scope, allowAgg = false)
           val hidden = s"__ord_${sortCols.size}"
@@ -154,7 +200,7 @@ final class Planner(spark: SparkSession, lookup: String => Option[CatalogTable])
     }
 
     val hidden = sortCols.collect { case (c, _, Some(h)) => (c, h) }
-    val named = items.map { case (c, n, _) => c.as(n) } ++
+    val named = items.zip(uniqueNames).map { case ((c, _, _), n) => c.as(n) } ++
       hidden.map { case (c, h) => c.as(h) }
     var out = workDf.select(named: _*)
 
@@ -172,17 +218,50 @@ final class Planner(spark: SparkSession, lookup: String => Option[CatalogTable])
     hidden.foldLeft(out) { case (df, (_, h)) => df.drop(h) }
   }
 
-  /** Scope over a grouped DataFrame: group keys by structure/alias +
-    * aggregate calls by structure. */
+  /** Scope over a grouped DataFrame: group keys by *resolved* identity
+    * (qualified and bare spellings of the same column unify — `GROUP BY
+    * t.x` + `SELECT x` works, ref Sema designator semantics) or alias,
+    * plus aggregate calls by structure. */
   private final class GroupedScope(
       srcScope: Scope,
       keyByExpr: Seq[(Expr, String, MType)],
       keyByAlias: Map[String, (String, MType)],
       aggCols: mutable.LinkedHashMap[FnCall, (String, Typed)]) {
 
+    /** Canonicalize every designator in `e` to its fully-qualified
+      * resolved spelling, so structural comparison is spelling-blind. */
+    private def canon(e: Expr): Expr = e match {
+      case Id(t, n) =>
+        val (qn, _) = srcScope.resolve(t, n)
+        val i = qn.lastIndexOf('.')
+        Id(Some(qn.substring(0, i)), qn.substring(i + 1))
+      case Unary(op, x) => Unary(op, canon(x))
+      case Binary(op, l, r) => Binary(op, canon(l), canon(r))
+      case Like(l, p, n) => Like(canon(l), canon(p), n)
+      case FnCall(n, args, s) => FnCall(n, args.map(canon), s)
+      case other => other
+    }
+    private def canonOpt(e: Expr): Option[Expr] =
+      try Some(canon(e)) catch { case _: SemaError => None }
+    private val canonKeys: Seq[(Option[Expr], String, MType)] =
+      keyByExpr.map { case (e, n, t) => (canonOpt(e), n, t) }
+
+    /** The grouping keys, for `SELECT *` expansion. */
+    def starKeys: Seq[(Column, String, MType)] =
+      keyByExpr.map { case (_, n, t) => (col(n), n, t) }
+
     def resolve(e: Expr): Typed = e match {
-      case _ if keyByExpr.exists(_._1 == e) =>
-        val (_, n, t) = keyByExpr.find(_._1 == e).get
+      // a bare designator first resolves against the grouping keys'
+      // output names (ref: `GROUP BY R.key` + `SELECT key`); several
+      // keys with the same bare name are ambiguous
+      case Id(None, n) if keyByExpr.exists(_._2.equalsIgnoreCase(n)) =>
+        keyByExpr.filter(_._2.equalsIgnoreCase(n)) match {
+          case Seq((_, kn, t)) => Typed(col(kn), t)
+          case _ => throw new SemaError(
+            s"designator $n is ambiguous, multiple occurrences in GROUP BY clause")
+        }
+      case _ if canonKeys.exists(k => k._1.isDefined && k._1 == canonOpt(e)) =>
+        val (_, n, t) = canonKeys.find(k => k._1.isDefined && k._1 == canonOpt(e)).get
         Typed(col(n), t)
       case Id(None, n) if keyByAlias.contains(n.toLowerCase) =>
         val (cn, t) = keyByAlias(n.toLowerCase)
@@ -246,7 +325,13 @@ final class Planner(spark: SparkSession, lookup: String => Option[CatalogTable])
       .foreach(collect)
 
     val keyCols = keys.map { case (_, name, _, t) => t.col.as(name) }
-    val aggColsSeq = aggCalls.toSeq.map { case (_, (n, t)) => t.col.as(n) }
+    // HAVING with neither keys nor aggregates still needs a global
+    // aggregation row to filter — use a dummy count
+    val aggColsSeq = {
+      val base = aggCalls.toSeq.map { case (_, (n, t)) => t.col.as(n) }
+      if (base.isEmpty && keys.isEmpty) Seq(count(lit(1)).as("__agg_dummy"))
+      else base
+    }
     val grouped =
       if (keys.isEmpty) input.agg(aggColsSeq.head, aggColsSeq.tail: _*)
       else if (aggColsSeq.isEmpty)
@@ -553,6 +638,11 @@ final class Planner(spark: SparkSession, lookup: String => Option[CatalogTable])
         Typed(if (name == "MIN") min(a.col) else max(a.col), a.tpe)
       case "SUM" => a.tpe match {
         case MInt(_) => Typed(sum(a.col).cast("long"), MInt(8))
+        case MFloat(32) =>
+          // FLOAT sums accumulate in double exactly like the reference
+          // (running f64 accumulator over widened f32 values) — the
+          // f32→f64 widening is exact, so goldens reproduce bit-for-bit
+          Typed(sum(a.col.cast("double")), MFloat(64))
         case MFloat(_) =>
           Typed(graft.operators.Exact.dsum(a.col), MFloat(64))
         case MDecimal(_, s) =>
@@ -560,13 +650,22 @@ final class Planner(spark: SparkSession, lookup: String => Option[CatalogTable])
         case t => throw new SemaError(s"SUM requires numeric, got $t")
       }
       case "AVG" => a.tpe match {
+        case _ if !a.tpe.isNumeric =>
+          throw new SemaError(s"AVG requires numeric, got ${a.tpe}")
+        case _ if refParity =>
+          // the reference computes AVG as the Knuth iterative mean
+          // (Interpreter.cpp:1241) — order-dependent in the last ulp;
+          // parity mode reproduces it bit-for-bit
+          Typed(udaf(graft.functions.RunningAvgAgg)
+            .apply(a.col.cast("double")), MFloat(64))
+        case MFloat(32) =>
+          Typed(sum(a.col.cast("double")) / count(a.col), MFloat(64))
         case MFloat(_) =>
           // exact sum → double, THEN divide: double division is
           // IEEE-identical everywhere
           Typed(graft.operators.Exact.dsum(a.col) / count(a.col), MFloat(64))
-        case t if a.tpe.isNumeric =>
+        case _ =>
           Typed(avg(a.col).cast("double"), MFloat(64))
-        case t => throw new SemaError(s"AVG requires numeric, got $t")
       }
     }
   }
