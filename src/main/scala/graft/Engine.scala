@@ -28,6 +28,9 @@ object Engine {
     val spark = SparkSession.builder()
       .master(master)
       .appName(appName)
+      // the join-order research surface (DPsize/GOO/heuristic search,
+      // ref SIGMOD'23) runs in every production session
+      .config("spark.sql.extensions", "graft.optimizer.GraftExtensions")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")

@@ -1,9 +1,9 @@
 package graft.optimizer
 
 import org.apache.spark.sql.SparkSessionExtensions
-import org.apache.spark.sql.catalyst.expressions.{And, Expression, PredicateHelper}
+import org.apache.spark.sql.catalyst.expressions.{And, Attribute, Expression, PredicateHelper}
 import org.apache.spark.sql.catalyst.plans.Inner
-import org.apache.spark.sql.catalyst.plans.logical.{Join, JoinHint, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, JoinHint, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 
 /** Join-order optimization re-expressing the reference's research core
@@ -132,6 +132,100 @@ object JoinReorder {
     }
   }
 
+  /** Heuristic-search join ordering (ref include/mutable/IR/
+    * HeuristicSearchPlanEnumerator.hpp + src/IR/
+    * HeuristicSearchPlanEnumerator.cpp, SIGMOD'23): join ordering as
+    * shortest-path search over the bottom-up state space.
+    *
+    *  - A *state* is a partition of the relations into subproblems,
+    *    each carrying its best join tree (ref `SubproblemsArray`);
+    *    the start state is all-singletons, the goal a single
+    *    subproblem covering every relation.
+    *  - An *expansion* joins one connected pair of subproblems
+    *    (ref `BottomUpComplete::for_each_successor`), adding the join
+    *    result's cardinality to g — exactly the C_out increment.
+    *  - The *heuristic* estimates remaining cost: `zero` (Dijkstra —
+    *    optimal, most expansions), `sum` (Σ cardinalities of current
+    *    subproblems, ref hpp:1729), `goo` (cost of finishing greedily,
+    *    ref hpp:1958 — the strongest guide, near-optimal in practice).
+    *  - `weight` > 1 gives weighted A* (ref's anytime search knob).
+    *
+    * States are deduplicated on the canonical partition (which
+    * subproblems exist), keeping the cheapest g per partition — the
+    * role of the reference's subproblem hash table. */
+  final class HeuristicSearchEnumerator(
+      heuristic: String = "goo", weight: Double = 1.0) extends PlanEnumerator {
+    val name = s"HeuristicSearch($heuristic)"
+
+    /** States popped from the frontier in the last run (the SIGMOD'23
+      * claim is optimal plans with far fewer expansions than DP). */
+    var lastExpanded: Int = 0
+
+    private def hValue(g: JoinGraph, parts: Vector[JoinTree]): Double =
+      if (parts.length <= 1) 0.0
+      else heuristic match {
+        case "zero" => 0.0
+        case "sum" => parts.map(_.card).sum
+        case "goo" =>
+          // simulate greedy completion; the final (complete) join's
+          // cardinality is a plan-independent constant and excluded,
+          // like the reference's GOO heuristic (hpp:1975-1981)
+          var forest = parts
+          var cost = 0.0
+          while (forest.length > 1) {
+            var bi = 0; var bj = 1
+            var bestCard = Double.MaxValue
+            for (i <- forest.indices; j <- (i + 1) until forest.length) {
+              val c = joinedCard(g, forest(i), forest(j))
+              if (c < bestCard) { bestCard = c; bi = i; bj = j }
+            }
+            if (forest.length > 2) cost += bestCard
+            val merged = Node(forest(bi), forest(bj), bestCard)
+            forest = forest.zipWithIndex
+              .collect { case (t, k) if k != bi && k != bj => t } :+ merged
+          }
+          cost
+        case other =>
+          throw new IllegalArgumentException(s"unknown heuristic '$other'")
+      }
+
+    def enumerate(g: JoinGraph): JoinTree = {
+      lastExpanded = 0
+      final case class Entry(parts: Vector[JoinTree], gCost: Double, f: Double)
+      implicit val ord: Ordering[Entry] = Ordering.by(e => -e.f)
+      val frontier = collection.mutable.PriorityQueue.empty[Entry]
+      val closed = collection.mutable.Set.empty[Set[Set[Int]]]
+      val start = g.rels.map(Leaf(_): JoinTree)
+      frontier.enqueue(Entry(start, 0.0, weight * hValue(g, start)))
+      while (frontier.nonEmpty) {
+        val e = frontier.dequeue()
+        val key = e.parts.map(_.set).toSet
+        if (!closed.contains(key)) {
+          closed += key
+          if (e.parts.length == 1) return e.parts.head
+          lastExpanded += 1
+          // expand: join a connected pair (any pair if disconnected)
+          val pairs = for {
+            i <- e.parts.indices; j <- (i + 1) until e.parts.length
+          } yield (i, j)
+          val connectedPairs = pairs.filter { case (i, j) =>
+            connected(g, e.parts(i).set, e.parts(j).set)
+          }
+          val candidates = if (connectedPairs.nonEmpty) connectedPairs else pairs
+          candidates.foreach { case (i, j) =>
+            val card = joinedCard(g, e.parts(i), e.parts(j))
+            val merged = Node(e.parts(i), e.parts(j), card)
+            val parts2 = e.parts.zipWithIndex
+              .collect { case (t, k) if k != i && k != j => t } :+ merged
+            val g2 = e.gCost + card
+            frontier.enqueue(Entry(parts2, g2, g2 + weight * hValue(g, parts2)))
+          }
+        }
+      }
+      throw new IllegalStateException("heuristic search exhausted the frontier")
+    }
+  }
+
   /** Pick the enumerator like the reference's default policy: exact DP
     * while affordable, greedy beyond. */
   def enumerate(g: JoinGraph): JoinTree =
@@ -150,19 +244,46 @@ object JoinReorder {
 object JoinReorderRule extends Rule[LogicalPlan] with PredicateHelper {
   import JoinReorder._
 
-  /** name → cardinality overrides (test/experiment injection). */
+  /** name → cardinality overrides (test/experiment injection). Only
+    * consulted when non-empty, i.e. never in production sessions. */
   @volatile var injectedCards: Map[String, Double] = Map.empty
 
+  /** Number of join trees this rule has reordered (observability: lets
+    * tests prove the rule actually fires in production sessions). */
+  @volatile var reorderCount: Long = 0L
+
+  /** Row-count estimate for a leaf. C_out sums cardinalities — ROW
+    * counts — so prefer `stats.rowCount` (present under CBO /
+    * InMemoryRelation); otherwise derive rows ≈ sizeInBytes / row
+    * width from the output schema. Mixing bytes into a row formula
+    * would skew ordering toward wide-but-short relations. */
   private def leafCard(p: LogicalPlan): Double = {
-    val injected = injectedCards.collectFirst {
-      case (name, card) if p.collectLeaves().exists(
-        _.toString.toLowerCase.contains(name.toLowerCase)) => card
+    val injected = if (injectedCards.isEmpty) None
+      else injectedCards.collectFirst {
+        case (name, card) if p.collectLeaves().exists(
+          _.toString.toLowerCase.contains(name.toLowerCase)) => card
+      }
+    injected.getOrElse {
+      val stats = p.stats
+      stats.rowCount match {
+        case Some(rc) => rc.toDouble.max(1.0)
+        case None =>
+          val rowWidth = math.max(8,
+            p.output.map(_.dataType.defaultSize).sum).toDouble
+          (stats.sizeInBytes.toDouble / rowWidth).max(1.0)
+      }
     }
-    injected.getOrElse(p.stats.sizeInBytes.toDouble.max(1.0))
   }
 
+  /** Marks join nodes this rule has already ordered — without it,
+    * transformDown would re-match the rebuilt join inside the new
+    * Project and recurse forever (tags survive tree copies, so the
+    * surrounding fixed point also converges). */
+  private val reorderedTag =
+    new org.apache.spark.sql.catalyst.trees.TreeNodeTag[Boolean]("graftJoinReordered")
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
-    case j @ Join(_, _, Inner, _, _) =>
+    case j @ Join(_, _, Inner, _, _) if j.getTagValue(reorderedTag).isEmpty =>
       val (leaves, conds) = flatten(j)
       if (leaves.length < 3) j
       else {
@@ -173,18 +294,35 @@ object JoinReorderRule extends Rule[LogicalPlan] with PredicateHelper {
         val graph = JoinGraph(rels, edges, residual)
         val tree = enumerate(graph)
         val rebuilt = build(tree, conds)
+        rebuilt.foreach {
+          case jn: Join => jn.setTagValue(reorderedTag, true)
+          case _ => ()
+        }
+        reorderCount += 1
         Project(j.output, rebuilt)
       }
   }
 
   /** Collect the leaves + conjunctive conditions of a maximal inner
-    * join subtree. */
+    * join subtree. Pure column-pruning Projects and Filters that other
+    * optimizer rules interleave between joins are transparent — without
+    * this the rule never sees more than 2 leaves on real plans (column
+    * pruning runs in the same fixed-point batch). The top-level
+    * `Project(j.output, …)` restores the original output, and the
+    * surrounding fixed point re-prunes the rebuilt tree. */
   private def flatten(plan: LogicalPlan): (Seq[LogicalPlan], Seq[Expression]) =
     plan match {
       case Join(l, r, Inner, cond, _) =>
         val (ll, lc) = flatten(l)
         val (rl, rc) = flatten(r)
         (ll ++ rl, lc ++ rc ++ cond.toSeq.flatMap(splitConjunctivePredicates))
+      case p: Project
+          if p.projectList.forall(_.isInstanceOf[Attribute]) &&
+            p.child.isInstanceOf[Join] =>
+        flatten(p.child)
+      case f: Filter if f.child.isInstanceOf[Join] =>
+        val (ll, lc) = flatten(f.child)
+        (ll, lc ++ splitConjunctivePredicates(f.condition))
       case other => (Seq(other), Nil)
     }
 
@@ -210,14 +348,16 @@ object JoinReorderRule extends Rule[LogicalPlan] with PredicateHelper {
   /** Rebuild the join tree, attaching every condition at the lowest
     * node where all its references are in scope. */
   private def build(tree: JoinTree, conds: Seq[Expression]): LogicalPlan = {
-    val remaining = collection.mutable.Set[Expression](conds: _*)
+    // ordered buffer (not a hash set) so the rebuilt And-chain is
+    // deterministic across runs
+    val remaining = collection.mutable.ArrayBuffer[Expression](conds: _*)
     def rec(t: JoinTree): LogicalPlan = t match {
       case Leaf(r) => r.plan
       case Node(l, r, _) =>
         val lp = rec(l); val rp = rec(r)
         val scope = lp.outputSet ++ rp.outputSet
         val applicable = remaining.filter(_.references.subsetOf(scope)).toSeq
-        applicable.foreach(remaining -= _)
+        remaining --= applicable
         val cond = applicable.reduceOption(And)
         Join(lp, rp, Inner, cond, JoinHint.NONE)
     }

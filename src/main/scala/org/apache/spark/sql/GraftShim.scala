@@ -25,4 +25,11 @@ object GraftShim {
   /** C-style integral division (mutable's `/` on integer operands). */
   def integralDivide(l: Column, r: Column): Column =
     column(catalyst.expressions.IntegralDivide(expression(l), expression(r)))
+
+  /** The optimizer rules a SparkSessionExtensions instance would
+    * inject (`buildOptimizerRules` is private[sql]); lets tests prove
+    * an extension class actually registers its rules. */
+  def optimizerRulesOf(ext: SparkSessionExtensions, spark: SparkSession)
+      : Seq[catalyst.rules.Rule[catalyst.plans.logical.LogicalPlan]] =
+    ext.buildOptimizerRules(spark)
 }

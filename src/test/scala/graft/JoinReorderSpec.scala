@@ -101,6 +101,76 @@ class JoinReorderSpec extends AnyFunSuite {
     }
   }
 
+  // ---- heuristic-search enumerator (ref SIGMOD'23) ----
+
+  for (shape <- Seq("chain", "star", "clique"); seed <- 1 to 3) {
+    test(s"heuristic search with zero heuristic (Dijkstra) is optimal on $shape (seed $seed)") {
+      val g = randomGraph(6, seed, shape)
+      val hs = new HeuristicSearchEnumerator("zero")
+      assert(math.abs(hs.enumerate(g).cost - bruteForce(g)) / bruteForce(g) < 1e-9)
+    }
+  }
+
+  for (shape <- Seq("chain", "star", "clique"); seed <- 1 to 3) {
+    test(s"GOO-guided search matches DP optimum on $shape (seed $seed)") {
+      val g = randomGraph(7, seed, shape)
+      val dp = DPsize.enumerate(g)
+      val hs = new HeuristicSearchEnumerator("goo")
+      val t = hs.enumerate(g)
+      assert(t.set == dp.set)
+      // goo guidance is inadmissible in theory; on these graphs it
+      // stays within a few percent of the optimum
+      assert(t.cost <= dp.cost * 1.05 + 1e-6)
+    }
+  }
+
+  test("GOO-guided search expands far fewer states than DP on a star (the SIGMOD'23 claim)") {
+    val n = 9
+    val g = randomGraph(n, 7, "star")
+    // DP must fill every connected subproblem of size ≥ 2: for a star,
+    // the hub with any non-empty leaf subset → 2^(n-1) - 1 - (n-1)
+    val dpSubproblems = (1 << (n - 1)) - 1 - (n - 1)
+    val hs = new HeuristicSearchEnumerator("goo")
+    val t = hs.enumerate(g)
+    assert(t.set == (0 until n).toSet)
+    assert(hs.lastExpanded < dpSubproblems,
+      s"expanded ${hs.lastExpanded} vs $dpSubproblems DP subproblems")
+    // weighted A* (the reference's anytime knob) collapses the search
+    // to near-greedy expansion counts while keeping the plan valid
+    val whs = new HeuristicSearchEnumerator("goo", weight = 3.0)
+    val wt = whs.enumerate(g)
+    assert(wt.set == (0 until n).toSet)
+    assert(whs.lastExpanded * 10 < dpSubproblems,
+      s"weighted expanded ${whs.lastExpanded} vs $dpSubproblems DP subproblems")
+  }
+
+  test("sum-heuristic search finds a valid complete plan on a clique") {
+    val g = randomGraph(7, 11, "clique")
+    val hs = new HeuristicSearchEnumerator("sum")
+    val dp = DPsize.enumerate(g)
+    val t = hs.enumerate(g)
+    assert(t.set == dp.set)
+    assert(t.cost >= dp.cost - 1e-6)
+  }
+
+  // ---- production wiring ----
+
+  test("GraftExtensions injects JoinReorderRule (production session wiring)") {
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.optimizer.GraftExtensions().apply(ext)
+    val rules = org.apache.spark.sql.GraftShim.optimizerRulesOf(ext, spark)
+    assert(rules.contains(JoinReorderRule))
+  }
+
+  test("the rule actually fires on a 5-way star join") {
+    val before = JoinReorderRule.reorderCount
+    spark.experimental.extraOptimizations = Seq(JoinReorderRule)
+    try {
+      operators.Relational.join5Way(spark, sf).collect()
+      assert(JoinReorderRule.reorderCount > before)
+    } finally spark.experimental.extraOptimizations = Nil
+  }
+
   test("rule preserves results on dialect comma-joins (q3 shape)") {
     val base = operators.DialectQueries.queries("dialect_q3")(spark, sf)
       .collect().map(_.toSeq.toString).sorted
