@@ -55,11 +55,26 @@ object DedupOps {
   private def shingles(sp: SparkSession, dir: String): DataFrame =
     shinglesRaw(sp, dir).distinct()
 
+  /** Document-frequency cap for the inverted-index self-join: a
+    * shingle occurring in more documents than this is dropped before
+    * pairing. One corpus-common 3-gram ("in the of") otherwise makes
+    * its join bucket quadratic in corpus size — THE skew killer at
+    * 100 TB. Far below the cap at test scale (≤500 docs), so oracle
+    * hashes are unchanged; the oracle SQL applies the same cap. */
+  val ShingleDfCap = 1000
+
   /** Exact n-gram Jaccard near-dup pairs (threshold 0.5) via inverted
     * index: shingle self-join → intersection counts → |A∪B| from per-doc
     * set sizes. Jaccard is exact int/int division → oracle-safe. */
   def ngramJaccard(sp: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(sp, dir).cache()
+    val shAll = shingles(sp, dir)
+    // hot shingles are a tiny, bounded set (each needs > DfCap docs);
+    // the anti-join is AQE-broadcast at runtime — no driver collect
+    val hot = shAll.groupBy(col("shingle"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") > ShingleDfCap)
+      .select(col("shingle"))
+    val sh = shAll.join(hot, Seq("shingle"), "left_anti").cache()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val inter = sh.as("x").join(sh.as("y"),
         col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))
@@ -77,12 +92,16 @@ object DedupOps {
   val ngramJaccardOracle: String = """
     WITH words AS (
       SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-    sh AS (
+    sh0 AS (
       SELECT DISTINCT doc_id,
         unnest(list_transform(
           range(1, GREATEST(len(ws) - 1, 2)),
           i -> array_to_string(ws[i:i+2], ' '))) AS shingle
       FROM words),
+    hot AS (
+      SELECT shingle FROM sh0 GROUP BY shingle HAVING COUNT(*) > 1000),
+    sh AS (
+      SELECT * FROM sh0 WHERE shingle NOT IN (SELECT shingle FROM hot)),
     sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
     inter AS (
       SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS c
@@ -134,16 +153,20 @@ object DedupOps {
       .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
       .distinct()
     // exact-Jaccard verification touches only candidate docs: semi-join
-    // the raw shingles down to that (tiny) set first, then dedup
+    // the raw shingles down to that set first, then dedup. The
+    // candidate set is data-dependent and unbounded on a dup-heavy
+    // corpus, so it is NOT force-broadcast — these are plain shuffle
+    // joins that AQE converts to broadcast when the runtime size
+    // allows (a forced broadcast here is the 100 TB OOM scenario).
     val candIds = cands
       .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
       .distinct()
     val shCand = shRaw
-      .join(broadcast(candIds), "doc_id", "left_semi")
+      .join(candIds, "doc_id", "left_semi")
       .distinct()
       .cache()
     val sizes = shCand.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val inter = broadcast(cands)
+    val inter = cands
       .join(shCand.as("xa"), col("xa.doc_id") === col("doc_a"))
       .join(shCand.as("xb"),
         col("xb.doc_id") === col("doc_b") && col("xa.shingle") === col("xb.shingle"))

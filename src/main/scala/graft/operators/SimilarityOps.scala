@@ -134,8 +134,14 @@ object SimilarityOps {
     val k = 16
     val nProbe = 4
     val all = vecs(sp, dir).withColumn("fv", array_to_vector(col("v")))
+    // train the coarse quantizer on a deterministic hash sample, not
+    // the full corpus — k-means is iterative (5 full passes at 100 TB
+    // otherwise). The modulus is a config knob; k-means needs only
+    // O(k·10³) points for k coarse centroids.
+    val sampleMod = sp.conf.getOption("graft.ivf.sampleMod").map(_.toInt).getOrElse(4)
+    val train = all.filter(pmod(xxhash64(col("vec_id")), lit(sampleMod)) === 0)
     val model = new KMeans().setK(k).setSeed(7).setMaxIter(5)
-      .setFeaturesCol("fv").setPredictionCol("list_id").fit(all)
+      .setFeaturesCol("fv").setPredictionCol("list_id").fit(train)
     val assigned = model.transform(all)
       .select(col("vec_id"), col("v"), col("nrm"), col("list_id"))
     // centroid table is tiny (k rows) → literal DataFrame, broadcast
@@ -164,13 +170,35 @@ object SimilarityOps {
         col("rank"), round(col("cosine"), 4).as("cosine_r"))
   }
 
-  /** Embedding near-duplicate pairs: cosine ≥ 0.95, id-ordered. */
+  /** Embedding near-duplicate pairs: cosine ≥ 0.95, id-ordered.
+    * Exact all-pairs — the small-scale oracle twin of
+    * [[embeddingNearDupLsh]], same relationship brute-force kNN has to
+    * the ANN variants. */
   def embeddingNearDup(sp: SparkSession, dir: String): DataFrame = {
     val a = vecs(sp, dir)
       .select(col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
     val b = vecs(sp, dir)
       .select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
     a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cosine", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("cosine") >= 0.95)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine_r"))
+  }
+
+  /** Near-duplicates at scale: candidates only from shared LSH buckets
+    * (8 tables × 6 bits — a cos ≥ 0.95 pair shares ≥1 bucket with
+    * ≈99.8% probability), then exact cosine verification. Candidate
+    * volume is bucket-local, so the all-pairs product never forms.
+    * Approximate by construction → recall-spec'd, no SQL oracle. */
+  def embeddingNearDupLsh(sp: SparkSession, dir: String): DataFrame = {
+    val b = buckets(vecs(sp, dir))
+    val cands = b.as("l").join(b.as("r"),
+        col("l.tbl") === col("r.tbl") && col("l.sig") === col("r.sig") &&
+          col("l.vec_id") < col("r.vec_id"))
+      .select(col("l.vec_id").as("id_a"), col("l.v").as("va"), col("l.nrm").as("na"),
+        col("r.vec_id").as("id_b"), col("r.v").as("vb"), col("r.nrm").as("nb"))
+      .distinct()
+    cands
       .withColumn("cosine", dot(col("va"), col("vb")) / (col("na") * col("nb")))
       .filter(col("cosine") >= 0.95)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine_r"))
@@ -191,7 +219,8 @@ object SimilarityOps {
     "sim_knn_bruteforce" -> (knnBruteForce _),
     "sim_ann_lsh" -> (annLsh _),
     "sim_ann_ivf" -> (annIvf _),
-    "sim_embedding_neardup" -> (embeddingNearDup _))
+    "sim_embedding_neardup" -> (embeddingNearDup _),
+    "sim_neardup_lsh" -> (embeddingNearDupLsh _))
 
   val oracles: Map[String, String] = Map(
     "sim_knn_bruteforce" -> knnBruteForceOracle,

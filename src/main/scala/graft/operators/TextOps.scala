@@ -130,7 +130,6 @@ object TextOps {
     * the dedup shingles). */
   def tokenHistogram(sp: SparkSession, dir: String): DataFrame =
     Engine.table(sp, dir, "documents")
-      .repartition(sp.sparkContext.defaultParallelism)
       .select(explode(split(col("text"), " ")).as("token"))
       .groupBy(col("token"))
       .agg(count(lit(1)).as("n"))

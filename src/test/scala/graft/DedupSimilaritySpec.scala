@@ -40,6 +40,19 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.2, s"ANN recall $recall too low (${ann.size} vs ${bf.size})")
   }
 
+  test("LSH near-dup finds the exact near-dup pairs (bucketed scale path)") {
+    val exact = SimilarityOps.embeddingNearDup(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = SimilarityOps.embeddingNearDupLsh(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // verification is exact → subset; 8-table LSH catches cos ≥ 0.95
+    // pairs with ≈99.8% probability each
+    assert(lsh.subsetOf(exact))
+    if (exact.nonEmpty)
+      assert(lsh.size.toDouble / exact.size >= 0.8,
+        s"LSH near-dup recall ${lsh.size}/${exact.size}")
+  }
+
   test("IVF-ANN recall vs brute-force top-5") {
     val bf = SimilarityOps.knnBruteForce(spark, sf)
       .select("query_id", "neighbor_id").collect()

@@ -36,6 +36,15 @@ class PlanQualitySpec extends AnyFunSuite {
       s"expected broadcast joins in:\n$plan")
   }
 
+  test("minhash-LSH has no forced broadcast of data-dependent candidate sets") {
+    // only AQE may broadcast (runtime-sized); a static broadcast hint
+    // on the candidate set is the 100 TB OOM scenario
+    val df = SparkEntry.queries("dedup_minhash_lsh")(spark, sf)
+    val logical = df.queryExecution.analyzed.toString
+    assert(!logical.contains("UnresolvedHint") && !logical.contains("ResolvedHint"),
+      "candidate-set broadcast hint found in minhash plan")
+  }
+
   test("q1 aggregation stays in whole-stage codegen") {
     val plan = planOf("q1_pricing_summary")
     // codegen'd operators carry the "*(n)" stage prefix in simple mode
