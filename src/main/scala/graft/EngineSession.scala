@@ -419,12 +419,15 @@ final class EngineSession(val spark: SparkSession,
       case MBool => v
       case other => throw new SemaError(s"cannot insert bool into $other")
     }
+    // java.time values, NOT java.sql: Catalyst converts LocalDate/
+    // Instant proleptically, so negative/ancient years survive INSERT
+    // without the hybrid-calendar rebase java.sql.Date would get
     case DateLit(iso) => target match {
       case MDate =>
         val p = iso.trim
         val (sign, rest) = if (p.startsWith("-")) (-1, p.drop(1)) else (1, p)
         val Array(y, m, d) = rest.split("-").map(_.toInt)
-        java.sql.Date.valueOf(java.time.LocalDate.of(sign * y, m, d))
+        java.time.LocalDate.of(sign * y, m, d)
       case other => throw new SemaError(s"cannot insert date into $other")
     }
     case DateTimeLit(iso) => target match {
@@ -434,8 +437,8 @@ final class EngineSession(val spark: SparkSession,
         val (sign, rest) = if (dp.startsWith("-")) (-1, dp.drop(1)) else (1, dp)
         val Array(y, m, d) = rest.split("-").map(_.toInt)
         val Array(hh, mi, ss) = parts(1).split(":").map(_.toInt)
-        java.sql.Timestamp.from(java.time.LocalDateTime
-          .of(sign * y, m, d, hh, mi, ss).toInstant(java.time.ZoneOffset.UTC))
+        java.time.LocalDateTime
+          .of(sign * y, m, d, hh, mi, ss).toInstant(java.time.ZoneOffset.UTC)
       case other => throw new SemaError(s"cannot insert datetime into $other")
     }
     case Unary("-", x) => literalValue(x, target) match {

@@ -19,6 +19,13 @@ object DialectQueries {
     sessions.computeIfAbsent((sp, dir),
       _ => EngineSession.withTestdata(sp, dir)).query(sql)
 
+  /** Like [[run]], but in a forked catalog — for query texts with DDL
+    * side effects (CREATE/USE), so the shared session stays on
+    * `testdata`. */
+  private def runIsolated(sp: SparkSession, dir: String, sql: String): DataFrame =
+    sessions.computeIfAbsent((sp, dir),
+      _ => EngineSession.withTestdata(sp, dir)).fork().query(sql)
+
   val q1Text: String = """
     SELECT l_returnflag, l_linestatus,
            SUM(l_quantity) AS sum_qty,
@@ -91,6 +98,40 @@ object DialectQueries {
     WHERE l_quantity > 1.5 * (SELECT AVG(l2.l_quantity) FROM lineitem AS l2
                               WHERE l2.l_partkey = l1.l_partkey);"""
 
+  /** Correlated subquery with an additional NON-equi correlated
+    * predicate. The planner lifts it above the grouping (ref
+    * QueryGraph.cpp:460-530): its inner side is the equi key, so the
+    * lifted predicate filters the single matching group per outer row —
+    * and because it depends only on the group key, row-level (SQL
+    * standard / DuckDB) and group-level (reference) semantics agree,
+    * making it oracle-checkable. */
+  val correlatedNonEquiText: String = """
+    SELECT l_orderkey, l_linenumber FROM lineitem AS l1
+    WHERE l_quantity > 1.5 * (SELECT AVG(l2.l_quantity) FROM lineitem AS l2
+                              WHERE l2.l_partkey = l1.l_partkey
+                                AND l2.l_partkey < l1.l_suppkey * 40);"""
+
+  /** Negative-/large-year DATE and DATETIME literals end-to-end:
+    * INSERT through the dialect (proleptic java.time values), compare
+    * and sort on ancient dates, return int keys (dates themselves
+    * can't round-trip the driver's pandas compare — datetime64[ns]
+    * caps at years 1677–2262). Fixture dates lifted from the shapes in
+    * ref test/ours/data/D.csv. */
+  val dateAncientText: String = """
+    CREATE DATABASE graftdates;
+    USE graftdates;
+    CREATE TABLE dd (key INT(4) NOT NULL, rdate DATE NOT NULL,
+                     rdatetime DATETIME NOT NULL);
+    INSERT INTO dd VALUES
+      (1, d'-4820-04-04', d'-0952-03-26 12:25:48'),
+      (2, d'1999-12-31', d'2000-01-01 00:00:00'),
+      (3, d'3065-12-18', d'1244-10-24 09:40:04'),
+      (4, d'-1167-12-14', d'2836-05-23 12:46:49'),
+      (5, d'0001-01-01', d'-4346-09-15 13:39:39');
+    SELECT key FROM dd
+    WHERE rdate < d'-1000-01-01' OR rdatetime > d'2000-01-01 00:00:00'
+    ORDER BY rdate, key;"""
+
   private def sqlDsum(expr: String): String =
     s"CAST(SUM(CAST(($expr) AS DECIMAL(18,6))) AS DOUBLE)"
 
@@ -101,7 +142,9 @@ object DialectQueries {
     "dialect_q12" -> ((s, d) => run(s, d, q12Text)),
     "dialect_q14" -> ((s, d) => run(s, d, q14Text)),
     "dialect_groupby_alias" -> ((s, d) => run(s, d, bucketText)),
-    "dialect_correlated" -> ((s, d) => run(s, d, correlatedText)))
+    "dialect_correlated" -> ((s, d) => run(s, d, correlatedText)),
+    "dialect_correlated_nonequi" -> ((s, d) => run(s, d, correlatedNonEquiText)),
+    "dialect_date_ancient" -> ((s, d) => runIsolated(s, d, dateAncientText)))
 
   val oracles: Map[String, String] = Map(
     "dialect_q1" -> s"""
@@ -160,5 +203,20 @@ object DialectQueries {
     "dialect_correlated" -> """
       SELECT l_orderkey, l_linenumber FROM lineitem l1
       WHERE l_quantity > 1.5 * (SELECT AVG(l2.l_quantity) FROM lineitem l2
-                                WHERE l2.l_partkey = l1.l_partkey)""")
+                                WHERE l2.l_partkey = l1.l_partkey)""",
+    "dialect_correlated_nonequi" -> """
+      SELECT l_orderkey, l_linenumber FROM lineitem l1
+      WHERE l_quantity > 1.5 * (SELECT AVG(l2.l_quantity) FROM lineitem l2
+                                WHERE l2.l_partkey = l1.l_partkey
+                                  AND l2.l_partkey < l1.l_suppkey * 40)""",
+    "dialect_date_ancient" -> """
+      SELECT key FROM (VALUES
+        (1, DATE '-4820-04-04', TIMESTAMP '-0952-03-26 12:25:48'),
+        (2, DATE '1999-12-31', TIMESTAMP '2000-01-01 00:00:00'),
+        (3, DATE '3065-12-18', TIMESTAMP '1244-10-24 09:40:04'),
+        (4, DATE '-1167-12-14', TIMESTAMP '2836-05-23 12:46:49'),
+        (5, DATE '0001-01-01', TIMESTAMP '-4346-09-15 13:39:39'))
+        AS dd(key, rdate, rdatetime)
+      WHERE rdate < DATE '-1000-01-01' OR rdatetime > TIMESTAMP '2000-01-01 00:00:00'
+      ORDER BY rdate, key""")
 }

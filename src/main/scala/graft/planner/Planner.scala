@@ -428,20 +428,49 @@ final class Planner(spark: SparkSession, lookup: String => Option[CatalogTable],
         !resolvesIn(id, inner) && resolvesIn(id, outer))
     }
     val conjuncts = sub.where.toSeq.flatMap(splitAnd)
-    val (innerOnly, correlated) = {
+    val cmpOps = Set("=", "!=", "<", "<=", ">", ">=")
+    // (innerKey, outerKey) equi pairs; lifted non-equi predicates as
+    // (innerExpr, op, outerExpr) with op oriented inner-op-outer
+    val (innerOnly, correlated, nonEqui) = {
       val io = Seq.newBuilder[Expr]
-      val co = Seq.newBuilder[(Expr, Expr)] // (innerKey, outerKey)
+      val co = Seq.newBuilder[(Expr, Expr)]
+      val ne = Seq.newBuilder[(Expr, String, Expr)]
+      def flipOp(op: String): String = op match {
+        case "<" => ">"; case "<=" => ">="; case ">" => "<"; case ">=" => "<="
+        case other => other
+      }
       conjuncts.foreach {
         case c if sideIsInner(c) => io += c
         case Binary("=", l, r) if sideIsInner(l) && sideIsOuter(r) => co += ((l, r))
         case Binary("=", l, r) if sideIsOuter(l) && sideIsInner(r) => co += ((r, l))
+        case Binary(op, l, r) if cmpOps(op) && sideIsInner(l) && sideIsOuter(r) =>
+          ne += ((l, op, r))
+        case Binary(op, l, r) if cmpOps(op) && sideIsOuter(l) && sideIsInner(r) =>
+          ne += ((r, flipOp(op), l))
         case other => throw new SemaError(
           s"unsupported correlated predicate: ${exprName(other)}")
       }
-      (io.result(), co.result())
+      (io.result(), co.result(), ne.result())
     }
     if (correlated.isEmpty)
-      throw new SemaError("internal: subquery is not correlated")
+      throw new SemaError(
+        if (nonEqui.isEmpty) "internal: subquery is not correlated"
+        else "correlated subquery needs at least one equi-predicate " +
+          "(non-equi-only correlation would require a dependent join)")
+    // ref QueryGraph.cpp:460-530: a non-equi correlated clause lifts
+    // above the grouping iff its bound (inner) side is composable of
+    // the grouping keys — here, one of the equi-derived keys. The
+    // predicate then filters the (single) matching group per outer
+    // row, exactly the reference's "trivial" decorrelation.
+    val nonEquiKeyed: Seq[(Int, String, Expr)] = nonEqui.map {
+      case (innerE, op, outerE) =>
+        correlated.indexWhere(_._1 == innerE) match {
+          case -1 => throw new SemaError(
+            "the inner side of a non-equi correlated predicate must be " +
+              s"composable of the grouping keys: ${exprName(innerE)}")
+          case i => (i, op, outerE)
+        }
+    }
 
     sqCounter += 1
     val alias = s"__sq$sqCounter"
@@ -461,10 +490,21 @@ final class Planner(spark: SparkSession, lookup: String => Option[CatalogTable],
       having = None, orderBy = Nil, limit = None, offset = None)
     val subDf = plan(lifted).alias(alias)
 
-    val joinCond = correlated.zipWithIndex.map { case ((_, outerKey), i) =>
+    val joinCond = (correlated.zipWithIndex.map { case ((_, outerKey), i) =>
       val ok = resolveScalar(outerKey, outer, allowAgg = false)
       ok.col === col(s"$alias.${keyNames(i)}")
-    }.reduce(_ && _)
+    } ++ nonEquiKeyed.map { case (i, op, outerE) =>
+      val oc = resolveScalar(outerE, outer, allowAgg = false).col
+      val kc = col(s"$alias.${keyNames(i)}")
+      op match {
+        case "=" => kc === oc
+        case "!=" => kc =!= oc
+        case "<" => kc < oc
+        case "<=" => kc <= oc
+        case ">" => kc > oc
+        case ">=" => kc >= oc
+      }
+    }).reduce(_ && _)
     val joined = fromDf.join(subDf, joinCond, "left_outer")
     val widened = new Scope(outer.sources :+ Source(alias,
       subDf.schema.fields.toSeq.map(f => f.name -> MTypes.fromSpark(f.dataType))))
