@@ -236,6 +236,27 @@ final class EngineSession(val spark: SparkSession,
       t.df = t.df.unionByName(newDf)
       CommandOk(s"inserted ${rows.length} rows into $table")
 
+    // instructions (ref DatabaseCommand.cpp:23-48): learn_spns trains
+    // a per-table SPN cardinality model over every table of the
+    // database in use, feeding the join-order rule's selectivities
+    case InstructionStmt(name, _) if name.equalsIgnoreCase("learn_spns") =>
+      val dbName = currentDb.getOrElse(
+        throw new SemaError("no database in use"))
+      var learned = 0
+      db().values.foreach { t =>
+        val hasNumeric = t.fields.exists(f => f._2.isNumeric ||
+          f._2 == MDate)
+        if (hasNumeric && !t.df.isEmpty) {
+          graft.optimizer.SpnCatalog.put(s"$dbName.${t.name}",
+            graft.optimizer.Spn.learnFrom(t.df))
+          learned += 1
+        }
+      }
+      CommandOk(s"learned SPNs for $learned tables")
+
+    case InstructionStmt(name, _) =>
+      throw new SemaError(s"instruction '\\$name' is not registered")
+
     // parity with ref DatabaseCommand.cpp:189-197 (parsed, unreachable)
     case UpdateStmt(_) =>
       throw new UnsupportedOperationException("UPDATE not yet implemented")

@@ -265,13 +265,61 @@ object JoinReorderRule extends Rule[LogicalPlan] with PredicateHelper {
       }
     injected.getOrElse {
       val stats = p.stats
-      stats.rowCount match {
+      val base = stats.rowCount match {
         case Some(rc) => rc.toDouble.max(1.0)
         case None =>
           val rowWidth = math.max(8,
             p.output.map(_.dataType.defaultSize).sum).toDouble
           (stats.sizeInBytes.toDouble / rowWidth).max(1.0)
       }
+      base * spnSelectivity(p)
+    }
+  }
+
+  /** Correlation-aware filter selectivity from a learned SPN (ref
+    * SpnEstimator, CardinalityEstimator.hpp:323): without CBO, Spark
+    * leaves Filter cardinality = child cardinality, so every filtered
+    * leaf looks full-size to the enumerator. If `\learn_spns` trained
+    * a model whose table matches this leaf, estimate the conjunction
+    * of its range predicates jointly — correlated columns multiply
+    * correctly instead of under the independence assumption. */
+  private def spnSelectivity(p: LogicalPlan): Double = {
+    if (SpnCatalog.keys.isEmpty) return 1.0
+    val leafStr = p.collectLeaves().map(_.toString.toLowerCase).mkString(" ")
+    val spn = SpnCatalog.keys
+      .find(k => leafStr.contains(k.split('.').last))
+      .flatMap(SpnCatalog.get)
+    spn match {
+      case None => 1.0
+      case Some(model) =>
+        import org.apache.spark.sql.catalyst.expressions._
+        val conds = p.collect { case f: Filter =>
+          splitConjunctivePredicates(f.condition)
+        }.flatten
+        def num(l: Literal): Option[Double] = l.value match {
+          case n: Number => Some(n.doubleValue())
+          case _ => None
+        }
+        val ranges = conds.flatMap {
+          case EqualTo(a: AttributeReference, l: Literal) =>
+            num(l).map(v => a.name -> (v, v))
+          case LessThan(a: AttributeReference, l: Literal) =>
+            num(l).map(v => a.name -> (Double.NegativeInfinity, v))
+          case LessThanOrEqual(a: AttributeReference, l: Literal) =>
+            num(l).map(v => a.name -> (Double.NegativeInfinity, v))
+          case GreaterThan(a: AttributeReference, l: Literal) =>
+            num(l).map(v => a.name -> (v, Double.PositiveInfinity))
+          case GreaterThanOrEqual(a: AttributeReference, l: Literal) =>
+            num(l).map(v => a.name -> (v, Double.PositiveInfinity))
+          case _ => None
+        }
+        // intersect multiple ranges on the same column
+        val merged = ranges.groupBy(_._1).map { case (n, rs) =>
+          n -> rs.map(_._2).reduce((x, y) =>
+            (math.max(x._1, y._1), math.min(x._2, y._2)))
+        }
+        if (merged.isEmpty) 1.0
+        else math.max(1e-6, model.estimate(merged))
     }
   }
 

@@ -74,4 +74,8 @@ object Ast {
   final case class ImportDsv(table: String, path: String, rows: Option[Long],
       delimiter: Option[String], escape: Option[String], quote: Option[String],
       hasHeader: Boolean, skipHeader: Boolean) extends Stmt
+
+  /** `\name arg…;` meta-command (ref DatabaseCommand.cpp:23-48
+    * instruction registry; only `learn_spns` is built in). */
+  final case class InstructionStmt(name: String, args: Seq[String]) extends Stmt
 }

@@ -72,6 +72,12 @@ final class Parser(tokens: Vector[Token]) {
       expect("FROM"); val t = expectIdent(); skipToStmtEnd(); DeleteStmt(t)
     }
     else if (accept("IMPORT")) parseImport()
+    else if (accept("\\")) {
+      val name = expectIdent()
+      val args = Seq.newBuilder[String]
+      while (cur.tpe != EOF && !cur.is(";")) args += advance().text
+      InstructionStmt(name, args.result())
+    }
     else fail("expected statement")
   }
 

@@ -34,6 +34,32 @@ class DialectSpec extends AnyFunSuite {
       Seq(Seq(1, 10), Seq(2, 20)))
   }
 
+  test("CHAR(n) is NUL-terminated C-string semantics: no pad in compare/concat/print") {
+    // ref CHAR(n) stores NUL-padded but compares/prints the C-string
+    // (Type.hpp:311-319; corpus strcmp + join_comparable_char_sequence
+    // goldens show unpadded values) — plain StringType matches exactly
+    val s = freshSession()
+    s.execute("""CREATE TABLE C (id INT(4) PRIMARY KEY, c CHAR(10))""")
+    s.execute("""INSERT INTO C VALUES (1, "ab"), (2, "ab        "), (3, "b")""")
+    // a short CHAR equals its unpadded literal, not the padded spelling
+    assert(rows(s, """SELECT id FROM C WHERE c = "ab" ORDER BY id;""") ==
+      Seq(Seq(1)))
+    assert(rows(s, """SELECT id FROM C WHERE c = "ab        ";""") == Seq(Seq(2)))
+    // concat does not smuggle pad characters in
+    assert(rows(s, """SELECT c .. "!" FROM C WHERE id = 1;""") == Seq(Seq("ab!")))
+    // ordering is plain byte order, where "ab" < "b"
+    assert(rows(s, """SELECT id FROM C WHERE c < "b" ORDER BY id;""") ==
+      Seq(Seq(1), Seq(2)))
+  }
+
+  test("a string longer than CHAR(n)/VARCHAR(n) is rejected at INSERT") {
+    val s = freshSession()
+    s.execute("""CREATE TABLE C2 (id INT(4), c CHAR(3))""")
+    intercept[graft.analyzer.SemaError] {
+      s.execute("""INSERT INTO C2 VALUES (1, "abcd")""")
+    }
+  }
+
   test("projection expressions: arithmetic, concat, INT cast") {
     val s = freshSession()
     val got = rows(s,
