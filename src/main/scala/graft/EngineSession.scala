@@ -320,7 +320,7 @@ final class EngineSession(val spark: SparkSession,
         cols.getOrElse(n.toLowerCase,
           throw new SemaError(s"unknown attribute '$n' in CHECK"))
       case IntLit(_) => MInt(8)
-      case FloatLit(_) => MFloat(64)
+      case FloatLit(_, _) => MFloat(64)
       case StrLit(v) => MStr(v.length, varying = true)
       case BoolLit(_) => MBool
       case NullLit => MNull
@@ -363,7 +363,7 @@ final class EngineSession(val spark: SparkSession,
   private def checkColumn(e: Expr, fields: Seq[(String, MType)]): Column = e match {
     case Id(_, n) => col(fields.find(_._1.equalsIgnoreCase(n)).get._1)
     case IntLit(v) => lit(v)
-    case FloatLit(v) => lit(v)
+    case FloatLit(v, _) => lit(v)
     case StrLit(v) => lit(v)
     case BoolLit(v) => lit(v)
     case NullLit => lit(null)
@@ -411,7 +411,7 @@ final class EngineSession(val spark: SparkSession,
 
   /** Evaluate an INSERT literal to a JVM value of the target type. */
   private def literalValue(e: Expr, target: MType): Any = e match {
-    case NullLit => null
+    case NullLit | DefaultLit => null
     case IntLit(v) => target match {
       case MInt(1) => v.toByte
       case MInt(2) => v.toShort
@@ -422,7 +422,7 @@ final class EngineSession(val spark: SparkSession,
       case MDecimal(p, s) => new java.math.BigDecimal(v).setScale(s)
       case other => throw new SemaError(s"cannot insert integer into $other")
     }
-    case FloatLit(v) => target match {
+    case FloatLit(v, _) => target match {
       case MFloat(32) => v.toFloat
       case MFloat(_) => v
       case MDecimal(p, s) =>

@@ -132,6 +132,196 @@ object JoinReorder {
     }
   }
 
+  /** DPsub (ref PlanEnumerator.cpp:201): subset-order DP — iterate
+    * subsets in increasing bit order, split each connected subset into
+    * plan-bearing halves. Same optimum as DPsize, different
+    * enumeration order (the classic Vance/Maier formulation). */
+  object DPsub extends PlanEnumerator {
+    val name = "DPsub"
+    def enumerate(g: JoinGraph): JoinTree = {
+      val n = g.rels.length
+      require(n <= 30, "DPsub is exponential; guard small n")
+      def setOf(mask: Int): Set[Int] =
+        (0 until n).filter(i => (mask & (1 << i)) != 0).toSet
+      val best = new Array[JoinTree](1 << n)
+      g.rels.foreach(r => best(1 << r.idx) = Leaf(r))
+      var s = 1
+      while (s < (1 << n)) {
+        if (Integer.bitCount(s) > 1) {
+          // iterate proper non-empty subsets of s
+          var s1 = (s - 1) & s
+          while (s1 != 0) {
+            val s2 = s ^ s1
+            if (s1 < s2 || best(s) == null) { // dedupe mirror splits
+              val (lt, rt) = (best(s1), best(s2))
+              if (lt != null && rt != null) {
+                val cand = Node(lt, rt, joinedCard(g, lt, rt))
+                if (best(s) == null || cand.cost < best(s).cost) best(s) = cand
+              }
+            }
+            s1 = (s1 - 1) & s
+          }
+        }
+        s += 1
+      }
+      best((1 << n) - 1)
+    }
+  }
+
+  /** DPccp (ref PlanEnumerator.cpp:275; Moerkotte & Neumann,
+    * "Analysis of Two Existing and One New DP Algorithm…"): enumerate
+    * exactly the connected-subgraph / connected-complement pairs, so
+    * no time is wasted on disconnected splits. Falls back to DPsize
+    * when the join graph itself is disconnected (cross products). */
+  object DPccp extends PlanEnumerator {
+    val name = "DPccp"
+
+    /** csg-cmp pairs actually enumerated in the last run (the metric
+      * the reference's enumerator comparisons count). */
+    var lastPairs: Int = 0
+
+    def enumerate(g: JoinGraph): JoinTree = {
+      val n = g.rels.length
+      lastPairs = 0
+      val adj: Array[Set[Int]] = {
+        val a = Array.fill(n)(Set.empty[Int])
+        g.edges.foreach { case (x, y, _) =>
+          a(x) += y; a(y) += x
+        }
+        a
+      }
+      def neighbors(s: Set[Int]): Set[Int] = s.flatMap(adj) -- s
+      // connectivity check for the whole graph → fallback
+      def component(from: Int): Set[Int] = {
+        var seen = Set(from); var frontier = Set(from)
+        while (frontier.nonEmpty) {
+          val next = frontier.flatMap(adj) -- seen
+          seen ++= next; frontier = next
+        }
+        seen
+      }
+      if (n > 0 && component(0).size < n) return DPsize.enumerate(g)
+
+      val best = collection.mutable.Map.empty[Set[Int], JoinTree]
+      g.rels.foreach(r => best(Set(r.idx)) = Leaf(r))
+
+      def emit(s1: Set[Int], s2: Set[Int]): Unit = {
+        lastPairs += 1
+        (best.get(s1), best.get(s2)) match {
+          case (Some(lt), Some(rt)) =>
+            val s = s1 ++ s2
+            val cand = Node(lt, rt, joinedCard(g, lt, rt))
+            if (!best.contains(s) || cand.cost < best(s).cost) best(s) = cand
+          case _ => ()
+        }
+      }
+
+      /** Enumerate connected supersets of `s` avoiding `x`, calling
+        * `f` on each (including `s` itself). */
+      def csgRec(s: Set[Int], x: Set[Int])(f: Set[Int] => Unit): Unit = {
+        val ns = (neighbors(s) -- x).toVector.sorted
+        // all non-empty subsets of the neighborhood
+        val m = ns.length
+        var mask = 1
+        while (mask < (1 << m)) {
+          val sub = (0 until m).collect {
+            case i if (mask & (1 << i)) != 0 => ns(i)
+          }.toSet
+          f(s ++ sub)
+          mask += 1
+        }
+        mask = 1
+        while (mask < (1 << m)) {
+          val sub = (0 until m).collect {
+            case i if (mask & (1 << i)) != 0 => ns(i)
+          }.toSet
+          csgRec(s ++ sub, x ++ ns)(f)
+          mask += 1
+        }
+      }
+
+      def forEachCsg(f: Set[Int] => Unit): Unit = {
+        var i = n - 1
+        while (i >= 0) {
+          val bi = (0 to i).toSet
+          f(Set(i))
+          csgRec(Set(i), bi)(f)
+          i -= 1
+        }
+      }
+
+      forEachCsg { s1 =>
+        val min = s1.min
+        val x = (0 to min).toSet ++ s1
+        val ns = (neighbors(s1) -- x).toVector.sorted.reverse
+        ns.foreach { j =>
+          emit(s1, Set(j))
+          // B_i(N) exclusion per Moerkotte-Neumann EnumerateCmp:
+          // neighbors of S1 with index ≤ j are handled by their own
+          // (earlier, descending) iterations
+          csgRec(Set(j), x ++ ns.filter(_ <= j))(s2 => emit(s1, s2))
+        }
+      }
+      best.getOrElse((0 until n).toSet, DPsize.enumerate(g))
+    }
+  }
+
+  /** IKKBZ (ref PlanEnumerator.cpp:298; Krishnamurthy, Boral &
+    * Zaniolo): polynomial left-deep ordering for (near-)acyclic
+    * graphs. Like the reference: build the minimum spanning tree
+    * w.r.t. join selectivity, then for every root linearize by rank
+    * under the MST precedence constraint and keep the cheapest
+    * linearization. */
+  object IKKBZ extends PlanEnumerator {
+    val name = "IKKBZ"
+    def enumerate(g: JoinGraph): JoinTree = {
+      val n = g.rels.length
+      if (n == 1) return Leaf(g.rels.head)
+      def sel(u: Int, v: Int): Double = {
+        val (cu, cv) = (g.rels(u).card, g.rels(v).card)
+        if (connected(g, Set(u), Set(v)))
+          JoinGraph.joinCard(cu, cv) / (cu * cv)
+        else 1.0
+      }
+      // Prim MST over selectivity (forest if disconnected)
+      val inMst = collection.mutable.Set(0)
+      val mstAdj = Array.fill(n)(Set.empty[Int])
+      while (inMst.size < n) {
+        val candidates = for {
+          u <- inMst.toSeq; v <- 0 until n if !inMst.contains(v)
+        } yield (u, v, sel(u, v))
+        val (u, v, _) = candidates.minBy(_._3)
+        mstAdj(u) += v; mstAdj(v) += u
+        inMst += v
+      }
+      def costOf(order: Seq[Int]): (Double, JoinTree) = {
+        var tree: JoinTree = Leaf(g.rels(order.head))
+        order.tail.foreach { r =>
+          val leaf = Leaf(g.rels(r))
+          tree = Node(tree, leaf, joinedCard(g, tree, leaf))
+        }
+        (tree.cost, tree)
+      }
+      // for every root: precedence-constrained rank linearization
+      val results = (0 until n).map { root =>
+        val seq = collection.mutable.Buffer(root)
+        val placed = collection.mutable.Set(root)
+        while (placed.size < n) {
+          val avail = (0 until n).filter(v =>
+            !placed.contains(v) && mstAdj(v).exists(placed.contains))
+          // rank = growth factor of the intermediate result
+          val next = avail.minBy { v =>
+            val parent = mstAdj(v).find(placed.contains).get
+            sel(parent, v) * g.rels(v).card
+          }
+          seq += next; placed += next
+        }
+        costOf(seq.toSeq)
+      }
+      results.minBy(_._1)._2
+    }
+  }
+
   /** Heuristic-search join ordering (ref include/mutable/IR/
     * HeuristicSearchPlanEnumerator.hpp + src/IR/
     * HeuristicSearchPlanEnumerator.cpp, SIGMOD'23): join ordering as

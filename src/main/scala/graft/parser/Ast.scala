@@ -8,7 +8,9 @@ object Ast {
   sealed trait Expr
   final case class Id(table: Option[String], name: String) extends Expr
   final case class IntLit(v: Long) extends Expr
-  final case class FloatLit(v: Double) extends Expr
+  final case class FloatLit(v: Double, raw: String = null) extends Expr
+  /** INSERT DEFAULT marker (prints as DEFAULT; evaluates like NULL). */
+  case object DefaultLit extends Expr
   final case class StrLit(v: String) extends Expr
   final case class BoolLit(v: Boolean) extends Expr
   case object NullLit extends Expr

@@ -189,7 +189,7 @@ final class Parser(tokens: Vector[Token]) {
       while (!cur.is(")")) {
         if (!first) expect(",")
         first = false
-        if (accept("DEFAULT")) vals += NullLit
+        if (accept("DEFAULT")) vals += DefaultLit
         else vals += parseExpr()
       }
       expect(")")
@@ -367,8 +367,12 @@ final class Parser(tokens: Vector[Token]) {
       IntLit(
         if (t.startsWith("0x") || t.startsWith("0X"))
           java.lang.Long.parseLong(t.drop(2), 16)
+        else if (t.length > 1 && t.head == '0') // C-style octal
+          java.lang.Long.parseLong(t, 8)
         else t.toLong)
-    case FLOAT_LIT => FloatLit(advance().text.toDouble)
+    case FLOAT_LIT =>
+      val t = advance().text
+      FloatLit(t.toDouble, t)
     case STR_LIT => StrLit(advance().text)
     case DATE_LIT => DateLit(advance().text)
     case DATETIME_LIT => DateTimeLit(advance().text)

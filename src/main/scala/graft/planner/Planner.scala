@@ -271,7 +271,7 @@ final class Planner(spark: SparkSession, lookup: String => Option[CatalogTable],
           throw new SemaError(s"internal: unregistered aggregate $fc"))
         Typed(col(n), t.tpe)
       case IntLit(v) => Typed(lit(v), MInt(8))
-      case FloatLit(v) => Typed(lit(v), MFloat(64))
+      case FloatLit(v, _) => Typed(lit(v), MFloat(64))
       case StrLit(v) => Typed(lit(v), MStr(v.length, varying = true))
       case BoolLit(v) => Typed(lit(v), MBool)
       case NullLit => Typed(lit(null), MNull)
@@ -542,7 +542,7 @@ final class Planner(spark: SparkSession, lookup: String => Option[CatalogTable],
       val (qn, tpe) = scope.resolve(t, n)
       Typed(col(qn), tpe)
     case IntLit(v) => Typed(lit(v), MInt(8))
-    case FloatLit(v) => Typed(lit(v), MFloat(64))
+    case FloatLit(v, _) => Typed(lit(v), MFloat(64))
     case StrLit(v) => Typed(lit(v), MStr(v.length, varying = true))
     case BoolLit(v) => Typed(lit(v), MBool)
     case NullLit => Typed(lit(null), MNull)
@@ -745,7 +745,7 @@ final class Planner(spark: SparkSession, lookup: String => Option[CatalogTable],
       val inner = if (star) "*" else args.map(exprName).mkString(", ")
       s"${n.toLowerCase}($inner)"
     case IntLit(v) => v.toString
-    case FloatLit(v) => v.toString
+    case FloatLit(v, _) => v.toString
     case StrLit(v) => v
     case BoolLit(v) => v.toString
     case NullLit => "NULL"

@@ -217,28 +217,43 @@ class GoldenCorpusSpec extends AnyFunSuite {
           }
         }
 
-        // ---- lexer stage
+        // ---- lexer stage (full golden token-dump compare)
         spec.stages.get("lexer").foreach { st =>
-          val r = try { Lexer.tokenize(spec.query); None }
-            catch { case e: LexError => Some(e) }
+          val r = try { Some(Lexer.dump(spec.query)) }
+            catch { case _: LexError => None }
           if (st.expectsError)
-            soft(r.isDefined, s"lexer: expected an error, tokenized fine")
-          else
-            soft(r.isEmpty, s"lexer: unexpected error ${r.map(_.getMessage)}")
+            soft(r.isEmpty, s"lexer: expected an error, tokenized fine")
+          else {
+            soft(r.isDefined, s"lexer: unexpected error")
+            st.out.foreach { golden =>
+              val expected = golden.linesIterator.toSeq
+              soft(r.get == expected,
+                s"lexer token dump mismatch:\n--- expected\n${expected.take(8).mkString("\n")}" +
+                  s"\n--- actual\n${r.get.take(8).mkString("\n")}")
+            }
+          }
         }
         val stopAfterLex = spec.stages.get("lexer").exists(_.expectsError)
 
-        // ---- parser stage
+        // ---- parser stage (full golden AST pretty-print compare)
         if (!stopAfterLex) spec.stages.get("parser").foreach { st =>
-          val r = try { Parser.parse(spec.query); None }
+          val r = try { Some(graft.parser.AstPrinter.script(spec.query)) }
             catch {
-              case e: ParseError => Some(e)
-              case e: LexError => Some(new ParseError(e.getMessage, 0))
+              case _: ParseError => None
+              case _: LexError => None
             }
           if (st.expectsError)
-            soft(r.isDefined, s"parser: expected an error, parsed fine")
-          else
-            soft(r.isEmpty, s"parser: unexpected error ${r.map(_.getMessage)}")
+            soft(r.isEmpty, s"parser: expected an error, parsed fine")
+          else {
+            soft(r.isDefined, s"parser: unexpected error")
+            st.out.foreach { golden =>
+              val expected = golden.linesIterator.toSeq
+              val actual = r.get.linesIterator.toSeq
+              soft(actual == expected,
+                s"parser pretty-print mismatch:\n--- expected\n${expected.mkString("\n")}" +
+                  s"\n--- actual\n${actual.mkString("\n")}")
+            }
+          }
         }
         val stopAfterParse = stopAfterLex ||
           spec.stages.get("parser").exists(_.expectsError)

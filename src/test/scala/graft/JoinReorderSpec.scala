@@ -101,6 +101,63 @@ class JoinReorderSpec extends AnyFunSuite {
     }
   }
 
+  // ---- the wider enumerator family (ref PlanEnumerator.cpp:725-738) ----
+
+  for (shape <- Seq("chain", "star", "clique"); seed <- 1 to 3) {
+    test(s"DPsub matches the DP optimum on $shape (seed $seed)") {
+      val g = randomGraph(7, seed, shape)
+      assert(math.abs(DPsub.enumerate(g).cost - bruteForce(g)) / bruteForce(g) < 1e-9)
+    }
+    test(s"DPccp matches the DP optimum on $shape (seed $seed)") {
+      val g = randomGraph(7, seed, shape)
+      assert(math.abs(DPccp.enumerate(g).cost - bruteForce(g)) / bruteForce(g) < 1e-9)
+    }
+  }
+
+  test("DPccp enumerates exactly the csg-cmp pairs of a chain: (n³−n)/6") {
+    val n = 10
+    val g = randomGraph(n, 3, "chain")
+    DPccp.enumerate(g)
+    assert(DPccp.lastPairs == (n * n * n - n) / 6,
+      s"expected ${(n * n * n - n) / 6} ccp pairs, enumerated ${DPccp.lastPairs}")
+  }
+
+  test("DPccp handles disconnected graphs via fallback (cross product)") {
+    val rels = Vector(Rel(null, 100.0, 0), Rel(null, 200.0, 1), Rel(null, 300.0, 2))
+    val g = JoinGraph(rels,
+      Seq((0, 1, null: org.apache.spark.sql.catalyst.expressions.Expression)), Nil)
+    assert(DPccp.enumerate(g).set == Set(0, 1, 2))
+  }
+
+  for (shape <- Seq("chain", "star"); seed <- 1 to 3) {
+    test(s"IKKBZ finds the optimal left-deep order on acyclic $shape (seed $seed)") {
+      val g = randomGraph(7, seed, shape)
+      // best left-deep order by DP over subsets
+      val n = g.rels.length
+      val bestLd = {
+        val memo = collection.mutable.Map.empty[Set[Int], (Double, Double)]
+        def solve(s: Set[Int]): (Double, Double) = memo.getOrElseUpdate(s, {
+          if (s.size == 1) (0.0, g.rels(s.head).card)
+          else s.toSeq.map { last =>
+            val rest = s - last
+            val (c, card) = solve(rest)
+            val joined =
+              if (g.edges.exists { case (x, y, _) =>
+                (rest(x) && y == last) || (rest(y) && x == last)
+              }) JoinGraph.joinCard(card, g.rels(last).card)
+              else card * g.rels(last).card
+            (c + joined, joined)
+          }.minBy(_._1)
+        })
+        solve((0 until n).toSet)._1
+      }
+      val ik = IKKBZ.enumerate(g)
+      assert(ik.set == (0 until n).toSet)
+      assert(ik.cost <= bestLd * 1.01 + 1e-6,
+        s"IKKBZ ${ik.cost} vs best left-deep $bestLd")
+    }
+  }
+
   // ---- heuristic-search enumerator (ref SIGMOD'23) ----
 
   for (shape <- Seq("chain", "star", "clique"); seed <- 1 to 3) {

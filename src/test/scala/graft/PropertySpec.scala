@@ -96,7 +96,7 @@ class PropertySpec extends AnyFunSuite {
     case Id(None, n) => n
     case Id(Some(t), n) => s"$t.$n"
     case IntLit(v) => v.toString
-    case FloatLit(v) => v.toString
+    case FloatLit(v, _) => v.toString
     case StrLit(v) =>
       "\"" + v.flatMap {
         case '"' => "\\\""
@@ -125,9 +125,20 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  /** Drop the raw source spelling FloatLit carries for golden
+    * pretty-printing — structural round-trip compares values. */
+  private def stripRaw(e: Expr): Expr = e match {
+    case FloatLit(v, _) => FloatLit(v)
+    case Unary(op, x) => Unary(op, stripRaw(x))
+    case Binary(op, l, r) => Binary(op, stripRaw(l), stripRaw(r))
+    case Like(l, p, n) => Like(stripRaw(l), stripRaw(p), n)
+    case FnCall(n, args, s) => FnCall(n, args.map(stripRaw), s)
+    case other => other
+  }
+
   test("print → parse round-trips the expression grammar") {
     forAll(genExpr(3), 300) { (e: Expr) =>
-      assert(parseExpr(print(e)) == e)
+      assert(stripRaw(parseExpr(print(e))) == stripRaw(e))
     }
   }
 
