@@ -258,9 +258,9 @@ final class EngineSession(val spark: SparkSession,
       throw new SemaError(s"instruction '\\$name' is not registered")
 
     // parity with ref DatabaseCommand.cpp:189-197 (parsed, unreachable)
-    case UpdateStmt(_) =>
+    case _: UpdateStmt =>
       throw new UnsupportedOperationException("UPDATE not yet implemented")
-    case DeleteStmt(_) =>
+    case _: DeleteStmt =>
       throw new UnsupportedOperationException("DELETE not yet implemented")
 
     case ImportDsv(table, path, rows, delim, esc, quote, hasHeader, skipHeader) =>

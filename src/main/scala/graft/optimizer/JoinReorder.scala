@@ -132,6 +132,36 @@ object JoinReorder {
     }
   }
 
+  /** PEall (ref PlanEnumerator.cpp:33): exhaustive enumeration of
+    * every binary join tree — the reference ships it as the testing
+    * oracle for the other enumerators, and so do we
+    * (JoinReorderSpec uses it as the brute-force ground truth). */
+  object PEall extends PlanEnumerator {
+    val name = "PEall"
+    def enumerate(g: JoinGraph): JoinTree = {
+      val memo = collection.mutable.Map.empty[Set[Int], JoinTree]
+      def solve(s: Set[Int]): JoinTree = memo.getOrElseUpdate(s, {
+        if (s.size == 1) Leaf(g.rels(s.head))
+        else {
+          var best: JoinTree = null
+          val members = s.toVector
+          for (mask <- 1 until (1 << members.length) - 1) {
+            val left = members.indices.collect {
+              case i if (mask & (1 << i)) != 0 => members(i)
+            }.toSet
+            if (left.contains(s.min)) { // halve: mirror trees cost alike
+              val (lt, rt) = (solve(left), solve(s -- left))
+              val cand = Node(lt, rt, joinedCard(g, lt, rt))
+              if (best == null || cand.cost < best.cost) best = cand
+            }
+          }
+          best
+        }
+      })
+      solve(g.rels.indices.toSet)
+    }
+  }
+
   /** DPsub (ref PlanEnumerator.cpp:201): subset-order DP — iterate
     * subsets in increasing bit order, split each connected subset into
     * plan-bearing halves. Same optimum as DPsize, different

@@ -70,8 +70,12 @@ object Ast {
   final case class DropIndex(names: Seq[String], ifExists: Boolean) extends Stmt
 
   final case class InsertStmt(table: String, rows: Seq[Seq[Expr]]) extends Stmt
-  final case class UpdateStmt(table: String) extends Stmt   // parsed, rejected at exec
-  final case class DeleteStmt(table: String) extends Stmt   // parsed, rejected at exec
+  /** Fully parsed (SET assignments + WHERE, ref grammar:103-111) but
+    * rejected at exec like the reference (DatabaseCommand.cpp:189-197). */
+  final case class UpdateStmt(table: String,
+      sets: Seq[(String, Expr)] = Nil, where: Option[Expr] = None) extends Stmt
+  final case class DeleteStmt(table: String,
+      where: Option[Expr] = None) extends Stmt
 
   final case class ImportDsv(table: String, path: String, rows: Option[Long],
       delimiter: Option[String], escape: Option[String], quote: Option[String],

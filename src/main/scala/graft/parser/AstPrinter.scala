@@ -127,8 +127,13 @@ object AstPrinter {
       val body = rows.map(r =>
         "    (" + r.map(expr).mkString(", ") + ")").mkString(",\n")
       s"INSERT INTO $table\nVALUES\n$body;"
-    case UpdateStmt(t) => s"UPDATE $t;"
-    case DeleteStmt(t) => s"DELETE FROM $t;"
+    case UpdateStmt(t, sets, where) =>
+      s"UPDATE $t\nSET " +
+        sets.map { case (c, e) => s"$c = ${expr(e)}" }.mkString(", ") +
+        where.map(w => s"\nWHERE ${expr(w)}").getOrElse("") + ";"
+    case DeleteStmt(t, where) =>
+      s"DELETE FROM $t" +
+        where.map(w => s"\nWHERE ${expr(w)}").getOrElse("") + ";"
     case ImportDsv(table, path, rows, delim, esc, quote, has, skip) =>
       val opts = rows.map(r => s" ROWS $r").getOrElse("") +
         delim.map(d => s" DELIMITER \"${escape(d)}\"").getOrElse("") +

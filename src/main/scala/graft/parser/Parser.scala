@@ -67,9 +67,22 @@ final class Parser(tokens: Vector[Token]) {
     } else if (accept("USE")) UseDatabase(expectIdent())
     else if (cur.is("SELECT")) parseSelect()
     else if (accept("INSERT")) parseInsert()
-    else if (accept("UPDATE")) { val t = expectIdent(); skipToStmtEnd(); UpdateStmt(t) }
+    else if (accept("UPDATE")) {
+      val t = expectIdent()
+      expect("SET")
+      val sets = Seq.newBuilder[(String, Expr)]
+      def parseSet(): Unit = {
+        val c = expectIdent(); expect("="); sets += ((c, parseExpr()))
+      }
+      parseSet()
+      while (accept(",")) parseSet()
+      val where = if (accept("WHERE")) Some(parseExpr()) else None
+      UpdateStmt(t, sets.result(), where)
+    }
     else if (accept("DELETE")) {
-      expect("FROM"); val t = expectIdent(); skipToStmtEnd(); DeleteStmt(t)
+      expect("FROM"); val t = expectIdent()
+      val where = if (accept("WHERE")) Some(parseExpr()) else None
+      DeleteStmt(t, where)
     }
     else if (accept("IMPORT")) parseImport()
     else if (accept("\\")) {
@@ -90,9 +103,6 @@ final class Parser(tokens: Vector[Token]) {
     while (accept(",")) names += expectIdent()
     names.result()
   }
-
-  private def skipToStmtEnd(): Unit =
-    while (cur.tpe != EOF && !cur.is(";")) advance()
 
   // ------------------------------------------------------------------ DDL
 

@@ -34,6 +34,28 @@ object StreamOps {
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
+  private val docSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType),
+    StructField("lang", StringType), StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** Unbounded documents stream (continuous-ingest dedup regime). */
+  def readDocuments(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(docSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+
+  /** Streaming exact dedup — twin of DedupOps.exact for the
+    * continuous-ingest regime: first-seen document per content hash
+    * survives. State is keyed on the 128-bit hash (32 bytes/doc, the
+    * same shuffle-payload argument as the batch op); a production
+    * deployment bounds it with `withWatermark` on ingest time +
+    * dropDuplicatesWithinWatermark. */
+  def dedupExact(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("text_hash"))
+      .dropDuplicates("text_hash")
+
   /** Tumbling 1-hour event-time windows per event_type with a
     * 2-hour watermark — streaming twin of EventOps.windowAgg. */
   def windowAgg(events: DataFrame): DataFrame =

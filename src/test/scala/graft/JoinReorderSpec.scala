@@ -10,7 +10,8 @@ import org.scalatest.funsuite.AnyFunSuite
 class JoinReorderSpec extends AnyFunSuite {
   import TestSession._
 
-  /** Exhaustive optimal cost over all binary trees (test oracle). */
+  /** Exhaustive optimal cost over all binary trees (independent test
+    * oracle — the production twin is the PEall enumerator). */
   private def bruteForce(g: JoinGraph): Double = {
     val memo = collection.mutable.Map.empty[Set[Int], (Double, Double)] // (cost, card)
     def solve(s: Set[Int]): (Double, Double) = memo.getOrElseUpdate(s, {
@@ -111,6 +112,13 @@ class JoinReorderSpec extends AnyFunSuite {
     test(s"DPccp matches the DP optimum on $shape (seed $seed)") {
       val g = randomGraph(7, seed, shape)
       assert(math.abs(DPccp.enumerate(g).cost - bruteForce(g)) / bruteForce(g) < 1e-9)
+    }
+  }
+
+  for (shape <- Seq("chain", "star", "clique")) {
+    test(s"PEall (exhaustive) agrees with the independent brute force on $shape") {
+      val g = randomGraph(6, 5, shape)
+      assert(math.abs(PEall.enumerate(g).cost - bruteForce(g)) / bruteForce(g) < 1e-9)
     }
   }
 

@@ -9,6 +9,22 @@ import org.scalatest.funsuite.AnyFunSuite
 class StreamingSpec extends AnyFunSuite {
   import TestSession._
 
+  test("streaming exact dedup keeps one survivor per content hash (matches batch groups)") {
+    val docs = StreamOps.readDocuments(spark, sf)
+    val q = StreamOps.dedupExact(docs).writeStream
+      .outputMode("append").format("memory").queryName("dedup").start()
+    try {
+      q.processAllAvailable()
+      val stream = spark.table("dedup").collect()
+        .map(_.getString(1)).toSeq
+      // one row per distinct hash, and the hash set matches the batch op
+      assert(stream.distinct.size == stream.size)
+      val batch = graft.operators.DedupOps.exact(spark, sf)
+        .select("text_hash").collect().map(_.getString(0)).toSet
+      assert(stream.toSet == batch)
+    } finally q.stop()
+  }
+
   test("streaming window agg matches batch on full replay") {
     val events = StreamOps.readEvents(spark, sf)
     val q = StreamOps.windowAgg(events).writeStream
