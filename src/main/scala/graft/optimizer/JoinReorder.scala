@@ -296,6 +296,59 @@ object JoinReorder {
     }
   }
 
+  /** TDbasic (ref PlanEnumerator.cpp:597): memoized top-down
+    * partitioning — recursively split each connected relation set into
+    * two connected halves, keep the cheapest. Same optimum as the
+    * bottom-up DPs; the top-down direction is what enables
+    * branch-and-bound pruning in the reference's TD variants. */
+  object TDbasic extends PlanEnumerator {
+    val name = "TDbasic"
+    def enumerate(g: JoinGraph): JoinTree = {
+      val n = g.rels.length
+      val adj: Array[Set[Int]] = {
+        val a = Array.fill(n)(Set.empty[Int])
+        g.edges.foreach { case (x, y, _) => a(x) += y; a(y) += x }
+        a
+      }
+      def isConnected(s: Set[Int]): Boolean = {
+        if (s.isEmpty) return false
+        var seen = Set(s.head); var frontier = Set(s.head)
+        while (frontier.nonEmpty) {
+          val next = frontier.flatMap(adj).intersect(s) -- seen
+          seen ++= next; frontier = next
+        }
+        seen == s
+      }
+      val wholeConnected = isConnected((0 until n).toSet)
+      val memo = collection.mutable.Map.empty[Set[Int], JoinTree]
+      def solve(s: Set[Int]): JoinTree = memo.getOrElseUpdate(s, {
+        if (s.size == 1) Leaf(g.rels(s.head))
+        else {
+          var best: JoinTree = null
+          val members = s.toVector
+          for (mask <- 1 until (1 << members.length) - 1) {
+            val left = members.indices.collect {
+              case i if (mask & (1 << i)) != 0 => members(i)
+            }.toSet
+            if (left.contains(s.min)) {
+              val right = s -- left
+              // on a connected graph only connected partitions are
+              // considered (the TD pruning); on a disconnected graph
+              // cross products are unavoidable → allow all splits
+              if (!wholeConnected || (isConnected(left) && isConnected(right))) {
+                val (lt, rt) = (solve(left), solve(right))
+                val cand = Node(lt, rt, joinedCard(g, lt, rt))
+                if (best == null || cand.cost < best.cost) best = cand
+              }
+            }
+          }
+          best
+        }
+      })
+      solve((0 until n).toSet)
+    }
+  }
+
   /** IKKBZ (ref PlanEnumerator.cpp:298; Krishnamurthy, Boral &
     * Zaniolo): polynomial left-deep ordering for (near-)acyclic
     * graphs. Like the reference: build the minimum spanning tree

@@ -113,6 +113,10 @@ class JoinReorderSpec extends AnyFunSuite {
       val g = randomGraph(7, seed, shape)
       assert(math.abs(DPccp.enumerate(g).cost - bruteForce(g)) / bruteForce(g) < 1e-9)
     }
+    test(s"TDbasic matches the DP optimum on $shape (seed $seed)") {
+      val g = randomGraph(7, seed, shape)
+      assert(math.abs(TDbasic.enumerate(g).cost - bruteForce(g)) / bruteForce(g) < 1e-9)
+    }
   }
 
   for (shape <- Seq("chain", "star", "clique")) {

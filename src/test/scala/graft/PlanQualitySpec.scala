@@ -45,6 +45,21 @@ class PlanQualitySpec extends AnyFunSuite {
       "candidate-set broadcast hint found in minhash plan")
   }
 
+  test("join reordering keeps parquet pushdown and bounded-dim broadcasts (q3)") {
+    // production sessions run JoinReorderRule; reordering must not
+    // strand filters above the scan or lose the dim broadcasts
+    spark.experimental.extraOptimizations = Seq(graft.optimizer.JoinReorderRule)
+    try {
+      val df = SparkEntry.queries("q3_shipping_priority")(spark, sf)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("PushedFilters:"))
+      val df2 = SparkEntry.queries("join_5way_star")(spark, sf)
+      df2.collect()
+      assert(df2.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+    } finally spark.experimental.extraOptimizations = Nil
+  }
+
   test("q1 aggregation stays in whole-stage codegen") {
     val plan = planOf("q1_pricing_summary")
     // codegen'd operators carry the "*(n)" stage prefix in simple mode
