@@ -80,11 +80,75 @@ object MultimodalOps {
       width, height
     FROM m"""
 
+  /** Container type sniffing by magic bytes — a REAL (codec-free)
+    * multimodal stage every ingest pipeline runs before routing blobs
+    * to decoders. Pure declarative prefix matching on the binary
+    * column: whole-stage-codegen'd, pushdown-friendly, oracled. */
+  def sniffType(sp: SparkSession, dir: String): DataFrame = {
+    // prefix compare on hex(blob): both engines hex the same UTF-8
+    // bytes (DuckDB lacks substring over BLOB, hex is the common
+    // denominator); still codegen'd on the Spark side
+    val hx = upper(hex(col("blob")))
+    Engine.table(sp, dir, "documents")
+      .select(col("doc_id"), col("text").cast("binary").as("blob"))
+      .select(col("doc_id"),
+        when(substring(hx, 1, 4) === "FFD8", "jpeg")
+          .when(substring(hx, 1, 8) === "89504E47", "png")
+          .when(substring(hx, 1, 8) === "47494638", "gif")
+          .when(substring(hx, 1, 8) === "52494646", "riff")
+          .when(substring(hx, 1, 8) === "25504446", "pdf")
+          .otherwise("unknown").as("sniffed"))
+  }
+
+  val sniffTypeOracle: String = """
+    SELECT doc_id,
+      CASE
+        WHEN substring(upper(hex(text::BLOB)), 1, 4) = 'FFD8' THEN 'jpeg'
+        WHEN substring(upper(hex(text::BLOB)), 1, 8) = '89504E47' THEN 'png'
+        WHEN substring(upper(hex(text::BLOB)), 1, 8) = '47494638' THEN 'gif'
+        WHEN substring(upper(hex(text::BLOB)), 1, 8) = '52494646' THEN 'riff'
+        WHEN substring(upper(hex(text::BLOB)), 1, 8) = '25504446' THEN 'pdf'
+        ELSE 'unknown'
+      END AS sniffed
+    FROM documents"""
+
+  /** Shannon byte entropy per blob — a real data-quality feature
+    * (corruption / already-compressed detection before decode). The
+    * per-byte histogram loop is genuine partition-local compute in the
+    * decoder slot (no codecs needed); validated by recomputation in
+    * MultimodalSpec, rows-only in the oracle gate (256-bin byte
+    * histograms aren't SQL-expressible). */
+  def byteEntropy(sp: SparkSession, dir: String): DataFrame = {
+    import sp.implicits._
+    Engine.table(sp, dir, "documents")
+      .select(col("doc_id"), col("text").cast("binary").as("blob"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, blob) =>
+          val hist = new Array[Long](256)
+          var i = 0
+          while (i < blob.length) { hist(blob(i) & 0xff) += 1; i += 1 }
+          var h = 0.0
+          val n = blob.length.toDouble
+          var b = 0
+          while (b < 256) {
+            if (hist(b) > 0) { val p = hist(b) / n; h -= p * math.log(p) }
+            b += 1
+          }
+          (id, blob.length, h / math.log(2.0))
+        }
+      }
+      .toDF("doc_id", "byte_len", "entropy_bits")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "media_decode" -> (mediaDecode _),
-    "media_frame_sample" -> (frameSample _))
+    "media_frame_sample" -> (frameSample _),
+    "media_sniff_type" -> (sniffType _),
+    "media_byte_entropy" -> (byteEntropy _))
 
   val oracles: Map[String, String] = Map(
     "media_decode" -> mediaDecodeOracle,
-    "media_frame_sample" -> frameSampleOracle)
+    "media_frame_sample" -> frameSampleOracle,
+    "media_sniff_type" -> sniffTypeOracle)
 }
