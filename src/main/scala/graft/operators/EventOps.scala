@@ -111,13 +111,52 @@ object EventOps {
       ON p.user_id = c.user_id AND p.ts <= c.ts
     GROUP BY c.event_id, c.user_id"""
 
+  /** Range (interval) join: every purchase paired with the same
+    * user's clicks within ±15 minutes — the operator class Spark has
+    * no native support for (SURVEY: as-of/range joins are custom).
+    *
+    * Scale-safe shape: band both sides into 15-minute buckets, explode
+    * the smaller side to its 3 adjacent buckets, equi-join on
+    * (user_id, bucket), then apply the exact range predicate. The
+    * naive |purchases|×|clicks| theta product never forms — candidate
+    * volume is bucket-local, the standard interval-join banding. */
+  def rangeJoin(sp: SparkSession, dir: String): DataFrame = {
+    val WMs = 900000L // 15 minutes
+    val ev = Engine.table(sp, dir, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        unix_millis(col("ts")).as("p_ms"))
+      .withColumn("bucket", explode(array(
+        floor(col("p_ms") / WMs) - 1,
+        floor(col("p_ms") / WMs),
+        floor(col("p_ms") / WMs) + 1)))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        unix_millis(col("ts")).as("c_ms"))
+      .withColumn("bucket", floor(col("c_ms") / WMs))
+    purchases.join(clicks, Seq("user_id", "bucket"))
+      .filter(abs(col("c_ms") - col("p_ms")) <= WMs)
+      .select(col("purchase_id"), col("click_id"),
+        (col("c_ms") - col("p_ms")).as("delta_ms"))
+  }
+
+  val rangeJoinOracle: String = """
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+      epoch_ms(c.ts) - epoch_ms(p.ts) AS delta_ms
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON c.user_id = p.user_id
+     AND abs(epoch_ms(c.ts) - epoch_ms(p.ts)) <= 900000"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_window_agg" -> (windowAgg _),
     "events_sessionize" -> (sessionize _),
-    "events_asof_join" -> (asofJoin _))
+    "events_asof_join" -> (asofJoin _),
+    "events_range_join" -> (rangeJoin _))
 
   val oracles: Map[String, String] = Map(
     "events_window_agg" -> windowAggOracle,
     "events_sessionize" -> sessionizeOracle,
-    "events_asof_join" -> asofJoinOracle)
+    "events_asof_join" -> asofJoinOracle,
+    "events_range_join" -> rangeJoinOracle)
 }

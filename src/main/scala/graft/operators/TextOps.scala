@@ -181,18 +181,38 @@ object TextOps {
     SELECT MIN(doc_id) AS keep_id FROM kept GROUP BY md5(text)"""
   }
 
+  /** BPE-style pre-tokenization count: tokens are space-prefixed
+    * letter runs, digit runs, or punctuation runs (the GPT-2
+    * pre-tokenizer shape, minus contraction special cases). The three
+    * alternatives are disjoint per start position, so Java (Spark) and
+    * RE2 (DuckDB) agree match-for-match — oracle-safe. */
+  private val BpePattern = " ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+"
+
+  def tokenBpe(sp: SparkSession, dir: String): DataFrame =
+    Engine.table(sp, dir, "documents")
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(BpePattern), lit(0)))
+          .as("n_bpe_tokens"))
+
+  val tokenBpeOracle: String = s"""
+    SELECT doc_id,
+      CAST(len(regexp_extract_all(text, '$BpePattern')) AS INT) AS n_bpe_tokens
+    FROM documents"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_quality_filter" -> (qualityFilterPipeline _),
     "text_token_stats" -> (tokenStats _),
     "text_quality_score" -> (qualityScore _),
     "text_lang_id" -> (langId _),
     "text_fingerprint" -> (fingerprint _),
-    "text_token_histogram" -> (tokenHistogram _))
+    "text_token_histogram" -> (tokenHistogram _),
+    "text_token_bpe" -> (tokenBpe _))
 
   val oracles: Map[String, String] = Map(
     "pipeline_quality_filter" -> qualityFilterPipelineOracle,
     "text_token_stats" -> tokenStatsOracle,
     "text_quality_score" -> qualityScoreOracle,
     "text_lang_id" -> langIdOracle,
-    "text_token_histogram" -> tokenHistogramOracle)
+    "text_token_histogram" -> tokenHistogramOracle,
+    "text_token_bpe" -> tokenBpeOracle)
 }
