@@ -296,6 +296,38 @@ object JoinReorder {
     }
   }
 
+  /** LinearizedDP (ref PlanEnumerator.cpp:457; Neumann & Radke,
+    * "Adaptive Optimization of Very Large Join Queries"): fix the
+    * IKKBZ linearization, then run interval DP (matrix-chain style)
+    * over it — the best BUSHY tree consistent with that linear order,
+    * in O(n³) instead of exponential. */
+  object LinearizedDP extends PlanEnumerator {
+    val name = "LinearizedDP"
+    def enumerate(g: JoinGraph): JoinTree = {
+      val order: Vector[Int] = {
+        def leaves(t: JoinTree): Vector[Int] = t match {
+          case Leaf(r) => Vector(r.idx)
+          case Node(l, r, _) => leaves(l) ++ leaves(r)
+        }
+        leaves(IKKBZ.enumerate(g))
+      }
+      val n = order.length
+      val best = Array.ofDim[JoinTree](n, n)
+      for (i <- 0 until n) best(i)(i) = Leaf(g.rels(order(i)))
+      for (len <- 2 to n; i <- 0 to n - len) {
+        val j = i + len - 1
+        var bt: JoinTree = null
+        for (k <- i until j) {
+          val (lt, rt) = (best(i)(k), best(k + 1)(j))
+          val cand = Node(lt, rt, joinedCard(g, lt, rt))
+          if (bt == null || cand.cost < bt.cost) bt = cand
+        }
+        best(i)(j) = bt
+      }
+      best(0)(n - 1)
+    }
+  }
+
   /** TDbasic (ref PlanEnumerator.cpp:597): memoized top-down
     * partitioning — recursively split each connected relation set into
     * two connected halves, keep the cheapest. Same optimum as the

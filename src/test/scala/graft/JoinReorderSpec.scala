@@ -117,6 +117,14 @@ class JoinReorderSpec extends AnyFunSuite {
       val g = randomGraph(7, seed, shape)
       assert(math.abs(TDbasic.enumerate(g).cost - bruteForce(g)) / bruteForce(g) < 1e-9)
     }
+    test(s"LinearizedDP is valid and at least as good as its linearization on $shape (seed $seed)") {
+      val g = randomGraph(7, seed, shape)
+      val lin = LinearizedDP.enumerate(g)
+      assert(lin.set == (0 until 7).toSet)
+      // interval DP can only improve on the left-deep IKKBZ tree
+      assert(lin.cost <= IKKBZ.enumerate(g).cost + 1e-6)
+      assert(lin.cost >= bruteForce(g) - 1e-6)
+    }
   }
 
   for (shape <- Seq("chain", "star", "clique")) {
