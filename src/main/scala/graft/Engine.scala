@@ -37,6 +37,9 @@ object Engine {
       // java.time collect types: proleptic Gregorian end-to-end, so
       // negative-year DATEs survive the driver boundary unrebased
       .config("spark.sql.datetime.java8API.enabled", "true")
+      // events.parquet is TIMESTAMP(NANOS); set at build time so
+      // Engine.table needs no session-conf mutation on the hot path
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -51,7 +54,11 @@ object Engine {
     * DuckDB's truncation of ns towards earlier time). */
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // idempotent guard for sessions not built by Engine.session
+      // (constant value — benign under concurrency)
+      if (spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
+          .forall(_ != "true"))
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       spark.read.parquet(s"$dir/$name.parquet")
         .withColumn("ts",
           org.apache.spark.sql.functions.timestamp_micros(
