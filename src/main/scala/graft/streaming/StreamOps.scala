@@ -56,6 +56,99 @@ object StreamOps {
       .select(col("doc_id"), md5(col("text").cast("binary")).as("text_hash"))
       .dropDuplicates("text_hash")
 
+  // ---------------------------------------- streaming MinHash-LSH
+
+  /** Bit-exact twin of Spark's `xxhash64` on a string column (seed 42
+    * over the UTF-8 bytes) — the streaming signature must land in the
+    * same LSH buckets as the batch op's. */
+  private def xx64(s: String): Long = {
+    val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+      b, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, b.length, 42L)
+  }
+
+  private val NumPerm = 64
+  private val BandRows = 4
+
+  /** Per-document MinHash signature, identical to the batch pipeline
+    * (word-3-gram shingles → xxhash64 → splitmix permutations): a
+    * document is bounded, so the signature is a cheap row-local map in
+    * the streaming regime — no aggregation state needed. */
+  private[streaming] def signature(text: String): Array[Long] = {
+    val ws = text.split(" ", -1)
+    val n = math.max(ws.length - 2, 1)
+    val sig = Array.fill(NumPerm)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val h = xx64(ws.slice(i, i + 3).mkString(" "))
+      var j = 0
+      while (j < NumPerm) {
+        val v = graft.functions.Hashing.mix(h + j * graft.functions.Hashing.Golden)
+        if (v < sig(j)) sig(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    sig
+  }
+
+  /** Band-bucket key, identical to the batch `xxhash64(slice(sig, …))`
+    * (Spark hashes arrays by folding hashLong with the running hash as
+    * seed). */
+  private[streaming] def bandHash(sig: Array[Long], band: Int): Long = {
+    var h = 42L
+    var i = band * BandRows
+    while (i < (band + 1) * BandRows) {
+      h = org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(sig(i), h)
+      i += 1
+    }
+    h
+  }
+
+  final case class BandEntry(band: Int, bh: Long, doc_id: Long)
+  final case class CandPair(doc_a: Long, doc_b: Long, band: Int)
+
+  /** Streaming near-duplicate CANDIDATE detection: continuous
+    * MinHash-LSH. Each arriving document hashes into 16 band buckets;
+    * per-bucket state remembers previously seen doc ids and every new
+    * arrival emits candidate pairs against them. Downstream exact
+    * verification (as in the batch op) would join back to the texts.
+    *
+    * Scale posture: state is per occupied bucket, capped at
+    * [[MaxBucket]] ids (a bucket denser than that is a dup cluster —
+    * pairing against the first K members already links the cluster);
+    * production deployments add ingest-time state TTL. The candidate
+    * set provably covers the batch op's verified pairs — asserted on
+    * replay in StreamingSpec. */
+  val MaxBucket = 64
+
+  def minhashCandidates(spark: SparkSession, docs: DataFrame): Dataset[CandPair] = {
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val sig = signature(text)
+        (0 until NumPerm / BandRows).map(b => BandEntry(b, bandHash(sig, b), id))
+      }
+      .groupByKey(e => (e.band, e.bh))
+      .flatMapGroupsWithState[Array[Long], CandPair](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: (Int, Long), rows: Iterator[BandEntry], state: GroupState[Array[Long]]) =>
+          val seen = collection.mutable.ArrayBuffer(
+            state.getOption.getOrElse(Array.empty[Long]).toSeq: _*)
+          val out = Seq.newBuilder[CandPair]
+          rows.toSeq.map(_.doc_id).distinct.sorted.foreach { id =>
+            if (!seen.contains(id)) {
+              seen.foreach { other =>
+                out += CandPair(math.min(other, id), math.max(other, id), key._1)
+              }
+              if (seen.length < MaxBucket) seen += id
+            }
+          }
+          state.update(seen.toArray)
+          out.result().iterator
+      }
+  }
+
   /** Tumbling 1-hour event-time windows per event_type with a
     * 2-hour watermark — streaming twin of EventOps.windowAgg. */
   def windowAgg(events: DataFrame): DataFrame =

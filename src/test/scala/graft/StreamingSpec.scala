@@ -25,6 +25,25 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming LSH candidates cover the batch minhash pairs on full replay") {
+    val docs = StreamOps.readDocuments(spark, sf)
+    val q = StreamOps.minhashCandidates(spark, docs).writeStream
+      .outputMode("append").format("memory").queryName("mhcands").start()
+    try {
+      q.processAllAvailable()
+      val cands = spark.table("mhcands").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      // every batch-VERIFIED near-dup pair shares at least one band
+      // bucket, so the streaming candidate set must cover it
+      val verified = graft.operators.DedupOps.minhashLsh(spark, sf)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(verified.subsetOf(cands),
+        s"missing ${verified -- cands} of ${verified.size} verified pairs " +
+          s"from ${cands.size} candidates")
+      assert(cands.forall { case (a, b) => a < b })
+    } finally q.stop()
+  }
+
   test("streaming window agg matches batch on full replay") {
     val events = StreamOps.readEvents(spark, sf)
     val q = StreamOps.windowAgg(events).writeStream
