@@ -199,7 +199,43 @@ object TextOps {
       CAST(len(regexp_extract_all(text, '$BpePattern')) AS INT) AS n_bpe_tokens
     FROM documents"""
 
+  /** PII scrubbing — the redaction stage every training-data pipeline
+    * runs: emails, URLs and long digit runs replaced by placeholder
+    * tokens, with per-document match counts for audit. Conservative
+    * regexes chosen to behave identically under Java (Spark) and RE2
+    * (DuckDB); single pass, codegen'd, shuffle-free. */
+  private val EmailRe = "[A-Za-z0-9.]+@[A-Za-z0-9.]+"
+  private val UrlRe = "https?://[^ ]+"
+  private val DigitRunRe = "[0-9]{6,}"
+
+  def redactPii(sp: SparkSession, dir: String): DataFrame =
+    Engine.table(sp, dir, "documents")
+      .select(col("doc_id"),
+        regexp_count(col("text"), lit(EmailRe)).cast("long").as("n_emails"),
+        regexp_count(col("text"), lit(UrlRe)).cast("long").as("n_urls"),
+        regexp_count(col("text"), lit(DigitRunRe)).cast("long").as("n_digit_runs"),
+        length(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(col("text"), EmailRe, "<EMAIL>"),
+              UrlRe, "<URL>"),
+            DigitRunRe, "<NUM>")).cast("long").as("redacted_len"))
+
+  val redactPiiOracle: String = s"""
+    SELECT doc_id,
+      CAST(len(regexp_extract_all(text, '$EmailRe')) AS BIGINT) AS n_emails,
+      CAST(len(regexp_extract_all(text, '$UrlRe')) AS BIGINT) AS n_urls,
+      CAST(len(regexp_extract_all(text, '$DigitRunRe')) AS BIGINT) AS n_digit_runs,
+      CAST(LENGTH(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(text, '$EmailRe', '<EMAIL>', 'g'),
+            '$UrlRe', '<URL>', 'g'),
+          '$DigitRunRe', '<NUM>', 'g')) AS BIGINT) AS redacted_len
+    FROM documents"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_redact_pii" -> (redactPii _),
     "pipeline_quality_filter" -> (qualityFilterPipeline _),
     "text_token_stats" -> (tokenStats _),
     "text_quality_score" -> (qualityScore _),
@@ -209,6 +245,7 @@ object TextOps {
     "text_token_bpe" -> (tokenBpe _))
 
   val oracles: Map[String, String] = Map(
+    "text_redact_pii" -> redactPiiOracle,
     "pipeline_quality_filter" -> qualityFilterPipelineOracle,
     "text_token_stats" -> tokenStatsOracle,
     "text_quality_score" -> qualityScoreOracle,
