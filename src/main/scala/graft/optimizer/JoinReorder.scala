@@ -590,9 +590,24 @@ object JoinReorderRule extends Rule[LogicalPlan] with PredicateHelper {
     * correctly instead of under the independence assumption. */
   private def spnSelectivity(p: LogicalPlan): Double = {
     if (SpnCatalog.keys.isEmpty) return 1.0
-    val leafStr = p.collectLeaves().map(_.toString.toLowerCase).mkString(" ")
+    // resolve the scanned table's name structurally: file-backed scans
+    // carry their root path (…/lineitem.parquet → "lineitem"); only
+    // fall back to the plan string for non-file relations
+    val leafNames: Seq[String] = p.collectLeaves().flatMap {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.location.rootPaths.map(_.getName.toLowerCase
+              .stripSuffix(".parquet").stripSuffix(".csv"))
+          case _ => Seq(lr.toString.toLowerCase)
+        }
+      case other => Seq(other.toString.toLowerCase)
+    }
     val spn = SpnCatalog.keys
-      .find(k => leafStr.contains(k.split('.').last))
+      .find { k =>
+        val table = k.split('.').last
+        leafNames.exists(n => n == table || n.contains(table))
+      }
       .flatMap(SpnCatalog.get)
     spn match {
       case None => 1.0
