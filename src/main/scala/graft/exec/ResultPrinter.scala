@@ -58,7 +58,10 @@ object ResultPrinter {
         case t: java.time.Instant =>
           fmtDateTime(java.time.LocalDateTime.ofInstant(t, java.time.ZoneOffset.UTC))
         case d: java.sql.Date => fmtDate(d.toLocalDate)
-        case t: java.sql.Timestamp => fmtDateTime(t.toLocalDateTime)
+        // via the instant + explicit UTC, not toLocalDateTime (which
+        // would silently shift under a non-UTC JVM default timezone)
+        case t: java.sql.Timestamp => fmtDateTime(
+          java.time.LocalDateTime.ofInstant(t.toInstant, java.time.ZoneOffset.UTC))
         case b: java.math.BigDecimal => b.toPlainString
         case b: scala.math.BigDecimal => b.underlying.toPlainString
         case other => other.toString
