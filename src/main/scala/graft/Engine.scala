@@ -40,6 +40,11 @@ object Engine {
       // events.parquet is TIMESTAMP(NANOS); set at build time so
       // Engine.table needs no session-conf mutation on the hot path
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // sketch Aggregators (MinHash/SimHash) keep one object buffer per
+      // group; the default 128-group fallback would switch them to
+      // sort-based aggregation (set here once — operators must not
+      // mutate shared-session conf per call)
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1000000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -130,16 +130,17 @@ object DedupOps {
     * bytes instead of a ~20-char string (collisions are ~2^-64·n²,
     * irrelevant next to LSH's own approximation). */
   def minhashLsh(sp: SparkSession, dir: String): DataFrame = {
-    // keep the one-object-buffer-per-group aggregation path for the
-    // signature udaf (default fallback threshold of 128 groups would
-    // switch it to sort-based aggregation)
-    sp.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1000000")
-    // min() is duplicate-insensitive → no distinct before the agg;
-    // one shuffle (by doc_id) builds every signature
-    val shRaw = shinglesRaw(sp, dir)
+    // Distinct hashed shingles serve BOTH paths: min() over distinct
+    // equals min() over raw (signature agg), and verification needs set
+    // semantics anyway. The distinct is exchange-free — shinglesRaw
+    // pre-partitions by doc_id, and HashPartitioning(doc_id) satisfies
+    // the (doc_id, shingle) clustering — so one cache and zero extra
+    // shuffles replace the previous raw+candidate double cache.
+    val sh = shinglesRaw(sp, dir)
       .select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
-      .cache() // reused by signature agg + candidate verification
-    val sigs = shRaw.groupBy(col("doc_id"))
+      .distinct()
+      .cache()
+    val sigs = sh.groupBy(col("doc_id"))
       .agg(minhashSig(col("shingle")).as("sig"))
     val bands = sigs.select(col("doc_id"),
       explode(array((0 until NumBands).map { b =>
@@ -147,24 +148,24 @@ object DedupOps {
           xxhash64(slice(col("sig"), b * BandRows + 1, BandRows)).as("bh"))
       }: _*)).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.bh").as("bh"))
+    // distinct: two docs can collide in several bands, and duplicate
+    // candidate pairs would inflate the intersection counts below
     val cands = bands.as("l").join(bands.as("r"),
         col("l.band") === col("r.band") && col("l.bh") === col("r.bh") &&
           col("l.doc_id") < col("r.doc_id"))
       .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
       .distinct()
+      .cache() // tiny (pairs); stops the band self-join running twice
     // exact-Jaccard verification touches only candidate docs: semi-join
-    // the raw shingles down to that set first, then dedup. The
+    // the shingles down to that set first. No distinct on candIds —
+    // left_semi is duplicate-insensitive on its right side. The
     // candidate set is data-dependent and unbounded on a dup-heavy
     // corpus, so it is NOT force-broadcast — these are plain shuffle
     // joins that AQE converts to broadcast when the runtime size
     // allows (a forced broadcast here is the 100 TB OOM scenario).
     val candIds = cands
       .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
-      .distinct()
-    val shCand = shRaw
-      .join(candIds, "doc_id", "left_semi")
-      .distinct()
-      .cache()
+    val shCand = sh.join(candIds, "doc_id", "left_semi")
     val sizes = shCand.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val inter = cands
       .join(shCand.as("xa"), col("xa.doc_id") === col("doc_a"))
@@ -185,7 +186,6 @@ object DedupOps {
     * single custom Aggregator buffer (Array[Int](64)), not 64 sum()
     * columns. */
   def simhashPairs(sp: SparkSession, dir: String): DataFrame = {
-    sp.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1000000")
     val simhashAgg = udaf(graft.functions.SimHashAgg)
     val tokens = Engine.table(sp, dir, "documents")
       .repartition(sp.sparkContext.defaultParallelism, col("doc_id"))

@@ -1,0 +1,40 @@
+package graft.tools
+
+import graft.Engine
+
+/** Dev harness: time any registered `SparkEntry.queries` entry and dump
+  * its runtime join strategy. Replaces the one-off ProfileMinhash*/
+/* harnesses flagged by the round-3 review.
+ *
+ * Usage:  runMain graft.tools.Profile <query>[,<query>…] [sfDir] [runs]
+ * e.g.    runMain graft.tools.Profile dedup_minhash_lsh /root/testdata/sf0.1 3
+ */
+object Profile {
+  def main(args: Array[String]): Unit = {
+    val names = args.headOption.getOrElse("dedup_minhash_lsh").split(',').toSeq
+    val dir = args.lift(1).getOrElse("/root/testdata/sf0.1")
+    val runs = args.lift(2).map(_.toInt).getOrElse(2)
+    val spark = Engine.session("profile")
+    Engine.table(spark, dir, "lineitem").count() // session warmup
+
+    def time[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[profile] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+
+    for (name <- names) {
+      val q = graft.SparkEntry.queries.getOrElse(name,
+        sys.error(s"unknown query '$name'; known: ${graft.SparkEntry.queries.keys.toSeq.sorted.mkString(", ")}"))
+      for (i <- 1 to runs)
+        time(s"$name run$i")(
+          q(spark, dir).write.format("noop").mode("overwrite").save())
+      val plan = q(spark, dir).queryExecution.executedPlan.toString
+      for (k <- Seq("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin",
+                    "BroadcastNestedLoopJoin", "Exchange", "InMemoryTableScan"))
+        println(s"[profile] $name $k count: " + k.r.findAllIn(plan).size)
+      spark.sharedState.cacheManager.clearCache()
+    }
+    spark.stop()
+  }
+}

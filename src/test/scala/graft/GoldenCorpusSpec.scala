@@ -311,8 +311,14 @@ class GoldenCorpusSpec extends AnyFunSuite {
               val (ef, af) = (splitCsv(e), splitCsv(a))
               ef.size == af.size && ef.zip(af).forall((ulpClose _).tupled)
             }
+            // ORDER BY output is position-significant: the ulp fallback
+            // must not re-sort it (a right-rows/wrong-order result would
+            // otherwise pass). Unordered output compares as a multiset.
             def ulpMatch(es: Seq[String], as_ : Seq[String]): Boolean =
-              es.size == as_.size && es.sorted.zip(as_.sorted).forall((rowClose _).tupled)
+              es.size == as_.size && {
+                if (hasOrderBy(spec.query)) es.zip(as_).forall((rowClose _).tupled)
+                else es.sorted.zip(as_.sorted).forall((rowClose _).tupled)
+              }
             val ok = exact || (asMultiset && !hasOrderBy(spec.query)) ||
               ulpMatch(expected, actual)
             def diffRows: String = expected.zipAll(actual, "<missing>", "<missing>")
