@@ -23,7 +23,27 @@ case object MDate extends MType
 case object MDateTime extends MType
 case object MNull extends MType                          // type of NULL
 
-final class SemaError(msg: String) extends RuntimeException(msg)
+/** One positioned diagnostic, rendered in the reference's format
+  * (`-:line:col: error: message`, ref Diagnostic.hpp/diag.e). Position
+  * (0,0) means "unknown" and renders without the location prefix. */
+final case class Diag(line: Int, col: Int, msg: String) {
+  def render: String =
+    if (line > 0) s"-:$line:$col: error: $msg" else s"error: $msg"
+}
+
+/** Sema failure carrying one or more positioned diagnostics — the
+  * reference's Sema recovers and keeps checking, so a single statement
+  * can produce several errors (corpus num_err counts pin this). */
+final class SemaError(val diags: Seq[Diag])
+    extends RuntimeException(diags.map(_.render).mkString("\n")) {
+  def this(msg: String) = this(Seq(Diag(0, 0, msg)))
+}
+
+object SemaError {
+  /** Positioned single-diagnostic error anchored at an AST node. */
+  def at(p: graft.parser.Ast.Positioned, msg: String): SemaError =
+    new SemaError(Seq(Diag(p.line, p.col, msg)))
+}
 
 object MTypes {
 

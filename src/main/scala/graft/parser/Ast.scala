@@ -4,9 +4,28 @@ package graft.parser
   * mutable/parse/AST.hpp; grammar in doc/syntax-grammar.md). */
 object Ast {
 
+  /** Source position (1-based line:col) carried outside the case-class
+    * fields so equality/pattern matches are unaffected. Diagnostics
+    * print `-:line:col:` like the reference (ref diag.e(tok.pos)). */
+  sealed trait Positioned {
+    var line: Int = 0
+    var col: Int = 0
+    def at(l: Int, c: Int): this.type = { line = l; col = c; this }
+    def at(t: Token): this.type = at(t.line, t.col)
+    def at(p: Positioned): this.type = at(p.line, p.col)
+  }
+
   // ----------------------------------------------------------- expressions
-  sealed trait Expr
-  final case class Id(table: Option[String], name: String) extends Expr
+  sealed trait Expr extends Positioned
+  /** Designator. For a qualified `t.name` the node position is the DOT
+    * token (ref AST.hpp Designator tok) and (attrLine, attrCol) is the
+    * attribute-name token — attribute-level errors anchor there (ref
+    * Sema diag.e(e.attr_name.pos)). Bare ids: both are the identifier. */
+  final case class Id(table: Option[String], name: String) extends Expr {
+    var attrLine: Int = 0
+    var attrCol: Int = 0
+    def atAttr(t: Token): this.type = { attrLine = t.line; attrCol = t.col; this }
+  }
   final case class IntLit(v: Long) extends Expr
   final case class FloatLit(v: Double, raw: String = null) extends Expr
   /** INSERT DEFAULT marker (prints as DEFAULT; evaluates like NULL). */
@@ -23,10 +42,12 @@ object Ast {
   final case class Like(e: Expr, pattern: Expr, negated: Boolean) extends Expr
   /** scalar subquery in an expression position */
   final case class QueryExpr(q: SelectStmt) extends Expr
-  case object Star extends Expr                                      // SELECT *
+  /** SELECT * — positioned at the `*` token (star-expansion errors
+    * anchor there, ref Sema select_all.pos). */
+  final case class Star() extends Expr
 
   // ------------------------------------------------------------ statements
-  sealed trait Stmt
+  sealed trait Stmt extends Positioned
 
   final case class SelectItem(expr: Expr, alias: Option[String])
   sealed trait FromItem { def alias: Option[String] }
@@ -38,14 +59,19 @@ object Ast {
   final case class OrderItem(expr: Expr, ascending: Boolean)
 
   final case class SelectStmt(
-      items: Seq[SelectItem],           // Star as single item for SELECT *
+      items: Seq[SelectItem],           // Star() as single item for SELECT *
       from: Seq[FromItem],
       where: Option[Expr],
       groupBy: Seq[GroupKey],
       having: Option[Expr],
       orderBy: Seq[OrderItem],
       limit: Option[Long],
-      offset: Option[Long]) extends Stmt
+      offset: Option[Long]) extends Stmt {
+    /** Position of the GROUP keyword (clause-level grouping errors
+      * anchor there, ref Sema diag.e(c.tok.pos)). */
+    var groupLine: Int = 0
+    var groupCol: Int = 0
+  }
 
   final case class CreateDatabase(name: String) extends Stmt
   final case class DropDatabase(name: String, ifExists: Boolean) extends Stmt

@@ -40,7 +40,7 @@ object AstPrinter {
       if (neg) s"(${expr(l)} NOT LIKE ${expr(p)})"
       else s"(${expr(l)} LIKE ${expr(p)})"
     case QueryExpr(q) => s"(${selectBody(q)})"
-    case Star => "*"
+    case _: Star => "*"
   }
 
   private def typeName(t: TypeName): String = t.name match {

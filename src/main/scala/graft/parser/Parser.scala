@@ -240,7 +240,7 @@ final class Parser(tokens: Vector[Token]) {
     expect("SELECT")
     val items = Seq.newBuilder[SelectItem]
     def parseItem(): SelectItem =
-      if (accept("*")) SelectItem(Star, None)
+      if (cur.is("*")) SelectItem(Star().at(advance()), None)
       else {
         val e = parseExpr()
         val alias = if (accept("AS")) Some(expectIdent()) else None
@@ -269,7 +269,9 @@ final class Parser(tokens: Vector[Token]) {
     val where = if (accept("WHERE")) Some(parseExpr()) else None
 
     val groupBy = Seq.newBuilder[GroupKey]
-    if (accept("GROUP")) {
+    var groupTok: Token = null
+    if (cur.is("GROUP")) {
+      groupTok = advance()
       expect("BY")
       def parseKey(): GroupKey = {
         val e = parseExpr()
@@ -301,8 +303,10 @@ final class Parser(tokens: Vector[Token]) {
       if (accept("OFFSET")) offset = Some(expectInt())
     }
 
-    SelectStmt(items.result(), from.result(), where, groupBy.result(),
+    val st = SelectStmt(items.result(), from.result(), where, groupBy.result(),
       having, orderBy.result(), limit, offset)
+    if (groupTok != null) { st.groupLine = groupTok.line; st.groupCol = groupTok.col }
+    st
   }
 
   // ---------------------------------------------------------- expressions
@@ -325,13 +329,14 @@ final class Parser(tokens: Vector[Token]) {
       val p = binPrec(cur)
       if (p < 0 || p < minPrec) loop = false
       else {
-        val op = advance().text.toUpperCase
+        val opTok = advance()
+        val op = opTok.text.toUpperCase
         if (op == "LIKE") {
           val rhs = parseExpr(p + 1)
-          lhs = Like(lhs, rhs, negated = false)
+          lhs = Like(lhs, rhs, negated = false).at(opTok)
         } else {
           val rhs = parseExpr(p + 1)
-          lhs = Binary(op, lhs, rhs)
+          lhs = Binary(op, lhs, rhs).at(opTok)
         }
       }
     }
@@ -339,10 +344,10 @@ final class Parser(tokens: Vector[Token]) {
   }
 
   private def parsePrefix(minPrec: Int): Expr = {
-    if (cur.is("NOT")) { advance(); Unary("NOT", parseExpr(2)) }
+    if (cur.is("NOT")) { val tk = advance(); Unary("NOT", parseExpr(2)).at(tk) }
     else if (cur.is("+") || cur.is("-") || cur.is("~")) {
-      val op = advance().text
-      Unary(op, parseExpr(7))
+      val tk = advance()
+      Unary(tk.text, parseExpr(7)).at(tk)
     } else parsePostfix()
   }
 
@@ -355,14 +360,14 @@ final class Parser(tokens: Vector[Token]) {
       advance()
       val id = e.asInstanceOf[Id]
       val name = id.table.map(_ + ".").getOrElse("") + id.name
-      if (accept("*")) { expect(")"); e = FnCall(name, Nil, star = true) }
-      else if (accept(")")) e = FnCall(name, Nil)
+      if (accept("*")) { expect(")"); e = FnCall(name, Nil, star = true).at(id) }
+      else if (accept(")")) e = FnCall(name, Nil).at(id)
       else {
         val args = Seq.newBuilder[Expr]
         args += parseExpr()
         while (accept(",")) args += parseExpr()
         expect(")")
-        e = FnCall(name, args.result())
+        e = FnCall(name, args.result()).at(id)
       }
     }
     e
@@ -370,35 +375,44 @@ final class Parser(tokens: Vector[Token]) {
 
   private def parsePrimary(): Expr = cur.tpe match {
     case IDENT =>
-      val first = advance().text
-      if (accept(".")) Id(Some(first), expectIdent()) else Id(None, first)
+      val first = advance()
+      if (cur.is(".")) {
+        val dot = advance()
+        if (cur.tpe != IDENT) fail("expected identifier")
+        val attr = advance()
+        // qualified designator: node position = the dot token (ref
+        // AST Designator tok — golden diagnostics anchor there),
+        // attribute position = the attribute-name token
+        Id(Some(first.text), attr.text).at(dot).atAttr(attr)
+      } else Id(None, first.text).at(first).atAttr(first)
     case INT_LIT =>
-      val t = advance().text
+      val tk = advance()
+      val t = tk.text
       IntLit(
         if (t.startsWith("0x") || t.startsWith("0X"))
           java.lang.Long.parseLong(t.drop(2), 16)
         else if (t.length > 1 && t.head == '0') // C-style octal
           java.lang.Long.parseLong(t, 8)
-        else t.toLong)
+        else t.toLong).at(tk)
     case FLOAT_LIT =>
-      val t = advance().text
-      FloatLit(t.toDouble, t)
-    case STR_LIT => StrLit(advance().text)
-    case DATE_LIT => DateLit(advance().text)
-    case DATETIME_LIT => DateTimeLit(advance().text)
-    case KEYWORD if cur.is("TRUE") => advance(); BoolLit(true)
-    case KEYWORD if cur.is("FALSE") => advance(); BoolLit(false)
-    case KEYWORD if cur.is("NULL") => advance(); NullLit
+      val tk = advance()
+      FloatLit(tk.text.toDouble, tk.text).at(tk)
+    case STR_LIT => val tk = advance(); StrLit(tk.text).at(tk)
+    case DATE_LIT => val tk = advance(); DateLit(tk.text).at(tk)
+    case DATETIME_LIT => val tk = advance(); DateTimeLit(tk.text).at(tk)
+    case KEYWORD if cur.is("TRUE") => BoolLit(true).at(advance())
+    case KEYWORD if cur.is("FALSE") => BoolLit(false).at(advance())
+    case KEYWORD if cur.is("NULL") => advance(); NullLit // singleton: no position
     // ISNULL / INT are keywords but also callable functions
     case KEYWORD if cur.is("ISNULL") || cur.is("INT") =>
-      val name = advance().text
+      val tk = advance()
       expect("(")
       val arg = parseExpr()
       expect(")")
-      FnCall(name, Seq(arg))
+      FnCall(tk.text, Seq(arg)).at(tk)
     case OP if cur.is("(") =>
-      advance()
-      val e = if (cur.is("SELECT")) QueryExpr(parseSelect()) else parseExpr()
+      val tk = advance()
+      val e = if (cur.is("SELECT")) QueryExpr(parseSelect()).at(tk) else parseExpr()
       expect(")")
       e
     case _ => fail("expected expression")

@@ -39,27 +39,52 @@ final class Planner(spark: SparkSession, lookup: String => Option[CatalogTable],
   private val AggNames = Set("COUNT", "SUM", "MIN", "MAX", "AVG")
   private val DetDecimal = DecimalType(27, 6)
 
+  /** Deferred diagnostics: the reference's Sema recovers and keeps
+    * checking, so one statement can carry several errors (corpus
+    * num_err counts pin this). Accumulating paths add here and
+    * continue; `plan` throws them all once the SELECT list is checked. */
+  private val diags = mutable.Buffer.empty[Diag]
+
+  /** Strip the planner's internal `__dupN` uniquification so duplicate
+    * nested-query output names compare under their written name. */
+  private def baseName(n: String): String = n.replaceAll("__dup\\d+$", "")
+
   // ------------------------------------------------------------- scopes
 
   private final case class Source(alias: String, fields: Seq[(String, MType)])
   private final class Scope(val sources: Seq[Source]) {
-    /** Resolve an identifier → (qualified column name, type). */
-    def resolve(table: Option[String], name: String): (String, MType) = table match {
-      case Some(t) =>
-        val src = sources.find(_.alias.equalsIgnoreCase(t))
-          .getOrElse(throw new SemaError(s"unknown table alias '$t'"))
-        val f = src.fields.find(_._1.equalsIgnoreCase(name))
-          .getOrElse(throw new SemaError(s"no column '$name' in '$t'"))
-        (s"${src.alias}.${f._1}", f._2)
-      case None =>
-        val hits = for {
-          s <- sources; f <- s.fields if f._1.equalsIgnoreCase(name)
-        } yield (s"${s.alias}.${f._1}", f._2)
-        hits match {
-          case Seq(one) => one
-          case Seq() => throw new SemaError(s"unknown identifier '$name'")
-          case _ => throw new SemaError(s"ambiguous identifier '$name'")
-        }
+    def resolve(id: Id): (String, MType) = resolve(id.table, id.name, id)
+    /** Resolve an identifier → (qualified column name, type). A
+      * duplicate-named attribute of a nested-query source errors at
+      * lookup like the reference ("Source X has multiple attributes a",
+      * ref Sema.cpp:245 — NOT at source build: unreferenced duplicates
+      * are legal). */
+    def resolve(table: Option[String], name: String, anchor: Id = null)
+        : (String, MType) = {
+      def diag(msg: String) = new SemaError(Seq(
+        if (anchor != null) Diag(anchor.attrLine, anchor.attrCol, msg)
+        else Diag(0, 0, msg)))
+      table match {
+        case Some(t) =>
+          val src = sources.find(_.alias.equalsIgnoreCase(t))
+            .getOrElse(throw diag(s"unknown table alias '$t'"))
+          val hits = src.fields.filter(f => baseName(f._1).equalsIgnoreCase(name))
+          hits match {
+            case Seq(one) => (s"${src.alias}.${one._1}", one._2)
+            case Seq() => throw diag(s"no column '$name' in '$t'")
+            case _ => throw diag(
+              s"Source ${src.alias} has multiple attributes $name.")
+          }
+        case None =>
+          val hits = for {
+            s <- sources; f <- s.fields if baseName(f._1).equalsIgnoreCase(name)
+          } yield (s"${s.alias}.${f._1}", f._2)
+          hits match {
+            case Seq(one) => one
+            case Seq() => throw diag(s"unknown identifier '$name'")
+            case _ => throw diag(s"ambiguous identifier '$name'")
+          }
+      }
     }
   }
 
@@ -77,16 +102,10 @@ final class Planner(spark: SparkSession, lookup: String => Option[CatalogTable],
         val df = plan(fq.q)
         val fields = df.schema.fields.toSeq.map(f =>
           f.name -> MTypes.fromSpark(f.dataType))
-        // ref Sema: a nested-query source with duplicate attribute
-        // names is an error ("Source X has multiple attributes a") —
-        // the planner uniquifies duplicates as `name__dupN`, so group
-        // by the original name
-        val dups = fields
-          .groupBy(_._1.toLowerCase.replaceAll("__dup\\d+$", ""))
-          .filter(_._2.size > 1).keys
-        if (dups.nonEmpty)
-          throw new SemaError(
-            s"source ${fq.aliasName} has multiple attributes ${dups.mkString(", ")}")
+        // duplicate output names stay legal at source build (the plan
+        // uniquified them as `name__dupN`); referencing one — by
+        // designator or star expansion — errors at lookup like the
+        // reference (Sema.cpp:245)
         (Source(fq.aliasName, fields), df.alias(fq.aliasName))
     }
     // ref Sema: two sources may not share an alias in one FROM
@@ -113,12 +132,16 @@ final class Planner(spark: SparkSession, lookup: String => Option[CatalogTable],
           fromDf = joined; scope = newScope
           ref
       }
-      st.copy(
+      val st2 = st.copy(
         items = st.items.map(i => i.copy(expr = rw(i.expr))),
         where = st.where.map(rw),
         groupBy = st.groupBy.map(k => k.copy(expr = rw(k.expr))),
         having = st.having.map(rw),
         orderBy = st.orderBy.map(o => o.copy(expr = rw(o.expr))))
+      // positions live outside the case-class fields; carry them over
+      st2.at(stmt0)
+      st2.groupLine = stmt0.groupLine; st2.groupCol = stmt0.groupCol
+      st2
     }
 
     // WHERE (no aggregates allowed here — ref Sema stage machine)
@@ -143,27 +166,57 @@ final class Planner(spark: SparkSession, lookup: String => Option[CatalogTable],
       else (filtered, null)
 
     // SELECT projection. With grouping, `*` expands to the grouping
-    // keys; a bare key name occurring in several keys is ambiguous
-    // (ref sema-san "Designator … multiple occurrences in GROUP BY").
+    // keys — the reference synthesizes one designator per AST key and
+    // re-resolves it, so a bare key name occurring in several keys
+    // errors once PER KEY at the key's own position (ref Sema.cpp:1041-
+    // 1062 + :181; corpus sema-san select_ambiguous_from_group_by).
     val items: Seq[(Column, String, MType)] = stmt.items.flatMap {
-      case SelectItem(Star, _) if hasAgg =>
+      case SelectItem(_: Star, _) if hasAgg =>
         if (stmt.groupBy.isEmpty)
           throw new SemaError("SELECT * is invalid with global aggregates")
-        val keys = outScope.starKeys
-        keys.groupBy(_._2.toLowerCase).foreach { case (n, hits) =>
-          if (hits.size > 1) throw new SemaError(
-            s"designator $n is ambiguous, multiple occurrences in GROUP BY clause")
+        val reg = outScope.starKeys
+        stmt.groupBy.flatMap { gk =>
+          val name = gk.alias.getOrElse(gk.expr match {
+            case i: Id => i.name
+            case e => exprName(e)
+          })
+          val hits = reg.filter(_._2.equalsIgnoreCase(name))
+          if (hits.size > 1) {
+            diags += Diag(gk.expr.line, gk.expr.col,
+              s"Designator $name is ambiguous, multiple occurrences in GROUP BY clause.")
+            Nil
+          } else if (hits.isEmpty) {
+            // only reachable when the key itself failed sema earlier
+            // (e.g. scalar grouping key) — the reference then fails to
+            // resolve the synthesized designator, a second error
+            diags += Diag(gk.expr.line, gk.expr.col,
+              s"Designator $name could not be resolved.")
+            Nil
+          } else Seq(hits.head)
         }
-        keys
-      case SelectItem(Star, _) =>
+      case SelectItem(st: Star, _) =>
+        // per-attribute expansion: a duplicate-named attribute of a
+        // nested-query source errors once per occurrence, anchored at
+        // the `*` (ref Sema.cpp:1089-1110 expansion designators carry
+        // select_all.pos; corpus select_ambiguous_from_subquery-1)
         scope.sources.flatMap { s =>
-          s.fields.map { case (n, t) => (col(s"${s.alias}.$n"), n, t) }
+          s.fields.flatMap { case (n, t) =>
+            val dup = s.fields.count(f =>
+              baseName(f._1).equalsIgnoreCase(baseName(n)))
+            if (dup > 1) {
+              diags += Diag(st.line, st.col,
+                s"Source ${s.alias} has multiple attributes ${baseName(n)}.")
+              Nil
+            } else Seq((col(s"${s.alias}.$n"), n, t))
+          }
         }
       case SelectItem(e, alias) =>
         val t = if (hasAgg) outScope.resolve(e)
           else resolveScalar(e, scope, allowAgg = false)
         Seq((t.col, alias.getOrElse(exprName(e)), t.tpe))
     }
+    // sema of the SELECT list is done — surface every deferred error
+    if (diags.nonEmpty) throw new SemaError(diags.toList)
 
     // Duplicate output names (SELECT key, key / SELECT *, key) are
     // legal in the dialect but trip Spark's optimizer on self-referring
@@ -254,11 +307,11 @@ final class Planner(spark: SparkSession, lookup: String => Option[CatalogTable],
       // a bare designator first resolves against the grouping keys'
       // output names (ref: `GROUP BY R.key` + `SELECT key`); several
       // keys with the same bare name are ambiguous
-      case Id(None, n) if keyByExpr.exists(_._2.equalsIgnoreCase(n)) =>
+      case id @ Id(None, n) if keyByExpr.exists(_._2.equalsIgnoreCase(n)) =>
         keyByExpr.filter(_._2.equalsIgnoreCase(n)) match {
           case Seq((_, kn, t)) => Typed(col(kn), t)
-          case _ => throw new SemaError(
-            s"designator $n is ambiguous, multiple occurrences in GROUP BY clause")
+          case _ => throw SemaError.at(id,
+            s"Designator $n is ambiguous, multiple occurrences in GROUP BY clause.")
         }
       case _ if canonKeys.exists(k => k._1.isDefined && k._1 == canonOpt(e)) =>
         val (_, n, t) = canonKeys.find(k => k._1.isDefined && k._1 == canonOpt(e)).get
@@ -297,12 +350,21 @@ final class Planner(spark: SparkSession, lookup: String => Option[CatalogTable],
     // group keys: arbitrary expressions, each aliasable (ref
     // Sema.cpp:1271-1305 GROUP BY alias feature)
     val keys: Seq[(Expr, String, Option[String], Typed)] =
-      stmt.groupBy.zipWithIndex.map { case (gk, i) =>
+      stmt.groupBy.flatMap { gk =>
         val t = resolveScalar(gk.expr, scope, allowAgg = false)
-        if (!containsId(gk.expr))
-          throw new SemaError("cannot GROUP BY a scalar (constant) expression")
-        val name = gk.alias.getOrElse(exprName(gk.expr))
-        (gk.expr, name, gk.alias, t)
+        if (!containsId(gk.expr)) {
+          // ref Sema.cpp:1290-1293: record the error at the GROUP token
+          // and keep checking — `SELECT *` then fails to resolve the
+          // dropped key, the reference's second error
+          diags += Diag(stmt.groupLine, stmt.groupCol,
+            s"Cannot group by ${exprName(gk.expr)}. Expressions in the " +
+              "GROUP BY clause must be vectorial, i.e. they must depend " +
+              "on each row separately.")
+          None
+        } else {
+          val name = gk.alias.getOrElse(exprName(gk.expr))
+          Some((gk.expr, name, gk.alias, t))
+        }
       }
 
     // collect aggregate calls from SELECT / HAVING / ORDER BY
@@ -364,10 +426,10 @@ final class Planner(spark: SparkSession, lookup: String => Option[CatalogTable],
   private def transformExpr(e: Expr)(f: PartialFunction[Expr, Expr]): Expr = {
     val rec = (x: Expr) => transformExpr(x)(f)
     val mapped = e match {
-      case Unary(op, x) => Unary(op, rec(x))
-      case Binary(op, l, r) => Binary(op, rec(l), rec(r))
-      case Like(l, p, n) => Like(rec(l), rec(p), n)
-      case FnCall(n, args, s) => FnCall(n, args.map(rec), s)
+      case Unary(op, x) => Unary(op, rec(x)).at(e)
+      case Binary(op, l, r) => Binary(op, rec(l), rec(r)).at(e)
+      case Like(l, p, n) => Like(rec(l), rec(p), n).at(e)
+      case FnCall(n, args, s) => FnCall(n, args.map(rec), s).at(e)
       case other => other
     }
     f.applyOrElse(mapped, identity[Expr])
@@ -538,8 +600,8 @@ final class Planner(spark: SparkSession, lookup: String => Option[CatalogTable],
 
   /** Resolve an expression in a row context. */
   private def resolveScalar(e: Expr, scope: Scope, allowAgg: Boolean): Typed = e match {
-    case Id(t, n) =>
-      val (qn, tpe) = scope.resolve(t, n)
+    case id: Id =>
+      val (qn, tpe) = scope.resolve(id)
       Typed(col(qn), tpe)
     case IntLit(v) => Typed(lit(v), MInt(8))
     case FloatLit(v, _) => Typed(lit(v), MFloat(64))
@@ -560,7 +622,7 @@ final class Planner(spark: SparkSession, lookup: String => Option[CatalogTable],
     case FnCall(n, args, _) =>
       buildScalarFn(n, args.map(resolveScalar(_, scope, allowAgg)))
     case q: QueryExpr => scalarSubquery(q)
-    case Star => throw new SemaError("'*' is only valid in SELECT or COUNT(*)")
+    case _: Star => throw new SemaError("'*' is only valid in SELECT or COUNT(*)")
   }
 
   private def scalarSubquery(q: QueryExpr): Typed = {
@@ -755,6 +817,6 @@ final class Planner(spark: SparkSession, lookup: String => Option[CatalogTable],
     case Binary(op, l, r) => s"(${exprName(l)} $op ${exprName(r)})"
     case Like(l, p, _) => s"(${exprName(l)} LIKE ${exprName(p)})"
     case _: QueryExpr => "(subquery)"
-    case Star => "*"
+    case _: Star => "*"
   }
 }

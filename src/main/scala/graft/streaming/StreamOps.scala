@@ -105,7 +105,8 @@ object StreamOps {
     h
   }
 
-  final case class BandEntry(band: Int, bh: Long, doc_id: Long)
+  final case class BandEntry(band: Int, bh: Long, doc_id: Long,
+      ingest_ts: java.sql.Timestamp)
   final case class CandPair(doc_a: Long, doc_b: Long, band: Int)
 
   /** Streaming near-duplicate CANDIDATE detection: continuous
@@ -116,36 +117,63 @@ object StreamOps {
     *
     * Scale posture: state is per occupied bucket, capped at
     * [[MaxBucket]] ids (a bucket denser than that is a dup cluster —
-    * pairing against the first K members already links the cluster);
-    * production deployments add ingest-time state TTL. The candidate
-    * set provably covers the batch op's verified pairs — asserted on
-    * replay in StreamingSpec. */
+    * pairing against the first K members already links the cluster),
+    * and bounded in TIME by an ingest-time watermark + event-time
+    * timeout: a bucket idle for `ttlMillis` is dropped, so state size
+    * tracks the active working set instead of the full corpus history.
+    * Within the TTL window the candidate set provably covers the batch
+    * op's verified pairs — asserted on replay in StreamingSpec, which
+    * also pins the expiry behavior.
+    *
+    * If `docs` has no `ingest_ts` column, arrival processing time is
+    * stamped (tests inject explicit timestamps to replay history). */
   val MaxBucket = 64
 
-  def minhashCandidates(spark: SparkSession, docs: DataFrame): Dataset[CandPair] = {
+  def minhashCandidates(spark: SparkSession, docs: DataFrame,
+      ttlMillis: Long = 3600L * 1000,
+      watermarkDelay: String = "0 seconds"): Dataset[CandPair] = {
     import spark.implicits._
-    docs.select(col("doc_id"), col("text")).as[(Long, String)]
-      .flatMap { case (id, text) =>
-        val sig = signature(text)
-        (0 until NumPerm / BandRows).map(b => BandEntry(b, bandHash(sig, b), id))
-      }
+    val stamped =
+      if (docs.columns.contains("ingest_ts")) docs
+      else docs.withColumn("ingest_ts", current_timestamp())
+    val bandsUdf = udf { (text: String) =>
+      val sig = signature(text)
+      (0 until NumPerm / BandRows).map(b => (b, bandHash(sig, b)))
+    }
+    stamped
+      .select(col("doc_id"), col("ingest_ts"),
+        explode(bandsUdf(col("text"))).as("b"))
+      .select(col("b._1").as("band"), col("b._2").as("bh"),
+        col("doc_id"), col("ingest_ts"))
+      .withWatermark("ingest_ts", watermarkDelay)
+      .as[BandEntry]
       .groupByKey(e => (e.band, e.bh))
       .flatMapGroupsWithState[Array[Long], CandPair](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (key: (Int, Long), rows: Iterator[BandEntry], state: GroupState[Array[Long]]) =>
-          val seen = collection.mutable.ArrayBuffer(
-            state.getOption.getOrElse(Array.empty[Long]).toSeq: _*)
-          val out = Seq.newBuilder[CandPair]
-          rows.toSeq.map(_.doc_id).distinct.sorted.foreach { id =>
-            if (!seen.contains(id)) {
-              seen.foreach { other =>
-                out += CandPair(math.min(other, id), math.max(other, id), key._1)
+          if (state.hasTimedOut) {
+            // idle bucket: the watermark passed last-arrival + TTL
+            state.remove()
+            Iterator.empty
+          } else {
+            val entries = rows.toSeq
+            val seen = collection.mutable.ArrayBuffer(
+              state.getOption.getOrElse(Array.empty[Long]).toSeq: _*)
+            val out = Seq.newBuilder[CandPair]
+            entries.map(_.doc_id).distinct.sorted.foreach { id =>
+              if (!seen.contains(id)) {
+                seen.foreach { other =>
+                  out += CandPair(math.min(other, id), math.max(other, id), key._1)
+                }
+                if (seen.length < MaxBucket) seen += id
               }
-              if (seen.length < MaxBucket) seen += id
             }
+            state.update(seen.toArray)
+            val lastMs = entries.map(_.ingest_ts.getTime).max
+            state.setTimeoutTimestamp(
+              math.max(lastMs, state.getCurrentWatermarkMs()) + ttlMillis)
+            out.result().iterator
           }
-          state.update(seen.toArray)
-          out.result().iterator
       }
   }
 

@@ -15,8 +15,8 @@ import scala.jdk.CollectionConverters._
   * lexer/parser/sema/end2end, each with out/err (possibly `|` blocks
   * or NULL), num_err, returncode. */
 object CorpusYaml {
-  final case class Stage(out: Option[String], numErr: Option[Int],
-      returncode: Option[Int]) {
+  final case class Stage(out: Option[String], err: Option[String],
+      numErr: Option[Int], returncode: Option[Int]) {
     /** Does this stage expect the engine to report an error? */
     def expectsError: Boolean = numErr.exists(_ > 0) || returncode.exists(_ != 0)
   }
@@ -67,6 +67,7 @@ object CorpusYaml {
 
     def readStage(parentIndent: Int): Stage = {
       var out: Option[String] = None
+      var err: Option[String] = None
       var numErr: Option[Int] = None
       var rc: Option[Int] = None
       var done = false
@@ -84,14 +85,15 @@ object CorpusYaml {
               if (v == "|" || v == "|-") out = Some(readBlock(indentOf(l)))
               else if (v != "NULL" && v.nonEmpty) out = Some(unquote(v))
             case "err" =>
-              if (v == "|" || v == "|-") readBlock(indentOf(l)) // recorded? no — presence only
+              if (v == "|" || v == "|-") err = Some(readBlock(indentOf(l)))
+              else if (v != "NULL" && v.nonEmpty) err = Some(unquote(v))
             case "num_err" => if (v != "NULL") numErr = Some(v.toInt)
             case "returncode" => if (v != "NULL") rc = Some(v.toInt)
             case _ => if (v == "|" || v == "|-") readBlock(indentOf(l))
           }
         }
       }
-      Stage(out, numErr, rc)
+      Stage(out, err, numErr, rc)
     }
 
     while (i < lines.length) {
@@ -221,9 +223,12 @@ class GoldenCorpusSpec extends AnyFunSuite {
         spec.stages.get("lexer").foreach { st =>
           val r = try { Some(Lexer.dump(spec.query)) }
             catch { case _: LexError => None }
-          if (st.expectsError)
+          if (st.expectsError) {
             soft(r.isEmpty, s"lexer: expected an error, tokenized fine")
-          else {
+            // our lexer fails fast: exactly one diagnostic
+            st.numErr.foreach(n => soft(n == 1,
+              s"lexer: golden expects $n errors, fail-fast lexing reports 1"))
+          } else {
             soft(r.isDefined, s"lexer: unexpected error")
             st.out.foreach { golden =>
               val expected = golden.linesIterator.toSeq
@@ -258,14 +263,31 @@ class GoldenCorpusSpec extends AnyFunSuite {
         val stopAfterParse = stopAfterLex ||
           spec.stages.get("parser").exists(_.expectsError)
 
-        // ---- sema stage
+        // ---- sema stage (error count + positioned-diagnostic compare)
         if (!stopAfterParse) spec.stages.get("sema").foreach { st =>
           val session = templates(corpus).fork()
           val r = try { semaCheck(session, spec.query); None }
             catch { case e: Exception => Some(e) }
-          if (st.expectsError)
+          if (st.expectsError) {
             soft(r.isDefined, s"sema: expected an error, checked fine")
-          else
+            val diags: Seq[graft.analyzer.Diag] = r.get match {
+              case se: SemaError => se.diags
+              case other => Seq(graft.analyzer.Diag(0, 0,
+                Option(other.getMessage).getOrElse(other.toString)))
+            }
+            st.numErr.foreach { n =>
+              soft(diags.size == n,
+                s"sema: golden expects $n errors, got ${diags.size}:\n" +
+                  diags.map(_.render).mkString("\n"))
+            }
+            st.err.foreach { golden =>
+              val expected = golden.linesIterator.toSeq
+              val actual = diags.map(_.render)
+              soft(actual == expected,
+                s"sema diagnostics mismatch:\n--- expected\n${expected.mkString("\n")}" +
+                  s"\n--- actual\n${actual.mkString("\n")}")
+            }
+          } else
             soft(r.isEmpty, s"sema: unexpected error ${r.map(_.getMessage)}")
         }
         val stopAfterSema = stopAfterParse ||

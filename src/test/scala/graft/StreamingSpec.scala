@@ -44,6 +44,55 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("minhash candidate state expires after the ingest-time TTL") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.{col, timestamp_millis}
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val t0 = 1700000000000L // arbitrary fixed origin
+    val hour = 3600L * 1000
+    // (doc_id, text, ingest epoch-ms) — doc 2 duplicates doc 1
+    val input = MemoryStream[(Long, String, Long)]
+    val docs = input.toDF().toDF("doc_id", "text", "ms")
+      .withColumn("ingest_ts", timestamp_millis(col("ms")))
+    val q = StreamOps.minhashCandidates(spark, docs, ttlMillis = hour)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("mhttl").start()
+    try {
+      def stateRows: Long =
+        q.lastProgress.stateOperators.head.numRowsTotal
+      val text1 = "the quick brown fox jumps over the lazy dog again and again"
+      val text9 = "completely different content with no shared shingles at all here"
+      input.addData((1L, text1, t0))
+      q.processAllAvailable()
+      val after1 = stateRows
+      assert(after1 > 0, "bucket state should exist after first doc")
+      // 3 hours later (> TTL): watermark advance expires doc 1's buckets
+      input.addData((9L, text9, t0 + 3 * hour))
+      q.processAllAvailable()
+      // one more batch so timeouts fire against the advanced watermark
+      input.addData((10L, text9 + " x", t0 + 3 * hour + 1))
+      q.processAllAvailable()
+      assert(stateRows < after1 + 32,
+        s"expired buckets must be dropped, state=$stateRows")
+      // a dup of doc 1 arriving after expiry finds no surviving state:
+      // no candidate pair is emitted (the TTL trade-off, by design)
+      input.addData((2L, text1, t0 + 3 * hour + 2))
+      q.processAllAvailable()
+      val pairs = spark.table("mhttl").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(!pairs.contains((1L, 2L)),
+        "pair across an expired TTL window must not appear")
+      // within-window dup still pairs: doc 3 duplicates doc 2
+      input.addData((3L, text1, t0 + 3 * hour + 3))
+      q.processAllAvailable()
+      val pairs2 = spark.table("mhttl").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs2.contains((2L, 3L)),
+        s"within-window dup must still produce a candidate, got $pairs2")
+    } finally q.stop()
+  }
+
   test("streaming window agg matches batch on full replay") {
     val events = StreamOps.readEvents(spark, sf)
     val q = StreamOps.windowAgg(events).writeStream
