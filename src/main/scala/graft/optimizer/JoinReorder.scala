@@ -162,6 +162,131 @@ object JoinReorder {
     }
   }
 
+  // ---- shared bitmask helpers for the subset-DP / top-down family ----
+
+  /** Adjacency as bitmasks: adjMask(i) = OR of 1<<j over neighbors j. */
+  private def adjMaskOf(g: JoinGraph): Array[Int] = {
+    val a = new Array[Int](g.rels.length)
+    g.edges.foreach { case (x, y, _) => a(x) |= 1 << y; a(y) |= 1 << x }
+    a
+  }
+
+  /** Is the relation set `m` connected under `adjMask`? */
+  private def maskConnected(adjMask: Array[Int], m: Int): Boolean = {
+    if (m == 0) return false
+    val start = m & -m
+    var seen = start
+    var frontier = start
+    while (frontier != 0) {
+      var next = 0
+      var f = frontier
+      while (f != 0) {
+        next |= adjMask(Integer.numberOfTrailingZeros(f))
+        f &= f - 1
+      }
+      next &= m & ~seen
+      seen |= next
+      frontier = next
+    }
+    seen == m
+  }
+
+  /** DPsizeOpt (ref PlanEnumerator.cpp:110): size-based DP that never
+    * enumerates symmetric subproblems — s1 runs only to s/2, and for
+    * equal-size halves only subsets succeeding the first are paired
+    * (join commutativity makes the mirror redundant under C_out). */
+  object DPsizeOpt extends PlanEnumerator {
+    val name = "DPsizeOpt"
+    def enumerate(g: JoinGraph): JoinTree = {
+      val n = g.rels.length
+      require(n <= 30, "DPsizeOpt is exponential; guard small n")
+      val best = new Array[JoinTree](1 << n)
+      g.rels.foreach(r => best(1 << r.idx) = Leaf(r))
+      val buckets = {
+        val b = Array.fill(n + 1)(Vector.newBuilder[Int])
+        for (m <- 1 until (1 << n)) b(Integer.bitCount(m)) += m
+        b.map(_.result())
+      }
+      for (s <- 2 to n; s1 <- 1 to s / 2) {
+        val s2 = s - s1
+        for (m1 <- buckets(s1) if best(m1) != null;
+             m2 <- buckets(s2)
+             if (s1 != s2 || m2 > m1) && (m1 & m2) == 0 && best(m2) != null) {
+          val cand = Node(best(m1), best(m2), joinedCard(g, best(m1), best(m2)))
+          val tgt = m1 | m2
+          if (best(tgt) == null || cand.cost < best(tgt).cost) best(tgt) = cand
+        }
+      }
+      best((1 << n) - 1)
+    }
+  }
+
+  /** DPsizeSub (ref PlanEnumerator.cpp:166): size-based outer loop, but
+    * each connected subset enumerates its subset-complement pairs with
+    * the (O − S) & S trick instead of pairing independent size buckets. */
+  object DPsizeSub extends PlanEnumerator {
+    val name = "DPsizeSub"
+    def enumerate(g: JoinGraph): JoinTree = {
+      val n = g.rels.length
+      require(n <= 30, "DPsizeSub is exponential; guard small n")
+      val adjMask = adjMaskOf(g)
+      // on a disconnected graph cross products are unavoidable — drop
+      // the connectivity gate (cost still penalizes them)
+      val gate = maskConnected(adjMask, (1 << n) - 1)
+      val best = new Array[JoinTree](1 << n)
+      g.rels.foreach(r => best(1 << r.idx) = Leaf(r))
+      val buckets = {
+        val b = Array.fill(n + 1)(Vector.newBuilder[Int])
+        for (m <- 1 until (1 << n)) b(Integer.bitCount(m)) += m
+        b.map(_.result())
+      }
+      for (s <- 2 to n; m <- buckets(s) if !gate || maskConnected(adjMask, m)) {
+        var o = m & -m // least_subset
+        while (o != m) {
+          val comp = m ^ o
+          if (best(o) != null && best(comp) != null) {
+            val cand = Node(best(o), best(comp), joinedCard(g, best(o), best(comp)))
+            if (best(m) == null || cand.cost < best(m).cost) best(m) = cand
+          }
+          o = (o - m) & m // next_subset
+        }
+      }
+      best((1 << n) - 1)
+    }
+  }
+
+  /** DPsubOpt (ref PlanEnumerator.cpp:236): DPsub without symmetric
+    * subproblems — subset enumeration stops at the singleton of the
+    * highest set bit, so the complement always carries that bit. */
+  object DPsubOpt extends PlanEnumerator {
+    val name = "DPsubOpt"
+    def enumerate(g: JoinGraph): JoinTree = {
+      val n = g.rels.length
+      require(n <= 30, "DPsubOpt is exponential; guard small n")
+      val adjMask = adjMaskOf(g)
+      val gate = maskConnected(adjMask, (1 << n) - 1)
+      val best = new Array[JoinTree](1 << n)
+      g.rels.foreach(r => best(1 << r.idx) = Leaf(r))
+      var m = 1
+      while (m < (1 << n)) {
+        if (Integer.bitCount(m) > 1 && (!gate || maskConnected(adjMask, m))) {
+          val limit = Integer.highestOneBit(m)
+          var o = m & -m
+          while (o != limit) {
+            val comp = m ^ o
+            if (best(o) != null && best(comp) != null) {
+              val cand = Node(best(o), best(comp), joinedCard(g, best(o), best(comp)))
+              if (best(m) == null || cand.cost < best(m).cost) best(m) = cand
+            }
+            o = (o - m) & m
+          }
+        }
+        m += 1
+      }
+      best((1 << n) - 1)
+    }
+  }
+
   /** DPsub (ref PlanEnumerator.cpp:201): subset-order DP — iterate
     * subsets in increasing bit order, split each connected subset into
     * plan-bearing halves. Same optimum as DPsize, different
@@ -335,7 +460,13 @@ object JoinReorder {
     * branch-and-bound pruning in the reference's TD variants. */
   object TDbasic extends PlanEnumerator {
     val name = "TDbasic"
+
+    /** Candidate splits examined in the last run (generate-and-test
+      * work — the metric the TD-variant comparisons count). */
+    var lastExamined: Long = 0L
+
     def enumerate(g: JoinGraph): JoinTree = {
+      lastExamined = 0L
       val n = g.rels.length
       val adj: Array[Set[Int]] = {
         val a = Array.fill(n)(Set.empty[Int])
@@ -363,6 +494,7 @@ object JoinReorder {
               case i if (mask & (1 << i)) != 0 => members(i)
             }.toSet
             if (left.contains(s.min)) {
+              lastExamined += 1
               val right = s -- left
               // on a connected graph only connected partitions are
               // considered (the TD pruning); on a disconnected graph
@@ -378,6 +510,152 @@ object JoinReorder {
         }
       })
       solve((0 until n).toSet)
+    }
+  }
+
+  /** MinCutAGaT (ref include/mutable/util/MinCutAGaT.hpp): enumerate
+    * exactly the connected-subgraph/connected-complement partitions of
+    * a connected set `s` by advanced generate-and-test over minimal
+    * graph cuts. `examined` counts worklist entries processed (the
+    * work metric the top-down comparisons use). Callback receives
+    * (C, S∖C) pairs. */
+  private def minCutAGaT(adj: Array[Set[Int]], s: Set[Int])(
+      callback: (Set[Int], Set[Int]) => Unit): Long = {
+    var examined = 0L
+    // (C, X, T): growing connected component, excluded set, test set
+    var work = List((Set(s.min), Set.empty[Int], Set(s.min)))
+    while (work.nonEmpty) {
+      val (c, x, t) = work.head
+      work = work.tail
+      examined += 1
+      // IsConnectedImp: S∖C is connected iff the neighborhood of T is
+      // reachable from one of its members inside S∖C
+      val nT = (t.flatMap(adj) intersect s) -- c
+      val isConn = nT.size <= 1 || {
+        val within = s -- c
+        var seen = Set(nT.head); var frontier = seen
+        while (frontier.nonEmpty) {
+          val next = frontier.flatMap(adj).intersect(within) -- seen
+          seen ++= next; frontier = next
+        }
+        nT.subsetOf(seen)
+      }
+      var tTmp = Set.empty[Int]
+      if (isConn) callback(c, s -- c) else tTmp = c
+      if (c.size + 1 < s.size) {
+        var xTmp = x
+        val nC = (c.flatMap(adj) intersect s) -- x -- c
+        for (v <- nC.toSeq.sorted) {
+          work = (c + v, xTmp, tTmp + v) :: work
+          xTmp += v
+        }
+      }
+    }
+    examined
+  }
+
+  private def adjSetsOf(g: JoinGraph): Array[Set[Int]] = {
+    val a = Array.fill(g.rels.length)(Set.empty[Int])
+    g.edges.foreach { case (x, y, _) => a(x) += y; a(y) += x }
+    a
+  }
+
+  private def isConnectedSet(adj: Array[Set[Int]], s: Set[Int]): Boolean = {
+    if (s.isEmpty) return false
+    var seen = Set(s.head); var frontier = seen
+    while (frontier.nonEmpty) {
+      val next = frontier.flatMap(adj).intersect(s) -- seen
+      seen ++= next; frontier = next
+    }
+    seen == s
+  }
+
+  /** TDMinCutAGaT (ref PlanEnumerator.cpp:643): memoized top-down
+    * enumeration whose partitioning is [[minCutAGaT]] instead of
+    * TDbasic's try-every-subset — same optimum, far fewer candidate
+    * splits examined on chains/stars. Falls back to TDbasic when the
+    * graph is disconnected (the cut algorithm needs connectivity). */
+  object TDMinCutAGaT extends PlanEnumerator {
+    val name = "TDMinCutAGaT"
+
+    /** Worklist entries processed by the cut partitioner last run. */
+    var lastExamined: Long = 0L
+
+    def enumerate(g: JoinGraph): JoinTree = {
+      lastExamined = 0L
+      val n = g.rels.length
+      if (n == 1) return Leaf(g.rels.head)
+      val adj = adjSetsOf(g)
+      val all = (0 until n).toSet
+      if (!isConnectedSet(adj, all)) return TDbasic.enumerate(g)
+      val memo = collection.mutable.Map.empty[Set[Int], JoinTree]
+      g.rels.foreach(r => memo(Set(r.idx)) = Leaf(r))
+      def solve(s: Set[Int]): JoinTree = memo.get(s) match {
+        case Some(t) => t
+        case None =>
+          var best: JoinTree = null
+          lastExamined += minCutAGaT(adj, s) { (c, comp) =>
+            val (lt, rt) = (solve(c), solve(comp))
+            val cand = Node(lt, rt, joinedCard(g, lt, rt))
+            if (best == null || cand.cost < best.cost) best = cand
+          }
+          memo(s) = best
+          best
+      }
+      solve(all)
+    }
+  }
+
+  /** TDGOO (ref PlanEnumerator.cpp:707 + PlanEnumerator.hpp:163):
+    * top-down greedy operator ordering — repeatedly cut the current
+    * subproblem with the minimal combined-cardinality partition (found
+    * by [[minCutAGaT]]), then emit the saved joins bottom-up. Greedy
+    * like GOO but splits from the top, so it examines one cut
+    * enumeration per join instead of all pairs per merge. */
+  object TDGOO extends PlanEnumerator {
+    val name = "TDGOO"
+
+    /** Worklist entries processed by the cut partitioner last run. */
+    var lastExamined: Long = 0L
+
+    def enumerate(g: JoinGraph): JoinTree = {
+      lastExamined = 0L
+      val n = g.rels.length
+      if (n == 1) return Leaf(g.rels.head)
+      val adj = adjSetsOf(g)
+      val all = (0 until n).toSet
+      if (!isConnectedSet(adj, all)) return GOO.enumerate(g)
+      // cut metric: cartesian fold (product of leaf cardinalities),
+      // mirroring the reference's estimate_join_all under its default
+      // CartesianProductEstimator — minimizing the sum of side products
+      // peels the largest relations off at the top, i.e. joins them
+      // last (double overflow saturates to ∞, which still orders cuts)
+      def subsetCard(s: Set[Int]): Double =
+        s.iterator.map(i => math.max(1.0, g.rels(i).card)).product
+      var worklist = List(all)
+      val joins = collection.mutable.Buffer.empty[(Set[Int], Set[Int])]
+      while (worklist.nonEmpty) {
+        val top = worklist.head
+        worklist = worklist.tail
+        if (top.size > 1) {
+          var cMin = Double.PositiveInfinity
+          var minL: Set[Int] = null; var minR: Set[Int] = null
+          lastExamined += minCutAGaT(adj, top) { (l, r) =>
+            val c = subsetCard(l) + subsetCard(r)
+            if (c < cMin) { cMin = c; minL = l; minR = r }
+          }
+          joins += ((minL, minR))
+          worklist = minL :: minR :: worklist
+        }
+      }
+      // replay the saved cuts bottom-up into a join tree
+      val treeOf = collection.mutable.Map.empty[Set[Int], JoinTree]
+      g.rels.foreach(r => treeOf(Set(r.idx)) = Leaf(r))
+      joins.reverseIterator.foreach { case (l, r) =>
+        val (lt, rt) = (treeOf(l), treeOf(r))
+        treeOf(l ++ r) = Node(lt, rt, joinedCard(g, lt, rt))
+      }
+      treeOf(all)
     }
   }
 

@@ -134,6 +134,60 @@ class JoinReorderSpec extends AnyFunSuite {
     }
   }
 
+  // ---- the round-4 completions: symmetric-pruning DPs + TD variants ----
+
+  for (shape <- Seq("chain", "star", "clique"); seed <- 1 to 3) {
+    test(s"DPsizeOpt matches the DP optimum on $shape (seed $seed)") {
+      val g = randomGraph(7, seed, shape)
+      assert(math.abs(DPsizeOpt.enumerate(g).cost - bruteForce(g)) / bruteForce(g) < 1e-9)
+    }
+    test(s"DPsizeSub matches the DP optimum on $shape (seed $seed)") {
+      val g = randomGraph(7, seed, shape)
+      assert(math.abs(DPsizeSub.enumerate(g).cost - bruteForce(g)) / bruteForce(g) < 1e-9)
+    }
+    test(s"DPsubOpt matches the DP optimum on $shape (seed $seed)") {
+      val g = randomGraph(7, seed, shape)
+      assert(math.abs(DPsubOpt.enumerate(g).cost - bruteForce(g)) / bruteForce(g) < 1e-9)
+    }
+    test(s"TDMinCutAGaT matches the DP optimum on $shape (seed $seed)") {
+      val g = randomGraph(7, seed, shape)
+      assert(math.abs(TDMinCutAGaT.enumerate(g).cost - bruteForce(g)) / bruteForce(g) < 1e-9)
+    }
+  }
+
+  for (shape <- Seq("chain", "star", "clique")) {
+    test(s"TDGOO is a valid greedy plan, never beats the optimum on $shape") {
+      val g = randomGraph(7, 42, shape)
+      val dp = DPsize.enumerate(g)
+      val td = TDGOO.enumerate(g)
+      assert(td.set == dp.set)
+      assert(td.cost >= dp.cost - 1e-6)
+      assert(td.cost <= dp.cost * 10)
+    }
+  }
+
+  test("cut-based TD partitioning examines far fewer splits than TDbasic on chain and star") {
+    for (shape <- Seq("chain", "star")) {
+      val g = randomGraph(10, 3, shape)
+      TDbasic.enumerate(g)
+      val basic = TDbasic.lastExamined
+      TDMinCutAGaT.enumerate(g)
+      assert(TDMinCutAGaT.lastExamined < basic,
+        s"$shape: TDMinCutAGaT examined ${TDMinCutAGaT.lastExamined} vs TDbasic $basic")
+      TDGOO.enumerate(g)
+      assert(TDGOO.lastExamined < basic,
+        s"$shape: TDGOO examined ${TDGOO.lastExamined} vs TDbasic $basic")
+    }
+  }
+
+  test("the round-4 enumerators handle disconnected graphs via fallback") {
+    val rels = Vector(Rel(null, 100.0, 0), Rel(null, 200.0, 1), Rel(null, 300.0, 2))
+    val g = JoinGraph(rels,
+      Seq((0, 1, null: org.apache.spark.sql.catalyst.expressions.Expression)), Nil)
+    for (e <- Seq(DPsizeOpt, DPsizeSub, DPsubOpt, TDGOO, TDMinCutAGaT))
+      assert(e.enumerate(g).set == Set(0, 1, 2), e.name)
+  }
+
   test("DPccp enumerates exactly the csg-cmp pairs of a chain: (n³−n)/6") {
     val n = 10
     val g = randomGraph(n, 3, "chain")
