@@ -729,16 +729,23 @@ object JoinReorder {
     *    result's cardinality to g — exactly the C_out increment.
     *  - The *heuristic* estimates remaining cost: `zero` (Dijkstra —
     *    optimal, most expansions), `sum` (Σ cardinalities of current
-    *    subproblems, ref hpp:1729), `goo` (cost of finishing greedily,
-    *    ref hpp:1958 — the strongest guide, near-optimal in practice).
+    *    subproblems, ref hpp:1729), `product` (Π cardinalities, ref
+    *    hpp:1859 — deliberately inadmissible aggressive guidance),
+    *    `goo` (cost of finishing greedily, ref hpp:1958 — the
+    *    strongest guide, near-optimal in practice).
     *  - `weight` > 1 gives weighted A* (ref's anytime search knob).
+    *  - The *space* is `bottomup` (merge two subproblems per step) or
+    *    `topdown` (ref TopDownComplete hpp:1593: split the first
+    *    non-singleton subproblem along a MinCutAGaT ccp per step) —
+    *    the reference's full search × space × heuristic config grid.
     *
     * States are deduplicated on the canonical partition (which
     * subproblems exist), keeping the cheapest g per partition — the
     * role of the reference's subproblem hash table. */
   final class HeuristicSearchEnumerator(
-      heuristic: String = "goo", weight: Double = 1.0) extends PlanEnumerator {
-    val name = s"HeuristicSearch($heuristic)"
+      heuristic: String = "goo", weight: Double = 1.0,
+      space: String = "bottomup") extends PlanEnumerator {
+    val name = s"HeuristicSearch($space,$heuristic)"
 
     /** States popped from the frontier in the last run (the SIGMOD'23
       * claim is optimal plans with far fewer expansions than DP). */
@@ -749,6 +756,10 @@ object JoinReorder {
       else heuristic match {
         case "zero" => 0.0
         case "sum" => parts.map(_.card).sum
+        // ref hpp:1859: Π of current subproblem cardinalities —
+        // inadmissible by design (dramatic overestimate), shipped as
+        // the aggressive-guidance baseline of the heuristic family
+        case "product" => parts.map(_.card).product
         case "goo" =>
           // simulate greedy completion; the final (complete) join's
           // cardinality is a plan-independent constant and excluded,
@@ -774,6 +785,109 @@ object JoinReorder {
 
     def enumerate(g: JoinGraph): JoinTree = {
       lastExpanded = 0
+      if (space == "topdown") enumerateTopDown(g) else enumerateBottomUp(g)
+    }
+
+    /** Top-down search space (ref TopDownComplete, hpp:1593): a state
+      * is still a partition, but the start is {All} and a step SPLITS
+      * the first non-singleton subproblem along one of its MinCutAGaT
+      * ccps. Action cost = cardinality of the subproblem being split
+      * (the intermediate result its join will produce); splitting the
+      * full set is free — every complete plan pays that cardinality, so
+      * charging it would only postpone goals in the queue (ref comment
+      * at hpp:1646). Falls back to bottom-up on disconnected graphs
+      * (graph cuts need connectivity). */
+    private def enumerateTopDown(g: JoinGraph): JoinTree = {
+      val n = g.rels.length
+      if (n == 1) return Leaf(g.rels.head)
+      val adj = adjSetsOf(g)
+      val all = (0 until n).toSet
+      if (!isConnectedSet(adj, all)) return enumerateBottomUp(g)
+      // our equi-join estimate folds a connected set to its minimum
+      // leaf cardinality — the exact card the final tree's node gets
+      def connCard(s: Set[Int]): Double =
+        if (s.size == 1) g.rels(s.head).card else s.map(g.rels(_).card).min
+
+      def hTD(parts: Vector[Set[Int]]): Double = heuristic match {
+        case "zero" => 0.0
+        case "sum" =>
+          // ref sum<TopDown> (hpp:1753, admissible): every remaining
+          // non-singleton must still be split, paying its cardinality
+          if (parts.length == 1) 0.0
+          else parts.iterator.filter(_.size > 1).map(connCard).sum
+        case "goo" =>
+          // ref GOO<TopDown> (hpp:1996): finish with TDGOO cuts from
+          // here. Cuts are chosen like the TDGOO enumerator — minimal
+          // side-cardinality sum under the cartesian fold (the shape
+          // the reference's estimate_join_all produces, which peels
+          // large relations off at the top). The estimate accumulates
+          // what the SEARCH would pay for that completion — the
+          // cardinality of each subproblem split (All exempt, as in
+          // the action cost) — so h stays on g's cost basis, like the
+          // bottom-up goo guide.
+          def prodCard(s: Set[Int]): Double =
+            s.iterator.map(i => math.max(1.0, g.rels(i).card)).product
+          var cost = 0.0
+          var work = parts.iterator.filter(_.size > 1).toList
+          while (work.nonEmpty) {
+            val top = work.head
+            work = work.tail
+            var cMin = Double.PositiveInfinity
+            var mL: Set[Int] = null; var mR: Set[Int] = null
+            minCutAGaT(adj, top) { (l, r) =>
+              val c = (if (l.size > 1) connCard(l) else 0.0) +
+                (if (r.size > 1) connCard(r) else 0.0) +
+                1e-9 * (prodCard(l) + prodCard(r))
+              if (c < cMin) { cMin = c; mL = l; mR = r }
+            }
+            if (top != (0 until n).toSet) cost += connCard(top)
+            if (mL.size > 1) work = mL :: work
+            if (mR.size > 1) work = mR :: work
+          }
+          cost
+        case other =>
+          throw new IllegalArgumentException(
+            s"unknown top-down heuristic '$other'")
+      }
+
+      final case class Entry(parts: Vector[Set[Int]],
+          splits: List[(Set[Int], Set[Int])], gCost: Double, f: Double)
+      implicit val ord: Ordering[Entry] = Ordering.by(e => -e.f)
+      val frontier = collection.mutable.PriorityQueue.empty[Entry]
+      val closed = collection.mutable.Set.empty[Set[Set[Int]]]
+      frontier.enqueue(Entry(Vector(all), Nil, 0.0, weight * hTD(Vector(all))))
+      while (frontier.nonEmpty) {
+        val e = frontier.dequeue()
+        val key = e.parts.toSet
+        if (!closed.contains(key)) {
+          closed += key
+          if (e.parts.forall(_.size == 1)) {
+            // goal: replay the splits (latest first ⇒ children before
+            // parents) into a join tree
+            val treeOf = collection.mutable.Map.empty[Set[Int], JoinTree]
+            g.rels.foreach(r => treeOf(Set(r.idx)) = Leaf(r))
+            e.splits.foreach { case (l, r) =>
+              val (lt, rt) = (treeOf(l), treeOf(r))
+              treeOf(l ++ r) = Node(lt, rt, joinedCard(g, lt, rt))
+            }
+            return treeOf(all)
+          }
+          lastExpanded += 1
+          val part = e.parts.find(_.size > 1).get
+          val rest = e.parts.filterNot(_ == part)
+          val action = if (part == all) 0.0 else connCard(part)
+          minCutAGaT(adj, part) { (l, r) =>
+            val parts2 = rest :+ l :+ r
+            val g2 = e.gCost + action
+            frontier.enqueue(Entry(parts2, (l, r) :: e.splits, g2,
+              g2 + weight * hTD(parts2)))
+          }
+        }
+      }
+      throw new IllegalStateException("top-down search exhausted the frontier")
+    }
+
+    private def enumerateBottomUp(g: JoinGraph): JoinTree = {
       final case class Entry(parts: Vector[JoinTree], gCost: Double, f: Double)
       implicit val ord: Ordering[Entry] = Ordering.by(e => -e.f)
       val frontier = collection.mutable.PriorityQueue.empty[Entry]

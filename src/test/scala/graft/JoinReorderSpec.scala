@@ -275,6 +275,65 @@ class JoinReorderSpec extends AnyFunSuite {
       s"weighted expanded ${whs.lastExpanded} vs $dpSubproblems DP subproblems")
   }
 
+  // ---- top-down search space + product heuristic (round-4) ----
+
+  for (shape <- Seq("chain", "star", "clique"); seed <- 1 to 3) {
+    test(s"top-down search with zero heuristic (Dijkstra) is optimal on $shape (seed $seed)") {
+      val g = randomGraph(6, seed, shape)
+      val hs = new HeuristicSearchEnumerator("zero", space = "topdown")
+      assert(math.abs(hs.enumerate(g).cost - bruteForce(g)) / bruteForce(g) < 1e-9)
+    }
+    test(s"top-down search with sum heuristic is optimal on $shape (seed $seed)") {
+      // sum is admissible in the top-down space (ref hpp:1757)
+      val g = randomGraph(7, seed, shape)
+      assert(math.abs(new HeuristicSearchEnumerator("sum", space = "topdown")
+        .enumerate(g).cost - bruteForce(g)) / bruteForce(g) < 1e-9)
+    }
+  }
+
+  test("top-down goo search reaches the DP optimum with fewer expansions than bottom-up zero (ref config-grid claim)") {
+    for (shape <- Seq("chain", "star", "clique"); n <- Seq(8, 10)) {
+      val g = randomGraph(n, 13, shape)
+      val dp = DPsub.enumerate(g)
+      val buZero = new HeuristicSearchEnumerator("zero")
+      buZero.enumerate(g)
+      val tdGoo = new HeuristicSearchEnumerator("goo", space = "topdown")
+      val t = tdGoo.enumerate(g)
+      assert(t.set == (0 until n).toSet)
+      // goo guidance is inadmissible (h = cost of a real greedy
+      // completion, an overestimate), so near-optimality — not
+      // exactness — is the contract; the exact-optimum top-down
+      // configuration is sum (admissible), pinned above
+      assert(t.cost <= dp.cost * 1.25 + 1e-6,
+        s"$shape n=$n: topdown-goo ${t.cost} vs optimum ${dp.cost}")
+      assert(t.cost >= dp.cost - 1e-6)
+      // the SIGMOD'23-style claim: an order of magnitude fewer
+      // expansions than uninformed bottom-up search
+      assert(tdGoo.lastExpanded * 2 < buZero.lastExpanded,
+        s"$shape n=$n: topdown-goo expanded ${tdGoo.lastExpanded} " +
+          s"vs bottom-up zero ${buZero.lastExpanded}")
+    }
+  }
+
+  test("product heuristic (inadmissible) yields a valid plan with fewer expansions than Dijkstra") {
+    val g = randomGraph(8, 17, "clique")
+    val zero = new HeuristicSearchEnumerator("zero")
+    val dp = zero.enumerate(g)
+    val prod = new HeuristicSearchEnumerator("product")
+    val t = prod.enumerate(g)
+    assert(t.set == dp.set)
+    assert(t.cost >= dp.cost - 1e-6) // never better than the optimum
+    assert(prod.lastExpanded < zero.lastExpanded)
+  }
+
+  test("top-down space falls back to bottom-up on disconnected graphs") {
+    val rels = Vector(Rel(null, 100.0, 0), Rel(null, 200.0, 1), Rel(null, 300.0, 2))
+    val g = JoinGraph(rels,
+      Seq((0, 1, null: org.apache.spark.sql.catalyst.expressions.Expression)), Nil)
+    val hs = new HeuristicSearchEnumerator("goo", space = "topdown")
+    assert(hs.enumerate(g).set == Set(0, 1, 2))
+  }
+
   test("sum-heuristic search finds a valid complete plan on a clique") {
     val g = randomGraph(7, 11, "clique")
     val hs = new HeuristicSearchEnumerator("sum")
