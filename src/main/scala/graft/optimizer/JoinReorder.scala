@@ -924,9 +924,13 @@ object JoinReorder {
   }
 
   /** Pick the enumerator like the reference's default policy: exact DP
-    * while affordable, greedy beyond. */
-  def enumerate(g: JoinGraph): JoinTree =
-    if (g.rels.length <= JoinGraph.DpLimit) DPsize.enumerate(g)
+    * while affordable, greedy beyond. A non-default cost model (ref
+    * TrainedCostFunction) routes through the cost-pluggable DP. */
+  def enumerate(g: JoinGraph,
+      cost: TrainedCost.CostModel = TrainedCost.CoutModel): JoinTree =
+    if (!(cost eq TrainedCost.CoutModel) && g.rels.length <= JoinGraph.DpLimit)
+      new TrainedCost.CostBasedDP(cost).enumerate(g)
+    else if (g.rels.length <= JoinGraph.DpLimit) DPsize.enumerate(g)
     else GOO.enumerate(g)
 }
 
@@ -944,6 +948,12 @@ object JoinReorderRule extends Rule[LogicalPlan] with PredicateHelper {
   /** name → cardinality overrides (test/experiment injection). Only
     * consulted when non-empty, i.e. never in production sessions. */
   @volatile var injectedCards: Map[String, Double] = Map.empty
+
+  /** Pluggable cost model (ref TrainedCostFunction vs CostFunctionCout;
+    * swap via `JoinReorderRule.costModel = new TrainedCostFunction(
+    * TrainedCost.train(spark))` — the reference's swappable CostFunction
+    * catalog component). Default: C_out. */
+  @volatile var costModel: TrainedCost.CostModel = TrainedCost.CoutModel
 
   /** Number of join trees this rule has reordered (observability: lets
     * tests prove the rule actually fires in production sessions). */
@@ -1052,7 +1062,7 @@ object JoinReorderRule extends Rule[LogicalPlan] with PredicateHelper {
         }.toVector
         val (edges, residual) = splitConds(rels, conds)
         val graph = JoinGraph(rels, edges, residual)
-        val tree = enumerate(graph)
+        val tree = enumerate(graph, costModel)
         val rebuilt = build(tree, conds)
         rebuilt.foreach {
           case jn: Join => jn.setTagValue(reorderedTag, true)

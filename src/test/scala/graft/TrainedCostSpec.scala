@@ -1,0 +1,133 @@
+package graft
+
+import graft.optimizer.JoinReorder._
+import graft.optimizer.TrainedCost
+import graft.optimizer.TrainedCost._
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** TrainedCostFunction (ref CostModel.cpp:91-340): linear per-operator
+  * cost models fit on a seeded microbench against the live engine,
+  * pluggable into enumeration beside C_out. */
+class TrainedCostSpec extends AnyFunSuite {
+  import TestSession._
+
+  private lazy val models: Models = TrainedCost.train(spark)
+
+  test("trained models are sane: monotone in input volume") {
+    val m = models
+    // scan: more rows cost more
+    assert(m.scan.predict(scanFeatures(8e6)) > m.scan.predict(scanFeatures(1e5)),
+      s"scan model not monotone: ${m.scan.coef.toSeq}")
+    // join: bigger inputs cost more at fixed output
+    assert(m.join.predict(joinFeatures(1e6, 1e6, 1e5)) >
+      m.join.predict(joinFeatures(1e5, 1e5, 1e5)),
+      s"join model not monotone: ${m.join.coef.toSeq}")
+  }
+
+  private def randomGraph(n: Int, seed: Int): JoinGraph = {
+    val rnd = new scala.util.Random(seed)
+    val rels = (0 until n).map(i =>
+      Rel(null, math.pow(10, 1 + rnd.nextInt(5)) * (1 + rnd.nextDouble()), i)).toVector
+    // ~half the pairs connected: mixed graphs include cross products,
+    // where cardinalities multiply — the regime where the convex
+    // n·log n term can rank plans differently from C_out
+    val edges = for {
+      i <- 0 until n; j <- i + 1 until n if rnd.nextBoolean()
+    } yield (i, j, null: org.apache.spark.sql.catalyst.expressions.Expression)
+    JoinGraph(rels, edges, Nil)
+  }
+
+  private def shapeOf(t: JoinTree): Set[Set[Int]] = t match {
+    case _: Leaf => Set.empty
+    case Node(l, r, _) => shapeOf(l) ++ shapeOf(r) + t.set
+  }
+
+  test("C_out and the trained cost disagree on plan choice (and each pick is optimal under its own model)") {
+    val trained = new TrainedCostFunction(models)
+    val coutDp = new CostBasedDP(CoutModel)
+    val trainDp = new CostBasedDP(trained)
+    val found = (1 to 300).view.map { seed =>
+      val g = randomGraph(6, seed)
+      val a = coutDp.enumerate(g)
+      val b = trainDp.enumerate(g)
+      (g, a, b)
+    }.find { case (_, a, b) => shapeOf(a) != shapeOf(b) }
+    assert(found.isDefined,
+      "no structural disagreement between C_out and trained cost in 300 seeds")
+    val (g, coutPick, trainedPick) = found.get
+    // genuine divergence: each choice wins under its own model …
+    assert(trained(trainedPick) <= trained(coutPick) + 1e-9)
+    assert(coutPick.cost <= trainedPick.cost + 1e-9)
+    // … and strictly loses under the other (otherwise the shapes would
+    // not differ, modulo exact ties)
+    assert(trained(trainedPick) < trained(coutPick) ||
+      coutPick.cost < trainedPick.cost)
+  }
+
+  test("trained cost ranks real sf0.1 join orders at least as well as C_out") {
+    val dir = "/root/testdata/sf0.1"
+    val li = Engine.table(spark, dir, "lineitem")
+      .select("l_orderkey", "l_extendedprice")
+    val ord = Engine.table(spark, dir, "orders")
+      .select("o_orderkey", "o_custkey")
+    val cust = Engine.table(spark, dir, "customer").select("c_custkey")
+    val nLi = li.count().toDouble
+    val nOrd = ord.count().toDouble
+    val nCust = cust.count().toDouble
+
+    def noop(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    def time(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e6
+    }
+    // order A: (lineitem ⋈ orders) ⋈ customer
+    def planA = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+    // order B: (orders ⋈ customer) ⋈ lineitem
+    def planB = ord.join(cust, col("o_custkey") === col("c_custkey"))
+      .join(li, col("l_orderkey") === col("o_orderkey"))
+    noop(planA) // warm-up both shapes once
+    noop(planB)
+    val msA = (1 to 2).map(_ => time(noop(planA))).min
+    val msB = (1 to 2).map(_ => time(noop(planB))).min
+
+    // model both orders with the true cardinalities as features
+    // (PK-FK joins: |li⋈ord| = |li|, |ord⋈cust| = |ord|)
+    val trained = new TrainedCostFunction(models)
+    def tree(first: (Double, Double, Double), second: (Double, Double, Double))
+        : Double = {
+      val j1 = models.join.predict(joinFeatures(first._1, first._2, first._3))
+      val j2 = models.join.predict(joinFeatures(second._1, second._2, second._3))
+      j1 + j2
+    }
+    val predA = tree((nLi, nOrd, nLi), (nLi, nCust, nLi))
+    val predB = tree((nOrd, nCust, nOrd), (nOrd, nLi, nLi))
+    val coutA = nLi + nLi // intermediates: |li⋈ord| then the final
+    val coutB = nOrd + nLi
+    // inversions of each model's ranking vs the measured ranking
+    def inversions(x: Double, y: Double): Int =
+      if ((x < y) == (msA < msB)) 0 else 1
+    val trainedInv = inversions(predA, predB)
+    val coutInv = inversions(coutA, coutB)
+    assert(trainedInv <= coutInv,
+      s"trained ranking worse than C_out: measured A=$msA B=$msB, " +
+        s"trained A=$predA B=$predB, cout A=$coutA B=$coutB")
+    assert(trained(Leaf(Rel(null, 100.0, 0))) >= 0.0) // exercise the tree API
+  }
+
+  test("the production rule accepts the trained cost model and preserves results") {
+    val base = operators.Relational.join5Way(spark, sf)
+      .collect().map(_.toSeq.toString).sorted
+    graft.optimizer.JoinReorderRule.costModel = new TrainedCostFunction(models)
+    spark.experimental.extraOptimizations = Seq(graft.optimizer.JoinReorderRule)
+    try {
+      val reordered = operators.Relational.join5Way(spark, sf)
+        .collect().map(_.toSeq.toString).sorted
+      assert(reordered.toSeq == base.toSeq)
+    } finally {
+      spark.experimental.extraOptimizations = Nil
+      graft.optimizer.JoinReorderRule.costModel = TrainedCost.CoutModel
+    }
+  }
+}
