@@ -100,9 +100,11 @@ object TrainedCost {
     noop(spark.range(1000).toDF("id").withColumn("k", col("id") % 100)
       .join(spark.range(1000).toDF("id2").withColumn("k", col("id2") % 100), "k"))
 
-    val scanRows = Seq(1e5, 1e6, 4e6, 8e6).flatMap { n =>
-      val ms = (1 to 2).map(_ =>
-        time(noop(spark.range(n.toLong).toDF("id")))).min
+    // scan cost must actually scale with rows to be learnable: hash a
+    // derived column so per-row work dominates the fixed job overhead
+    val scanRows = Seq(1e5, 4e6, 1.6e7, 3.2e7).flatMap { n =>
+      val ms = (1 to 2).map(_ => time(noop(
+        spark.range(n.toLong).select(xxhash64(col("id")).as("h"))))).min
       Seq((scanFeatures(n), ms))
     }
 
