@@ -114,6 +114,115 @@ object DedupOps {
     JOIN sizes sb ON sb.doc_id = doc_b
     WHERE CAST(c AS DOUBLE) / (sa.n_sh + sb.n_sh - c) >= 0.5"""
 
+  /** Near-duplicate CLUSTERING: assign every document the minimum
+    * doc_id of its near-dup connected component, where edges are the
+    * exact n-gram Jaccard pairs (≥ 0.5). Iterative min-label
+    * propagation as DataFrame joins — the standard distributed
+    * connected-components shape: one shuffle join + aggregate per
+    * round, rounds bounded by the component diameter (near-dup
+    * clusters are shallow; capped + convergence-checked). At 100 TB
+    * the per-round `count()` is a cheap job over the label table and
+    * production deployments add `localCheckpoint` every few rounds to
+    * cut lineage. DuckDB-oracled via a recursive CTE. */
+  def cluster(sp: SparkSession, dir: String): DataFrame = {
+    val pairs = ngramJaccard(sp, dir).select(col("doc_a"), col("doc_b"))
+    val edges = pairs
+      .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .toDF("src", "dst")
+      .cache()
+    var labels = Engine.table(sp, dir, "documents")
+      .select(col("doc_id"), col("doc_id").as("canonical_id"))
+      .cache()
+    val MaxRounds = 20 // diameter bound; convergence usually in 2-3
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < MaxRounds) {
+      rounds += 1
+      val viaNbr = edges.join(labels, edges("dst") === labels("doc_id"))
+        .select(col("src").as("doc_id"), col("canonical_id"))
+      val next = labels.select(col("doc_id"), col("canonical_id")).union(viaNbr)
+        .groupBy(col("doc_id")).agg(min(col("canonical_id")).as("canonical_id"))
+        .cache()
+      // min-propagation only ever decreases a label
+      val changed = next
+        .join(labels.withColumnRenamed("canonical_id", "old"), "doc_id")
+        .filter(col("canonical_id") < col("old")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+    }
+    labels
+  }
+
+  /** Per-cluster representative selection — the pipeline action near-
+    * dup clustering exists for: keep the highest-quality member of
+    * every cluster (longest text, ties to the smallest doc_id) and
+    * report the cluster size. One shuffle on canonical_id; the window
+    * is partition-local and cluster sizes are bounded by dup-group
+    * sizes, so this holds at corpus scale. */
+  def clusterKeepBest(sp: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val labels = cluster(sp, dir)
+    val docs = Engine.table(sp, dir, "documents")
+      .select(col("doc_id"), length(col("text")).as("len"))
+    val joined = labels.join(docs, "doc_id")
+    val byQuality = Window.partitionBy(col("canonical_id"))
+      .orderBy(col("len").desc, col("doc_id").asc)
+    val all = Window.partitionBy(col("canonical_id"))
+    joined
+      .withColumn("rn", row_number().over(byQuality))
+      .withColumn("n_members", count(lit(1)).over(all))
+      .filter(col("rn") === 1)
+      .select(col("canonical_id"), col("doc_id").as("keep_id"), col("n_members"))
+  }
+
+  /** Shared CTE prefix: the near-dup graph + connected components via
+    * recursive min-label closure (mirrors the iterative Spark op). */
+  private val ccCtePrefix: String = """
+    WITH RECURSIVE words AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    sh0 AS (
+      SELECT DISTINCT doc_id,
+        unnest(list_transform(
+          range(1, GREATEST(len(ws) - 1, 2)),
+          i -> array_to_string(ws[i:i+2], ' '))) AS shingle
+      FROM words),
+    hot AS (
+      SELECT shingle FROM sh0 GROUP BY shingle HAVING COUNT(*) > 1000),
+    sh AS (
+      SELECT * FROM sh0 WHERE shingle NOT IN (SELECT shingle FROM hot)),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS c
+      FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+      GROUP BY x.doc_id, y.doc_id),
+    pairs AS (
+      SELECT doc_a, doc_b FROM inter
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE CAST(c AS DOUBLE) / (sa.n_sh + sb.n_sh - c) >= 0.5),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL SELECT doc_b, doc_a FROM pairs),
+    reach(doc_id, lbl) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.doc_id = e.dst),
+    cc AS (
+      SELECT doc_id, MIN(lbl) AS canonical_id FROM reach GROUP BY doc_id)"""
+
+  val clusterOracle: String = ccCtePrefix + """
+    SELECT doc_id, canonical_id FROM cc"""
+
+  val clusterKeepBestOracle: String = ccCtePrefix + """
+    SELECT canonical_id, keep_id, n_members FROM (
+      SELECT cc.canonical_id, d.doc_id AS keep_id,
+        ROW_NUMBER() OVER (PARTITION BY cc.canonical_id
+          ORDER BY LENGTH(d.text) DESC, d.doc_id) AS rn,
+        CAST(COUNT(*) OVER (PARTITION BY cc.canonical_id) AS BIGINT) AS n_members
+      FROM cc JOIN documents d ON d.doc_id = cc.doc_id)
+    WHERE rn = 1"""
+
   // MinHash parameters: 64 permutations in 16 bands of 4 rows →
   // catches Jaccard ≳ 0.5 with high probability. The whole signature
   // is built by one custom Aggregator (single Array[Long] buffer per
@@ -213,9 +322,13 @@ object DedupOps {
     "dedup_exact" -> (exact _),
     "dedup_ngram_jaccard" -> (ngramJaccard _),
     "dedup_minhash_lsh" -> (minhashLsh _),
-    "dedup_simhash" -> (simhashPairs _))
+    "dedup_simhash" -> (simhashPairs _),
+    "dedup_cluster" -> (cluster _),
+    "dedup_cluster_keep_best" -> (clusterKeepBest _))
 
   val oracles: Map[String, String] = Map(
     "dedup_exact" -> exactOracle,
-    "dedup_ngram_jaccard" -> ngramJaccardOracle)
+    "dedup_ngram_jaccard" -> ngramJaccardOracle,
+    "dedup_cluster" -> clusterOracle,
+    "dedup_cluster_keep_best" -> clusterKeepBestOracle)
 }

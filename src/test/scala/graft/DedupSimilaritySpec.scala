@@ -64,6 +64,20 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.3, s"IVF recall $recall too low (${ivf.size} vs ${bf.size})")
   }
 
+  test("dedup_cluster labels are transitive fixpoints of the near-dup graph") {
+    val labels = DedupOps.cluster(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pairs = DedupOps.ngramJaccard(spark, sf)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    // every near-dup pair shares a canonical id (connectivity) …
+    pairs.foreach { case (a, b) =>
+      assert(labels(a) == labels(b), s"pair ($a,$b) split across clusters")
+    }
+    // … the canonical id is a member of its own cluster and minimal
+    labels.values.foreach(c => assert(labels(c) == c))
+    labels.foreach { case (d, c) => assert(c <= d) }
+  }
+
   test("exact dedup keeps one representative per distinct text") {
     val docs = Engine.table(spark, sf, "documents")
     val nDistinct = docs.select("text").distinct().count()
