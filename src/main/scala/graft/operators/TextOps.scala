@@ -234,8 +234,121 @@ object TextOps {
           '$DigitRunRe', '<NUM>', 'g')) AS BIGINT) AS redacted_len
     FROM documents"""
 
+  /** Training-data curation: the K highest-token-count documents per
+    * language (ties to the smallest doc_id). Two-phase so it survives
+    * language skew at corpus scale: phase 1 takes a per-input-partition
+    * top-K per language (the exchange keys on (partition, lang) —
+    * high cardinality, no single-language hot task), pruning to at most
+    * K·P rows per language before phase 2 ranks those survivors
+    * globally. The global top-K is always contained in the union of
+    * per-partition top-Ks, so the result is exact. */
+  val SampleTopK = 50
+
+  def samplePerLang(sp: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Engine.table(sp, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        (length(col("text")) - length(replace(col("text"), lit(" "), lit(""))) + 1)
+          .cast("long").as("n_tokens"))
+    val local = docs.withColumn("pid", spark_partition_id())
+    val perPart = Window.partitionBy(col("pid"), col("lang"))
+      .orderBy(col("n_tokens").desc, col("doc_id").asc)
+    val pruned = local
+      .withColumn("r1", row_number().over(perPart))
+      .filter(col("r1") <= SampleTopK)
+      .drop("pid", "r1")
+    val global = Window.partitionBy(col("lang"))
+      .orderBy(col("n_tokens").desc, col("doc_id").asc)
+    pruned
+      .withColumn("rank", row_number().over(global).cast("long"))
+      .filter(col("rank") <= SampleTopK)
+      .select(col("lang"), col("doc_id"), col("n_tokens"), col("rank"))
+  }
+
+  val samplePerLangOracle: String = s"""
+    SELECT lang, doc_id, n_tokens, rank FROM (
+      SELECT lang, doc_id,
+        CAST(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS BIGINT) AS n_tokens,
+        CAST(ROW_NUMBER() OVER (PARTITION BY lang
+          ORDER BY LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 DESC, doc_id) AS BIGINT) AS rank
+      FROM documents)
+    WHERE rank <= $SampleTopK"""
+
+  /** Training-data curation: take documents per language in doc_id
+    * order while the running token total stays within a budget.
+    * A per-language prefix sum is inherently sequential, so the scale
+    * shape is two-phase: range-partition by (lang, doc_id), aggregate
+    * one subtotal row per (partition, language) — a driver collect
+    * bounded by partitions × languages, like the SPN trainer's bounded
+    * sample — and seed each partition's running sum with the broadcast
+    * offset of earlier partitions. No single-language hot task, one
+    * pass over the data. */
+  val TokenBudget = 5000L
+
+  def tokenBudget(sp: SparkSession, dir: String): DataFrame = {
+    val docs = Engine.table(sp, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        (length(col("text")) - length(replace(col("text"), lit(" "), lit(""))) + 1)
+          .cast("long").as("n_tokens"))
+    val parts = sp.sparkContext.defaultParallelism
+    // The cache pins ONE physical range partitioning (the partitioner
+    // samples per job and could otherwise shift boundaries between the
+    // subtotal job and the final pass), and the partition id is stored
+    // AS A COLUMN inside the cached data: downstream stage collapsing
+    // (e.g. a consumer's coalesce(1) folds this mapPartitions into one
+    // task where TaskContext would report a single id) cannot corrupt
+    // the offset seeding, because the running sum re-seeds on every
+    // (pid, lang) change read from the rows themselves.
+    val sorted = docs
+      .repartitionByRange(parts, col("lang"), col("doc_id"))
+      .sortWithinPartitions(col("lang"), col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+      .cache()
+    // bounded driver collect: one subtotal per (partition, language)
+    val subtotals = sorted
+      .groupBy(col("pid"), col("lang")).agg(sum(col("n_tokens")).as("sub"))
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    val offsets: Map[(Int, String), Long] = subtotals.map { case (pid, lang, _) =>
+      (pid, lang) -> subtotals.collect {
+        case (p2, l2, s2) if l2 == lang && p2 < pid => s2
+      }.sum
+    }.toMap
+    val bc = sp.sparkContext.broadcast(offsets)
+    import sp.implicits._
+    sorted.select(col("doc_id"), col("lang"), col("n_tokens"), col("pid"))
+      .as[(Long, String, Long, Int)]
+      .mapPartitions { it =>
+        var curLang: String = null
+        var curPid = -1
+        var run = 0L
+        it.map { case (id, lang, nt, pid) =>
+          if (lang != curLang || pid != curPid) {
+            curLang = lang
+            curPid = pid
+            run = bc.value.getOrElse((pid, lang), 0L)
+          }
+          run += nt
+          (id, lang, nt, run)
+        }
+      }
+      .toDF("doc_id", "lang", "n_tokens", "cum_tokens")
+      .filter(col("cum_tokens") <= TokenBudget)
+  }
+
+  val tokenBudgetOracle: String = s"""
+    SELECT doc_id, lang, n_tokens, cum_tokens FROM (
+      SELECT doc_id, lang,
+        CAST(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS BIGINT) AS n_tokens,
+        CAST(SUM(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1) OVER
+          (PARTITION BY lang ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+      FROM documents)
+    WHERE cum_tokens <= $TokenBudget"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_redact_pii" -> (redactPii _),
+    "pipeline_sample_per_lang" -> (samplePerLang _),
+    "pipeline_token_budget" -> (tokenBudget _),
     "pipeline_quality_filter" -> (qualityFilterPipeline _),
     "text_token_stats" -> (tokenStats _),
     "text_quality_score" -> (qualityScore _),
@@ -246,6 +359,8 @@ object TextOps {
 
   val oracles: Map[String, String] = Map(
     "text_redact_pii" -> redactPiiOracle,
+    "pipeline_sample_per_lang" -> samplePerLangOracle,
+    "pipeline_token_budget" -> tokenBudgetOracle,
     "pipeline_quality_filter" -> qualityFilterPipelineOracle,
     "text_token_stats" -> tokenStatsOracle,
     "text_quality_score" -> qualityScoreOracle,
