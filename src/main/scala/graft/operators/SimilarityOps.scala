@@ -215,10 +215,132 @@ object SimilarityOps {
     FROM v a JOIN v b ON a.vec_id < b.vec_id
     WHERE list_inner_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.95"""
 
+  // ---------------------------------------------- product quantization
+
+  private val PqM = 8               // subspaces
+  private val PqK = 16              // centroids per subspace
+  private val PqSub = Dim / PqM     // dims per subspace
+
+  /** Per-subspace codebooks: PqM independent seeded k-means fits on a
+    * deterministic hash sample (same posture as the IVF quantizer —
+    * codebook training never reads the full corpus). Returns
+    * books(m)(k) = centroid array of subspace m. */
+  private def pqCodebooks(sp: SparkSession, dir: String): Array[Array[Array[Double]]] = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val sampleMod = sp.conf.getOption("graft.pq.sampleMod").map(_.toInt).getOrElse(4)
+    val train = vecs(sp, dir)
+      .filter(pmod(xxhash64(col("vec_id")), lit(sampleMod)) === 0)
+      .cache()
+    val books = (0 until PqM).map { m =>
+      val sub = train.select(array_to_vector(
+        slice(col("v"), m * PqSub + 1, PqSub)).as("fv"))
+      new KMeans().setK(PqK).setSeed(7 + m).setMaxIter(5)
+        .setFeaturesCol("fv").fit(sub)
+        .clusterCenters.map(_.toArray)
+    }.toArray
+    train.unpersist()
+    books
+  }
+
+  /** Squared distance from subvector m of `v` to a literal centroid. */
+  private def subDist(v: Column, m: Int, c: Array[Double]): Column =
+    (0 until PqSub).map { i =>
+      val d = element_at(v, m * PqSub + i + 1) - lit(c(i))
+      d * d
+    }.reduce(_ + _)
+
+  /** PQ encoding: each 64-d float vector becomes PqM 4-bit codes
+    * (nearest centroid per subspace) — 8 codes instead of 256 raw
+    * bytes, the standard embedding-storage compression. Output carries
+    * the per-vector squared reconstruction error; codes are
+    * deterministic (seeded codebooks, hash-sampled training).
+    * Approximate by construction → spec-verified (reconstruction error
+    * beats the global-mean baseline; codes bounded), no SQL oracle. */
+  private def pqEncodeRaw(sp: SparkSession, dir: String,
+      books: Array[Array[Array[Double]]]): DataFrame = {
+    var df = vecs(sp, dir)
+    for (m <- 0 until PqM) {
+      df = df.withColumn(s"ds_$m",
+        array((0 until PqK).map(k => subDist(col("v"), m, books(m)(k))): _*))
+    }
+    val codes = array((0 until PqM).map { m =>
+      (array_position(col(s"ds_$m"), array_min(col(s"ds_$m"))) - 1).cast("int")
+    }: _*)
+    val err2 = (0 until PqM).map(m => array_min(col(s"ds_$m"))).reduce(_ + _)
+    df.select(col("vec_id"), codes.as("codes"),
+      round(err2, 6).as("recon_err2"))
+  }
+
+  def pqEncode(sp: SparkSession, dir: String): DataFrame =
+    // codes as a ':'-joined string: the verify surface hash-compares
+    // parquet columns and array cells don't canonicalize
+    pqEncodeRaw(sp, dir, pqCodebooks(sp, dir))
+      .select(col("vec_id"), concat_ws(":", col("codes")).as("codes"),
+        col("recon_err2"))
+
+  /** ANN by asymmetric distance computation over PQ codes, then exact
+    * re-rank of the ADC shortlist — the standard production PQ shape.
+    * The query stays in float space; each corpus vector is scored as
+    * the sum of M table lookups (query-subvector · centroid dots):
+    * one broadcast of the (query × subspace × centroid) dot table, one
+    * map-side join over the exploded codes, one partial-aggregating
+    * sum — touching 8 codes per vector instead of 64 floats. The
+    * top-[[PqShortlist]] by ADC then fetch their raw vectors for exact
+    * cosine (bounded: shortlist × queries rows); compose with the IVF
+    * lists for the sublinear path. Approximate → recall-spec'd, no SQL
+    * oracle. */
+  val PqShortlist = 50
+
+  def annPq(sp: SparkSession, dir: String): DataFrame = {
+    val books = pqCodebooks(sp, dir)
+    val enc = pqEncodeRaw(sp, dir, books)
+      .select(col("vec_id"), posexplode(col("codes")).as(Seq("m", "code")))
+    // tiny literal codebook relation: (m, k, centroid, ||c||²)
+    val bookRows = for (m <- 0 until PqM; k <- 0 until PqK)
+      yield (m, k, books(m)(k).toSeq, books(m)(k).map(x => x * x).sum)
+    val bookDf = sp.createDataFrame(bookRows).toDF("m", "k", "centroid", "cn2")
+    val q = vecs(sp, dir).filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    // per (query, subspace, centroid): dot of the query subvector
+    val qTable = q.crossJoin(broadcast(bookDf))
+      .withColumn("qdot", (0 until PqSub).map(i =>
+        element_at(col("qv"), col("m") * PqSub + i + 1) *
+          element_at(col("centroid"), i + 1)).reduce(_ + _))
+      .select(col("query_id"), col("qn"), col("m"), col("k"),
+        col("qdot"), col("cn2"))
+    val adcScored = enc.join(broadcast(qTable),
+        enc("m") === qTable("m") && enc("code") === qTable("k") &&
+          col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id"), col("qn"))
+      .agg(sum(col("qdot")).as("adc"), sum(col("cn2")).as("rnorm2"))
+      .withColumn("adc_cosine", col("adc") / (col("qn") * sqrt(col("rnorm2"))))
+    val wAdc = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_cosine").desc, col("vec_id"))
+    val shortlist = adcScored
+      .withColumn("arank", row_number().over(wAdc))
+      .filter(col("arank") <= PqShortlist)
+      .select(col("query_id"), col("vec_id"))
+    // exact re-rank over the bounded shortlist (raw vectors fetched
+    // only for shortlist members)
+    val rescored = shortlist
+      .join(vecs(sp, dir), "vec_id")
+      .join(q.select(col("query_id"), col("qv"), col("qn")), "query_id")
+      .withColumn("cosine", dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    rescored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("rank"), round(col("cosine"), 4).as("cosine_r"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_knn_bruteforce" -> (knnBruteForce _),
     "sim_ann_lsh" -> (annLsh _),
     "sim_ann_ivf" -> (annIvf _),
+    "sim_pq_encode" -> (pqEncode _),
+    "sim_ann_pq" -> (annPq _),
     "sim_embedding_neardup" -> (embeddingNearDup _),
     "sim_neardup_lsh" -> (embeddingNearDupLsh _))
 
