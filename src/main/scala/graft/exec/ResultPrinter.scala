@@ -99,6 +99,9 @@ object Shell {
           case graft.QueryResult(df) => ResultPrinter.print(df)
           case graft.CommandOk(msg) => System.err.println(msg)
         } catch {
+          // positioned diagnostics already render as `-:l:c: error: …`
+          // (ref shell output shape) — don't double-prefix them
+          case e: graft.analyzer.SemaError => System.err.println(e.getMessage)
           case e: Exception => System.err.println(s"error: ${e.getMessage}")
         }
       }

@@ -760,6 +760,22 @@ object JoinReorder {
         // inadmissible by design (dramatic overestimate), shipped as
         // the aggressive-guidance baseline of the heuristic family
         case "product" => parts.map(_.card).product
+        // ref bottomup_lookahead_cheapest (hpp:1896): Σ cardinalities
+        // plus the marginal cost of the cheapest next join (its C_out
+        // increment replaces its inputs' contributions)
+        case "lookahead" =>
+          val base = parts.map(_.card).sum
+          if (parts.length == 2) base
+          else {
+            var bestAdd = Double.PositiveInfinity
+            for (i <- parts.indices; j <- (i + 1) until parts.length
+                 if connected(g, parts(i).set, parts(j).set)) {
+              val jc = joinedCard(g, parts(i), parts(j))
+              val add = 2 * jc - parts(i).card - parts(j).card
+              if (add < bestAdd) bestAdd = add
+            }
+            if (bestAdd.isPosInfinity) base else base + bestAdd
+          }
         case "goo" =>
           // simulate greedy completion; the final (complete) join's
           // cardinality is a plan-independent constant and excluded,
@@ -815,6 +831,11 @@ object JoinReorder {
           // non-singleton must still be split, paying its cardinality
           if (parts.length == 1) 0.0
           else parts.iterator.filter(_.size > 1).map(connCard).sum
+        case "sqrt_sum" =>
+          // ref sqrt_sum<TopDown> (hpp:1790): Σ 2·√card — a softened
+          // variant of sum that under-weights large subproblems
+          parts.iterator.filter(_.size > 1)
+            .map(s => 2 * math.sqrt(connCard(s))).sum
         case "goo" =>
           // ref GOO<TopDown> (hpp:1996): finish with TDGOO cuts from
           // here. Cuts are chosen like the TDGOO enumerator — minimal

@@ -326,6 +326,21 @@ class JoinReorderSpec extends AnyFunSuite {
     assert(prod.lastExpanded < zero.lastExpanded)
   }
 
+  for (shape <- Seq("chain", "star", "clique")) {
+    test(s"sqrt_sum (top-down) and lookahead (bottom-up) yield valid never-better-than-optimal plans on $shape") {
+      val g = randomGraph(7, 23, shape)
+      val opt = bruteForce(g)
+      val sq = new HeuristicSearchEnumerator("sqrt_sum", space = "topdown").enumerate(g)
+      assert(sq.set == (0 until 7).toSet)
+      assert(sq.cost >= opt - 1e-6)
+      // lookahead mixes cost and cardinality units (the reference's own
+      // XXX note, hpp:1936) — validity, not quality, is its contract
+      val la = new HeuristicSearchEnumerator("lookahead").enumerate(g)
+      assert(la.set == (0 until 7).toSet)
+      assert(la.cost >= opt - 1e-6)
+    }
+  }
+
   test("top-down space falls back to bottom-up on disconnected graphs") {
     val rels = Vector(Rel(null, 100.0, 0), Rel(null, 200.0, 1), Rel(null, 300.0, 2))
     val g = JoinGraph(rels,
