@@ -60,6 +60,24 @@ class PlanQualitySpec extends AnyFunSuite {
     } finally spark.experimental.extraOptimizations = Nil
   }
 
+  test("per-lang sampling's first ranking window keys on (partition, lang), not lang alone") {
+    // the skew guard: a window partitioned only by `lang` puts a whole
+    // language in one task at corpus scale
+    val plan = planOf("pipeline_sample_per_lang")
+    val firstWindowExchange = plan.linesIterator
+      .filter(l => l.contains("hashpartitioning") && l.contains("pid"))
+    assert(firstWindowExchange.nonEmpty,
+      s"expected a (pid, lang)-keyed exchange before the global rank in:\n$plan")
+  }
+
+  test("near-dup clustering plans contain no cartesian product") {
+    val df = SparkEntry.queries("dedup_cluster")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"cartesian product in cluster plan:\n$plan")
+  }
+
   test("q1 aggregation stays in whole-stage codegen") {
     val plan = planOf("q1_pricing_summary")
     // codegen'd operators carry the "*(n)" stage prefix in simple mode
