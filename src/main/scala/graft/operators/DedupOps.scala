@@ -133,7 +133,7 @@ object DedupOps {
     var labels = Engine.table(sp, dir, "documents")
       .select(col("doc_id"), col("doc_id").as("canonical_id"))
       .cache()
-    val MaxRounds = 20 // diameter bound; convergence usually in 2-3
+    val MaxRounds = 64 // diameter bound; convergence usually in 2-3
     var rounds = 0
     var converged = false
     while (!converged && rounds < MaxRounds) {
@@ -151,6 +151,12 @@ object DedupOps {
       labels = next
       converged = changed == 0
     }
+    // fail loudly rather than return partial labels: a component with
+    // diameter > MaxRounds would silently diverge from the exact
+    // closure (and the oracle)
+    require(converged,
+      s"connected-components did not converge in $MaxRounds rounds — " +
+        "a near-dup component has pathological diameter")
     labels
   }
 

@@ -235,9 +235,14 @@ object SimilarityOps {
     val books = (0 until PqM).map { m =>
       val sub = train.select(array_to_vector(
         slice(col("v"), m * PqSub + 1, PqSub)).as("fv"))
-      new KMeans().setK(PqK).setSeed(7 + m).setMaxIter(5)
+      val centers = new KMeans().setK(PqK).setSeed(7 + m).setMaxIter(5)
         .setFeaturesCol("fv").fit(sub)
         .clusterCenters.map(_.toArray)
+      // a tiny sample can yield < K distinct centers; pad by repeating
+      // the last one (ties resolve to the first index — deterministic)
+      if (centers.length < PqK)
+        centers ++ Array.fill(PqK - centers.length)(centers.last)
+      else centers
     }.toArray
     train.unpersist()
     books

@@ -642,7 +642,9 @@ object JoinReorder {
           var minL: Set[Int] = null; var minR: Set[Int] = null
           lastExamined += minCutAGaT(adj, top) { (l, r) =>
             val c = subsetCard(l) + subsetCard(r)
-            if (c < cMin) { cMin = c; minL = l; minR = r }
+            // minL==null guard: if every cut saturates to ∞ (product
+            // overflow on huge graphs), still take the first one
+            if (minL == null || c < cMin) { cMin = c; minL = l; minR = r }
           }
           joins += ((minL, minR))
           worklist = minL :: minR :: worklist
@@ -859,7 +861,9 @@ object JoinReorder {
               val c = (if (l.size > 1) connCard(l) else 0.0) +
                 (if (r.size > 1) connCard(r) else 0.0) +
                 1e-9 * (prodCard(l) + prodCard(r))
-              if (c < cMin) { cMin = c; mL = l; mR = r }
+              // mL==null guard: take the first cut even if all scores
+              // saturate to ∞ (product overflow on huge graphs)
+              if (mL == null || c < cMin) { cMin = c; mL = l; mR = r }
             }
             if (top != (0 until n).toSet) cost += connCard(top)
             if (mL.size > 1) work = mL :: work

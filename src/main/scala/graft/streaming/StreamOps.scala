@@ -129,9 +129,14 @@ object StreamOps {
     * stamped (tests inject explicit timestamps to replay history). */
   val MaxBucket = 64
 
+  /** `watermarkDelay` trades reorder tolerance against state lifetime:
+    * a row whose ingest_ts lags the watermark is dropped BEFORE the
+    * stateful operator, so replays with out-of-order explicit
+    * timestamps need a delay covering their disorder (the default
+    * tolerates 10 minutes; in-order tests can pass "0 seconds"). */
   def minhashCandidates(spark: SparkSession, docs: DataFrame,
       ttlMillis: Long = 3600L * 1000,
-      watermarkDelay: String = "0 seconds"): Dataset[CandPair] = {
+      watermarkDelay: String = "10 minutes"): Dataset[CandPair] = {
     import spark.implicits._
     val stamped =
       if (docs.columns.contains("ingest_ts")) docs

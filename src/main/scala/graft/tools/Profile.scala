@@ -31,7 +31,8 @@ object Profile {
           q(spark, dir).write.format("noop").mode("overwrite").save())
       val plan = q(spark, dir).queryExecution.executedPlan.toString
       for (k <- Seq("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin",
-                    "BroadcastNestedLoopJoin", "Exchange", "InMemoryTableScan"))
+                    "BroadcastNestedLoopJoin", "ShuffleExchange",
+                    "BroadcastExchange", "InMemoryTableScan"))
         println(s"[profile] $name $k count: " + k.r.findAllIn(plan).size)
       spark.sharedState.cacheManager.clearCache()
     }
