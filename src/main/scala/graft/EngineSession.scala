@@ -254,6 +254,17 @@ final class EngineSession(val spark: SparkSession,
       }
       CommandOk(s"learned SPNs for $learned tables")
 
+    // mirror of the reference's --train-cost-models shell option
+    // (ref src/shell.cpp:388-391, "train a cost function on your
+    // specific hardware"): run the seeded microbench suite and make
+    // the trained model the join-reorder rule's cost function
+    case InstructionStmt(name, _) if name.equalsIgnoreCase("train_cost_models") =>
+      val models = graft.optimizer.TrainedCost.train(spark)
+      graft.optimizer.JoinReorderRule.costModel =
+        new graft.optimizer.TrainedCost.TrainedCostFunction(models)
+      CommandOk("trained cost models (scan, join); join ordering now " +
+        "uses the trained cost function")
+
     case InstructionStmt(name, _) =>
       throw new SemaError(s"instruction '\\$name' is not registered")
 

@@ -121,6 +121,15 @@ class TrainedCostSpec extends AnyFunSuite {
     assert(trained(Leaf(Rel(null, 100.0, 0))) >= 0.0) // exercise the tree API
   }
 
+  test("the \\train_cost_models instruction installs the trained cost function") {
+    val session = new EngineSession(spark)
+    try {
+      val r = session.execute("\\train_cost_models;")
+      assert(graft.optimizer.JoinReorderRule.costModel
+        .isInstanceOf[TrainedCostFunction])
+    } finally graft.optimizer.JoinReorderRule.costModel = TrainedCost.CoutModel
+  }
+
   test("the production rule accepts the trained cost model and preserves results") {
     val base = operators.Relational.join5Way(spark, sf)
       .collect().map(_.toSeq.toString).sorted
