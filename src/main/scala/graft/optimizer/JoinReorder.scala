@@ -762,6 +762,14 @@ object JoinReorder {
         // inadmissible by design (dramatic overestimate), shipped as
         // the aggressive-guidance baseline of the heuristic family
         case "product" => parts.map(_.card).product
+        // ref scaled_sum (hpp:1823): cardinalities sorted descending,
+        // the i-th largest weighted (i+1)× — a bigger subproblem
+        // participates in more future joins, so it counts more
+        case "scaled_sum" =>
+          val cards = parts.map(_.card).sorted(Ordering[Double].reverse)
+          val n = cards.length
+          cards.init.zipWithIndex.map { case (c, i) => (i + 1) * c }.sum +
+            (n - 1) * cards.last
         // ref bottomup_lookahead_cheapest (hpp:1896): Σ cardinalities
         // plus the marginal cost of the cheapest next join (its C_out
         // increment replaces its inputs' contributions)

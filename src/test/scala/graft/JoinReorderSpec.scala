@@ -338,6 +338,9 @@ class JoinReorderSpec extends AnyFunSuite {
       val la = new HeuristicSearchEnumerator("lookahead").enumerate(g)
       assert(la.set == (0 until 7).toSet)
       assert(la.cost >= opt - 1e-6)
+      val ss = new HeuristicSearchEnumerator("scaled_sum").enumerate(g)
+      assert(ss.set == (0 until 7).toSet)
+      assert(ss.cost >= opt - 1e-6)
     }
   }
 
