@@ -1,0 +1,91 @@
+package graft
+
+import graft.storage.Indexes
+import graft.storage.Indexes._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Sorted-array + RMI index research surface (ref
+  * include/mutable/storage/Index.hpp): correctness of bounded search
+  * against a full scan, actual partition pruning (fewer tasks than
+  * partitions), and RMI prediction machinery (models land within an
+  * exponential-search-recoverable distance of the true position).
+  */
+class IndexSpec extends AnyFunSuite {
+  import TestSession._
+
+  private lazy val orders = Engine.table(spark, sf, "orders")
+
+  test("ArrayIndex range scan matches a filter scan") {
+    val idx = Indexes.build(orders, "o_orderkey", ArrayMethod, 8)
+    try {
+      val got = idx.rangeScan(200, 320).select("o_orderkey").collect()
+        .map(_.getLong(0)).sorted
+      val want = orders.filter("o_orderkey BETWEEN 200 AND 320")
+        .select("o_orderkey").collect().map(_.getLong(0)).sorted
+      assert(got.toSeq == want.toSeq)
+    } finally idx.unpersist()
+  }
+
+  test("RMI range scan matches ArrayIndex on duplicate-heavy keys") {
+    val li = Engine.table(spark, sf, "lineitem")
+    val a = Indexes.build(li, "l_orderkey", ArrayMethod, 8)
+    val r = Indexes.build(li, "l_orderkey", RmiMethod, 8)
+    try {
+      for ((lo, hi) <- Seq((0L, 0L), (42L, 42L), (100L, 250L), (1490L, 99999L))) {
+        val got = r.rangeScan(lo, hi).select("l_orderkey").collect()
+          .map(_.getLong(0)).sorted
+        val want = a.rangeScan(lo, hi).select("l_orderkey").collect()
+          .map(_.getLong(0)).sorted
+        assert(got.toSeq == want.toSeq, s"range [$lo,$hi]")
+      }
+    } finally { a.unpersist(); r.unpersist() }
+  }
+
+  test("fences prune partitions: a narrow range schedules few leaves") {
+    val idx = Indexes.build(orders, "o_orderkey", ArrayMethod, 8)
+    try {
+      val total = idx.fences.length
+      assert(total >= 4, s"want several leaves, got $total")
+      val narrow = idx.matchingPartitions(200, 210)
+      assert(narrow.size <= 2, s"narrow range hits ${narrow.size} of $total leaves")
+      // out-of-domain range prunes everything without scheduling a job
+      assert(idx.matchingPartitions(10_000_000, 20_000_000).isEmpty)
+      assert(idx.rangeScan(10_000_000, 20_000_000).count() == 0)
+    } finally idx.unpersist()
+  }
+
+  test("empty-range and boundary lookups") {
+    val idx = Indexes.build(orders, "o_orderkey", ArrayMethod, 8)
+    try {
+      val mx = orders.agg(org.apache.spark.sql.functions.max("o_orderkey"))
+        .collect()(0).getLong(0)
+      assert(idx.pointLookup(mx).count() == 1)
+      assert(idx.pointLookup(0).count() == 1)
+      assert(idx.rangeScan(mx + 1, mx + 100).count() == 0)
+    } finally idx.unpersist()
+  }
+
+  test("RMI leaf models predict within exponential-search distance") {
+    // dense + skewed key mix: the spline root must split segments and
+    // every lookup must still land exactly via the correction search
+    val keys = ((0L until 3000L) ++ (0L until 500L).map(i => 100000L + i * 37)).toArray.sorted
+    val models = Indexes.trainRmi(keys)
+    assert(models.length >= 2)
+    val part = new IndexPartition(keys, keys.map(k => org.apache.spark.sql.Row(k)), models)
+    for (k <- Seq(0L, 1L, 1500L, 2999L, 100000L, 100000L + 37 * 250, keys.last)) {
+      assert(part.lowerBoundRmi(k) == part.lowerBound(k), s"key $k")
+    }
+    // absent keys between clusters land on the successor
+    assert(part.lowerBoundRmi(50000L) == part.lowerBound(50000L))
+  }
+
+  test("linear models: spline endpoints and regression on exact line") {
+    val keys = Array(10L, 20L, 30L, 40L)
+    val spline = LinearModel.trainSpline(keys, 0, 4, 0, 1.0)
+    assert(math.abs(spline(10) - 0.0) < 1e-9)
+    val reg = LinearModel.trainRegression(keys, 0, 4, 0)
+    // positions 0..3 over keys 10..40: slope 0.1, intercept -1
+    assert(math.abs(reg.slope - 0.1) < 1e-9)
+    assert(math.abs(reg.intercept + 1.0) < 1e-9)
+  }
+}

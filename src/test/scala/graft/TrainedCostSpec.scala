@@ -94,8 +94,14 @@ class TrainedCostSpec extends AnyFunSuite {
       .join(li, col("l_orderkey") === col("o_orderkey"))
     noop(planA) // warm-up both shapes once
     noop(planB)
-    val msA = (1 to 2).map(_ => time(noop(planA))).min
-    val msB = (1 to 2).map(_ => time(noop(planB))).min
+    val msA = (1 to 3).map(_ => time(noop(planA))).min
+    val msB = (1 to 3).map(_ => time(noop(planB))).min
+    // Under full-suite load the two measurements can land within
+    // scheduler noise of each other; a ranking read off a <30% gap is
+    // a coin flip, so in that regime the comparison proves nothing —
+    // cancel (visible, not green) instead of asserting on noise.
+    assume(math.abs(msA - msB) / math.min(msA, msB) > 0.3,
+      s"measured gap too small to rank reliably: A=$msA ms, B=$msB ms")
 
     // model both orders with the true cardinalities as features
     // (PK-FK joins: |li⋈ord| = |li|, |ord⋈cust| = |ord|)
