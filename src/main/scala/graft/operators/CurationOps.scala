@@ -1,0 +1,185 @@
+package graft.operators
+
+import graft.Engine
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data curation operators over `documents`:
+  *
+  *  - decontamination: flag training documents that share any word
+  *    5-gram with an evaluation set (the classic "remove benchmark
+  *    contamination" pass before LLM training)
+  *  - sequence packing: concatenate documents in a deterministic
+  *    order and cut every `SeqLen` tokens — the GPT-style "pack then
+  *    split" batching layout; each document gets its bin id, offset,
+  *    and how many bins it straddles
+  *  - n-gram familiarity: score each document by the mean corpus
+  *    document-frequency of its word bigrams — rare-ngram outliers
+  *    (garbled text, boilerplate explosions) score low
+  *
+  * All three are exactly SQL-expressible (integer arithmetic, at most
+  * one final division), so each is DuckDB-oracled.
+  *
+  * Scale posture (100 TB): the gram joins shuffle on the gram key
+  * (high cardinality, well-spread); the eval side of the
+  * decontamination join is benchmark-sized and becomes a runtime
+  * broadcast under AQE without being forced. Packing's global prefix
+  * sum is the two-phase shape (range partition → per-partition
+  * subtotals, a bounded driver collect → broadcast-seeded local
+  * running sums) — one pass, no single-task scan.
+  */
+object CurationOps {
+
+  /** Upper-exclusive DuckDB `range`/Spark `sequence` agree via
+    * GREATEST(len-4, 1) inclusive on the Spark side. */
+  private val GramWords = 5
+
+  /** Documents whose `source` marks them as the held-out eval set. */
+  private val EvalSource = "src0"
+
+  private def gramsOf(sp: SparkSession, dir: String): DataFrame = {
+    val ws = split(col("text"), " ")
+    Engine.table(sp, dir, "documents")
+      .repartition(sp.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"), col("source"), ws.as("ws"))
+      .select(col("doc_id"), col("source"),
+        explode(transform(
+          sequence(lit(1), greatest(size(col("ws")) - (GramWords - 1), lit(1))),
+          i => concat_ws(" ", slice(col("ws"), i, lit(GramWords))))).as("g"))
+      .distinct()
+  }
+
+  /** Training docs sharing ≥1 word 5-gram with the eval set, with the
+    * count of distinct shared grams. */
+  def decontaminate(sp: SparkSession, dir: String): DataFrame = {
+    val grams = gramsOf(sp, dir)
+    val evalGrams = grams.filter(col("source") === EvalSource)
+      .select(col("g")).distinct()
+    grams.filter(col("source") =!= EvalSource)
+      .join(evalGrams, "g")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared")) // grams are distinct per doc already
+  }
+
+  val decontaminateOracle: String = s"""
+    WITH words AS (
+      SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
+    grams AS (
+      SELECT DISTINCT doc_id, source,
+        unnest(list_transform(
+          range(1, GREATEST(len(ws) - ${GramWords - 2}, 2)),
+          i -> array_to_string(ws[i:i+${GramWords - 1}], ' '))) AS g
+      FROM words),
+    ev AS (SELECT DISTINCT g FROM grams WHERE source = '$EvalSource')
+    SELECT g.doc_id, COUNT(*) AS n_shared
+    FROM grams g JOIN ev ON g.g = ev.g
+    WHERE g.source <> '$EvalSource'
+    GROUP BY g.doc_id"""
+
+  /** Context-window length for packing. */
+  val SeqLen = 2048L
+
+  /** Pack-then-split: documents concatenated in doc_id order, cut
+    * every SeqLen tokens. Emits where each document lands: its bin,
+    * offset inside the bin, and bins spanned. The global prefix sum
+    * uses the same cached-pid two-phase shape as
+    * [[TextOps.tokenBudget]] (see the cache note there: the pid is a
+    * column inside the cached rows, so downstream stage collapsing
+    * cannot corrupt offset seeding). */
+  def packSequences(sp: SparkSession, dir: String): DataFrame = {
+    val docs = Engine.table(sp, dir, "documents")
+      .select(col("doc_id"),
+        (length(col("text")) - length(replace(col("text"), lit(" "), lit(""))) + 1)
+          .cast("long").as("n_tokens"))
+    val parts = sp.sparkContext.defaultParallelism
+    val sorted = docs
+      .repartitionByRange(parts, col("doc_id"))
+      .sortWithinPartitions(col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+      .cache()
+    val subtotals = sorted
+      .groupBy(col("pid")).agg(sum(col("n_tokens")).as("sub"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+    val offsets: Map[Int, Long] = subtotals.map { case (pid, _) =>
+      pid -> subtotals.collect { case (p2, s2) if p2 < pid => s2 }.sum
+    }.toMap
+    val bc = sp.sparkContext.broadcast(offsets)
+    import sp.implicits._
+    sorted.select(col("doc_id"), col("n_tokens"), col("pid"))
+      .as[(Long, Long, Int)]
+      .mapPartitions { it =>
+        var curPid = -1
+        var run = 0L
+        it.map { case (id, nt, pid) =>
+          if (pid != curPid) { curPid = pid; run = bc.value.getOrElse(pid, 0L) }
+          val start = run
+          run += nt
+          (id, nt, start / SeqLen, start % SeqLen,
+            (run - 1) / SeqLen - start / SeqLen + 1)
+        }
+      }
+      .toDF("doc_id", "n_tokens", "bin_id", "bin_offset", "n_bins")
+  }
+
+  val packSequencesOracle: String = s"""
+    SELECT doc_id, n_tokens,
+      CAST((cum - n_tokens) // $SeqLen AS BIGINT) AS bin_id,
+      CAST((cum - n_tokens) % $SeqLen AS BIGINT) AS bin_offset,
+      CAST((cum - 1) // $SeqLen - (cum - n_tokens) // $SeqLen + 1 AS BIGINT) AS n_bins
+    FROM (
+      SELECT doc_id,
+        CAST(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS BIGINT) AS n_tokens,
+        CAST(SUM(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1) OVER
+          (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      FROM documents)"""
+
+  /** Mean corpus document-frequency of each document's word bigrams
+    * (duplicates included). Two aggregations + one join, all-integer
+    * until the final division, so oracle-exact. */
+  def ngramFamiliarity(sp: SparkSession, dir: String): DataFrame = {
+    val ws = split(col("text"), " ")
+    val bigrams = Engine.table(sp, dir, "documents")
+      .repartition(sp.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"), ws.as("ws"))
+      .select(col("doc_id"),
+        explode(transform(
+          sequence(lit(1), greatest(size(col("ws")) - 1, lit(1))),
+          i => concat_ws(" ", slice(col("ws"), i, lit(2))))).as("g"))
+    val df = bigrams.select(col("doc_id"), col("g")).distinct()
+      .groupBy(col("g")).agg(count(lit(1)).as("df"))
+    bigrams.join(df, "g")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("df")).as("df_sum"))
+      .withColumn("familiarity",
+        col("df_sum").cast("double") / col("n_bigrams"))
+  }
+
+  val ngramFamiliarityOracle: String = """
+    WITH words AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    bigrams AS (
+      SELECT doc_id,
+        unnest(list_transform(
+          range(1, GREATEST(len(ws), 2)),
+          i -> array_to_string(ws[i:i+1], ' '))) AS g
+      FROM words),
+    dfs AS (
+      SELECT g, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+      FROM bigrams GROUP BY g)
+    SELECT b.doc_id, COUNT(*) AS n_bigrams,
+      CAST(SUM(d.df) AS BIGINT) AS df_sum,
+      CAST(SUM(d.df) AS DOUBLE) / COUNT(*) AS familiarity
+    FROM bigrams b JOIN dfs d ON b.g = d.g
+    GROUP BY b.doc_id"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_decontaminate" -> (decontaminate _),
+    "pipeline_pack_sequences" -> (packSequences _),
+    "text_ngram_familiarity" -> (ngramFamiliarity _))
+
+  val oracles: Map[String, String] = Map(
+    "pipeline_decontaminate" -> decontaminateOracle,
+    "pipeline_pack_sequences" -> packSequencesOracle,
+    "text_ngram_familiarity" -> ngramFamiliarityOracle)
+}

@@ -1,0 +1,57 @@
+package graft
+
+import graft.operators.CurationOps
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Invariants of the curation ops beyond the DuckDB oracle: packing
+  * must be a lossless layout (every token lands exactly once, bins
+  * fill contiguously), decontamination must never flag eval docs. */
+class CurationSpec extends AnyFunSuite {
+  import TestSession._
+
+  test("sequence packing conserves tokens and fills bins contiguously") {
+    val packed = CurationOps.packSequences(spark, sf).cache()
+    try {
+      val rows = packed.orderBy("doc_id").collect()
+      assert(rows.nonEmpty)
+      // offsets are in-range, spans are consistent with offset+len
+      rows.foreach { r =>
+        val nt = r.getLong(1); val off = r.getLong(3); val span = r.getLong(4)
+        assert(off >= 0 && off < CurationOps.SeqLen)
+        val expectSpan = (off + nt - 1) / CurationOps.SeqLen + 1
+        assert(span == expectSpan, s"doc ${r.getLong(0)}: span $span != $expectSpan")
+      }
+      // consecutive docs are layout-adjacent: next start = prev start + len
+      rows.sliding(2).foreach {
+        case Array(a, b) =>
+          val aStart = a.getLong(2) * CurationOps.SeqLen + a.getLong(3)
+          val bStart = b.getLong(2) * CurationOps.SeqLen + b.getLong(3)
+          assert(bStart == aStart + a.getLong(1),
+            s"gap between docs ${a.getLong(0)} and ${b.getLong(0)}")
+        case _ =>
+      }
+      // total layout length = total tokens
+      val total = packed.agg(sum("n_tokens")).collect()(0).getLong(0)
+      val last = rows.last
+      assert(last.getLong(2) * CurationOps.SeqLen + last.getLong(3) + last.getLong(1) == total)
+    } finally { packed.unpersist(); () }
+  }
+
+  test("decontamination never flags the eval source itself") {
+    val flagged = CurationOps.decontaminate(spark, sf)
+    val evalIds = Engine.table(spark, sf, "documents")
+      .filter(col("source") === "src0").select("doc_id")
+    assert(flagged.join(evalIds, "doc_id").count() == 0)
+    // and flags are real: every flagged doc shares at least one gram
+    assert(flagged.filter(col("n_shared") <= 0).count() == 0)
+  }
+
+  test("familiarity is bounded by corpus size and positive") {
+    val nDocs = Engine.table(spark, sf, "documents").count()
+    val fam = CurationOps.ngramFamiliarity(spark, sf)
+    val bad = fam.filter(col("familiarity") < 1.0 ||
+      col("familiarity") > nDocs.toDouble).count()
+    assert(bad == 0)
+  }
+}
