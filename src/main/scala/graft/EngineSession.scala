@@ -26,9 +26,11 @@ final class EngineSession(val spark: SparkSession,
   import EngineSession.TableDef
 
   private val databases = mutable.Map[String, mutable.Map[String, TableDef]]()
-  /** db name → (index name → table name); ref Database keeps a named
-    * index registry (Schema.hpp:869, add_index/drop_index). */
-  private val dbIndexes = mutable.Map[String, mutable.Map[String, String]]()
+  /** db name → (index name → definition); ref Database keeps a named
+    * index registry (Schema.hpp:869, add_index/drop_index). Indexes
+    * are bulkloaded lazily on first use and invalidated on INSERT /
+    * IMPORT (ref DatabaseCommand.cpp:185-186). */
+  private val dbIndexes = mutable.Map[String, mutable.Map[String, EngineSession.IndexDef]]()
   private var currentDb: Option[String] = None
 
   /** Cheap copy-on-write clone: new catalog maps, shared (immutable)
@@ -41,7 +43,11 @@ final class EngineSession(val spark: SparkSession,
       tables.foreach { case (n, t) => copy(n) = t.copy() }
       s.databases(dbName) = copy
     }
-    dbIndexes.foreach { case (dbName, idx) => s.dbIndexes(dbName) = idx.clone() }
+    dbIndexes.foreach { case (dbName, idx) =>
+      val copy = mutable.Map[String, EngineSession.IndexDef]()
+      idx.foreach { case (n, d) => copy(n) = d.copy() }
+      s.dbIndexes(dbName) = copy
+    }
     s.currentDb = currentDb
     s
   }
@@ -83,7 +89,7 @@ final class EngineSession(val spark: SparkSession,
   }
 
   def executeStmt(stmt: Stmt): ExecResult = stmt match {
-    case s: SelectStmt => QueryResult(planner.plan(s))
+    case s: SelectStmt => QueryResult(planSelect(s))
 
     case CreateDatabase(name) =>
       if (databases.contains(name.toLowerCase))
@@ -153,14 +159,23 @@ final class EngineSession(val spark: SparkSession,
       names.foreach { n =>
         if (db().remove(n.toLowerCase).isEmpty && !ifExists)
           throw new SemaError(s"no table '$n'")
+        // indexes do not outlive their table
+        for (dbName <- currentDb; idx <- dbIndexes.get(dbName)) {
+          idx.filterInPlace { (_, d) =>
+            if (d.table == n.toLowerCase) { d.built.foreach(_.unpersist()); false }
+            else true
+          }
+        }
       }
       CommandOk(s"dropped ${names.mkString(", ")}")
 
-    // Indexes: sema-validated and recorded by name; physically a no-op
-    // — access paths are Spark's concern (ref SURVEY §1.1: ArrayIndex/
-    // RMI ≈ research surface). Sema rules per ref Sema.cpp:1620-1700:
-    // name required, unique (IF NOT EXISTS skips), table must exist,
-    // method ∈ {DEFAULT, array, rmi}, exactly one plain-attribute key.
+    // Indexes: sema per ref Sema.cpp:1620-1700 (name required, unique
+    // — IF NOT EXISTS skips —, table must exist, method ∈ {DEFAULT,
+    // array, rmi}, exactly one plain-attribute key), then recorded for
+    // lazy bulkload: the first SELECT with a usable range/point
+    // predicate on the key builds a storage.Indexes.DistributedIndex
+    // and scans through it (ref IndexScan physical operator matching
+    // Filter(Scan), WasmOperator.hpp:397).
     case CreateIndex(_, ifNot, name, table, method, keys) =>
       val indexes = dbIndexes(currentDb.getOrElse(
         throw new SemaError("no database in use")))
@@ -178,15 +193,18 @@ final class EngineSession(val spark: SparkSession,
         }
         if (keys.size > 1)
           throw new SemaError("more than one key field for indexes is not supported")
-        keys.foreach {
+        val keyCol = keys.map {
           case Id(_, attr) =>
-            if (!t.fields.exists(_._1.equalsIgnoreCase(attr)))
-              throw new SemaError(s"attribute '$attr' does not exist in table '$table'")
+            t.fields.find(_._1.equalsIgnoreCase(attr)).getOrElse(
+              throw new SemaError(s"attribute '$attr' does not exist in table '$table'"))._1
           case _ =>
             throw new SemaError("non-attribute key fields for indexes are not supported")
-        }
-        indexes(idxName.toLowerCase) = table.toLowerCase
-        CommandOk(s"created index $idxName on $table (no-op)")
+        }.headOption.getOrElse(
+          throw new SemaError("indexes need exactly one key field"))
+        indexes(idxName.toLowerCase) = EngineSession.IndexDef(
+          idxName.toLowerCase, table.toLowerCase, keyCol,
+          method.map(_.toLowerCase).getOrElse("default"))
+        CommandOk(s"created index $idxName on $table")
       }
 
     case DropIndex(names, ifExists) =>
@@ -234,6 +252,7 @@ final class EngineSession(val spark: SparkSession,
           throw new SemaError(s"CHECK constraint on '$cn' violated by INSERT")
       }
       t.df = t.df.unionByName(newDf)
+      invalidateIndexes(table)
       CommandOk(s"inserted ${rows.length} rows into $table")
 
     // instructions (ref DatabaseCommand.cpp:23-48): learn_spns trains
@@ -316,7 +335,105 @@ final class EngineSession(val spark: SparkSession,
         case (n, _) => col(n)
       }
       t.df = t.df.unionByName(df.select(converted: _*))
+      invalidateIndexes(table)
       CommandOk(s"imported $path into $table")
+  }
+
+  /** Drop the built structure (keep the definition) for every index on
+    * `table` — ref invalidates indexes on insert
+    * (DatabaseCommand.cpp:185-186). */
+  private def invalidateIndexes(table: String): Unit =
+    for {
+      dbName <- currentDb
+      idx <- dbIndexes.get(dbName)
+      d <- idx.values if d.table == table.toLowerCase
+    } {
+      d.built.foreach(_.unpersist())
+      d.built = None
+    }
+
+  /** The IndexScan access path (ref physical operator pattern
+    * Filter(Scan) → IndexScan, WasmOperator.hpp:397-406): for a
+    * single-table SELECT whose WHERE has top-level conjuncts
+    * `key cmp int-literal` on an indexed integer key, serve the scan
+    * through the index (driver-side fence pruning + partition-local
+    * bounded search). The full WHERE still runs on top, so routing
+    * can never change results — exactly the reference's residual
+    * filter behavior. Returns the table (lowercase) and replacement
+    * source, or None when no index applies. */
+  private def indexRoute(s: SelectStmt): Option[(String, DataFrame)] = s.from match {
+    case Seq(FromTable(tname, alias)) =>
+      val tLc = tname.toLowerCase
+      for {
+        dbName <- currentDb
+        idx <- dbIndexes.get(dbName)
+        t <- db().get(tLc)
+        where <- s.where
+        entry <- idx.values.find { d =>
+          d.table == tLc &&
+            // integer keys only — the literal comparison below is Long
+            t.fields.exists(f => f._1.equalsIgnoreCase(d.keyCol) &&
+              f._2.isInstanceOf[MInt])
+        }
+        bounds = {
+          val aliasLc = alias.getOrElse(tname).toLowerCase
+          def conjuncts(e: Expr): Seq[Expr] = e match {
+            case Binary("AND", l, r) => conjuncts(l) ++ conjuncts(r)
+            case x => Seq(x)
+          }
+          def flip(op: String): String = op match {
+            case "<" => ">"
+            case "<=" => ">="
+            case ">" => "<"
+            case ">=" => "<="
+            case other => other
+          }
+          def bound(e: Expr): Option[(Long, Long)] = e match {
+            case Binary(op, Id(q, n), IntLit(v))
+                if n.equalsIgnoreCase(entry.keyCol) &&
+                  q.forall(_.toLowerCase == aliasLc) &&
+                  v != Long.MinValue && v != Long.MaxValue =>
+              op match {
+                case "=" => Some((v, v))
+                case "<" => Some((Long.MinValue, v - 1))
+                case "<=" => Some((Long.MinValue, v))
+                case ">" => Some((v + 1, Long.MaxValue))
+                case ">=" => Some((v, Long.MaxValue))
+                case _ => None
+              }
+            case Binary(op, lit: IntLit, id: Id) =>
+              bound(Binary(flip(op), id, lit))
+            case _ => None
+          }
+          conjuncts(where).flatMap(bound(_))
+        }
+        if bounds.nonEmpty
+      } yield {
+        val lo = bounds.map(_._1).max
+        val hi = bounds.map(_._2).min
+        val built = entry.built.getOrElse {
+          val m =
+            if (entry.method == "rmi") graft.storage.Indexes.RmiMethod
+            else graft.storage.Indexes.ArrayMethod
+          val b = graft.storage.Indexes.build(t.df, entry.keyCol, m)
+          entry.built = Some(b)
+          b
+        }
+        tLc -> built.rangeScan(lo, hi)
+      }
+    case _ => None
+  }
+
+  /** Plan a SELECT, routing the source through an index when one
+    * applies. */
+  private def planSelect(s: SelectStmt): DataFrame = indexRoute(s) match {
+    case Some((tLc, idxDf)) =>
+      val routed = new Planner(spark, n => {
+        val ct = lookup(n)
+        if (n.toLowerCase == tLc) ct.map(_.copy(df = idxDf)) else ct
+      }, refParity)
+      routed.plan(s)
+    case None => planner.plan(s)
   }
 
   /** Type-check an expression against a bare column→type map (used for
@@ -494,6 +611,16 @@ object EngineSession {
       fields: Seq[(String, MType)],
       constraints: Map[String, Seq[Ast.Constraint]],
       var df: DataFrame)
+
+  /** A named index: definition from CREATE INDEX plus the lazily
+    * bulkloaded structure (None until first use / after
+    * invalidation). */
+  final case class IndexDef(
+      name: String,
+      table: String,
+      keyCol: String,
+      method: String,
+      var built: Option[graft.storage.Indexes.DistributedIndex] = None)
 
   /** Session preloaded with the driver testdata as external tables in
     * database `testdata`. */

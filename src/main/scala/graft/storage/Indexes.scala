@@ -213,6 +213,10 @@ object Indexes {
   /** Driver-side fence for one leaf partition. */
   final case class Fence(pid: Int, min: Long, max: Long, count: Long)
 
+  /** Total range scans served by any index (observability for tests:
+    * proves a query was routed through an index, not a table scan). */
+  val rangeScans = new java.util.concurrent.atomic.AtomicLong(0)
+
   /** A built index: cached leaf partitions + driver fences. */
   final class DistributedIndex(
       @transient val spark: SparkSession,
@@ -231,6 +235,7 @@ object Indexes {
     /** Range scan: fence-pruned partitions, partition-local
       * lower/upper bound, zero shuffles. */
     def rangeScan(lo: Long, hi: Long): DataFrame = {
+      Indexes.rangeScans.incrementAndGet()
       val wanted = matchingPartitions(lo, hi)
       val useModels = method == RmiMethod
       val pruned = PartitionPruningRDD.create(leafRdd, wanted.contains)
@@ -257,7 +262,9 @@ object Indexes {
     val schema = df.schema
     val wantModels = method == RmiMethod
     val leafRdd = sorted.rdd.mapPartitions { it =>
-      val rows = it.toArray
+      // NULL keys are not indexed (ref ArrayIndex::bulkload loads only
+      // non-null keys); a lookup predicate can never match NULL anyway
+      val rows = it.filter(_.get(keyIdx) != null).toArray
       if (rows.isEmpty) Iterator.empty
       else {
         val keys = rows.map(r => r.get(keyIdx).asInstanceOf[Number].longValue())

@@ -79,6 +79,50 @@ class IndexSpec extends AnyFunSuite {
     assert(part.lowerBoundRmi(50000L) == part.lowerBound(50000L))
   }
 
+  test("dialect CREATE INDEX routes range queries through the index") {
+    val s = new EngineSession(spark)
+    s.execute("""CREATE DATABASE ixdb; USE ixdb;
+      CREATE TABLE ix (k INT(4), v INT(4));
+      INSERT INTO ix VALUES (1, 10), (5, 50), (9, 90), (12, 120), (20, 200);""")
+    def rows(sql: String): Seq[Seq[Any]] =
+      s.query(sql).collect().toSeq.map(_.toSeq)
+    val unindexed = rows("SELECT k, v FROM ix WHERE k >= 5 AND k < 13;")
+    s.execute("CREATE INDEX ixk ON ix USING array (k);")
+    val before = graft.storage.Indexes.rangeScans.get()
+    val indexed = rows("SELECT k, v FROM ix WHERE k >= 5 AND k < 13;")
+    assert(graft.storage.Indexes.rangeScans.get() > before, "index not used")
+    assert(indexed.sortBy(_.head.asInstanceOf[Int]) ==
+      unindexed.sortBy(_.head.asInstanceOf[Int]))
+    // point lookup + residual non-key predicate stays correct
+    assert(rows("SELECT v FROM ix WHERE k = 12 AND v > 100;") == Seq(Seq(120)))
+    assert(rows("SELECT v FROM ix WHERE k = 12 AND v > 500;").isEmpty)
+    // INSERT invalidates: new row must be visible through the index path
+    s.execute("INSERT INTO ix VALUES (7, 70);")
+    assert(rows("SELECT v FROM ix WHERE k = 7;") == Seq(Seq(70)))
+    // rmi method works through the dialect too
+    s.execute("CREATE INDEX ixk2 ON ix USING rmi (v);")
+    assert(rows("SELECT k FROM ix WHERE v >= 50 AND v <= 90;")
+      .map(_.head).toSet == Set(5, 7, 9))
+  }
+
+  test("index routing leaves multi-table and OR queries alone") {
+    val s = new EngineSession(spark)
+    s.execute("""CREATE DATABASE ixdb2; USE ixdb2;
+      CREATE TABLE a (k INT(4)); CREATE TABLE b (k INT(4));
+      INSERT INTO a VALUES (1), (2); INSERT INTO b VALUES (2), (3);
+      CREATE INDEX ak ON a (k);""")
+    val before = graft.storage.Indexes.rangeScans.get()
+    // OR at top level: no usable conjunct — must not route
+    val r1 = s.query("SELECT k FROM a WHERE k = 1 OR k = 2;")
+      .collect().map(_.getInt(0)).sorted
+    assert(r1.toSeq == Seq(1, 2))
+    assert(graft.storage.Indexes.rangeScans.get() == before, "routed through OR")
+    // joins keep full semantics (routing only fires on single-table FROM)
+    val r2 = s.query("SELECT a.k FROM a, b WHERE a.k = b.k AND a.k > 0;")
+      .collect().map(_.getInt(0))
+    assert(r2.toSeq == Seq(2))
+  }
+
   test("linear models: spline endpoints and regression on exact line") {
     val keys = Array(10L, 20L, 30L, 40L)
     val spline = LinearModel.trainSpline(keys, 0, 4, 0, 1.0)
