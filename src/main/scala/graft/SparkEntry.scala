@@ -22,12 +22,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ EventOps.queries ++ TextOps.queries ++
       DedupOps.queries ++ SimilarityOps.queries ++ MultimodalOps.queries ++
-      DialectQueries.queries ++ IndexOps.queries ++ CurationOps.queries
+      DialectQueries.queries ++ IndexOps.queries ++ CurationOps.queries ++
+      ChunkOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ EventOps.oracles ++ TextOps.oracles ++
       DedupOps.oracles ++ SimilarityOps.oracles ++ MultimodalOps.oracles ++
-      DialectQueries.oracles ++ IndexOps.oracles ++ CurationOps.oracles
+      DialectQueries.oracles ++ IndexOps.oracles ++ CurationOps.oracles ++
+      ChunkOps.oracles
 }

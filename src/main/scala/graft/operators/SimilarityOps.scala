@@ -340,7 +340,90 @@ object SimilarityOps {
         col("rank"), round(col("cosine"), 4).as("cosine_r"))
   }
 
+  /** kNN label classification: for each query vector (every 50th id),
+    * the majority label among its k=10 cosine-nearest neighbors (vote
+    * ties broken by smallest label). The query set is a small fixed
+    * sample, so the scored product is |queries|×|corpus| — linear in
+    * the corpus, and the corpus side streams (no materialization).
+    * Fully deterministic (cosine ties broken by neighbor id) and
+    * integer-valued → exact DuckDB oracle. */
+  def knnClassify(sp: SparkSession, dir: String): DataFrame = {
+    val all = Engine.table(sp, dir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("nrm", sqrt(aggregate(
+        transform(col("v"), x => x * x), lit(0.0), (acc, x) => acc + x)))
+    val q = all.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("query_id"), col("label").as("true_label"),
+        col("v").as("qv"), col("nrm").as("qn"))
+    val scored = q.join(all, col("vec_id") =!= col("query_id"))
+      .withColumn("cosine", dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
+    val wRank = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    val votes = scored
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= 10)
+      .groupBy(col("query_id"), col("true_label"), col("label"))
+      .agg(count(lit(1)).as("votes"))
+    val wVote = Window.partitionBy(col("query_id"))
+      .orderBy(col("votes").desc, col("label"))
+    votes.withColumn("vrank", row_number().over(wVote))
+      .filter(col("vrank") === 1)
+      .select(col("query_id"), col("true_label"),
+        col("label").as("pred_label"), col("votes"))
+  }
+
+  val knnClassifyOracle: String = """
+    WITH v AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+        sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+                                CAST(embedding AS DOUBLE[]))) AS nrm
+      FROM embeddings),
+    scored AS (
+      SELECT q.vec_id AS query_id, q.label AS true_label,
+        a.vec_id AS neighbor_id, a.label AS nlabel,
+        list_inner_product(q.v, a.v) / (q.nrm * a.nrm) AS cosine
+      FROM v q JOIN v a ON a.vec_id <> q.vec_id
+      WHERE q.vec_id % 50 = 0),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+        ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored),
+    votes AS (
+      SELECT query_id, true_label, nlabel, CAST(COUNT(*) AS BIGINT) AS votes
+      FROM ranked WHERE rank <= 10
+      GROUP BY query_id, true_label, nlabel)
+    SELECT query_id, true_label, nlabel AS pred_label, votes
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY votes DESC, nlabel) AS vrank FROM votes)
+    WHERE vrank = 1"""
+
+  /** Per-label embedding centroid, emitted long-form (label, dim_idx,
+    * n, centroid) so every output cell is a scalar. Sums run through
+    * DECIMAL(18,6) so partial-aggregation order cannot perturb the
+    * result (same trick as the relational oracle sums) — the plan is
+    * a map-side partial sum + one 640-key shuffle, the canonical
+    * scalable aggregation shape. */
+  def centroidPerLabel(sp: SparkSession, dir: String): DataFrame =
+    Engine.table(sp, dir, "embeddings")
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim_idx", "x")))
+      .groupBy(col("label"), col("dim_idx").cast("long").as("dim_idx"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x").cast("double").cast("decimal(18,6)")).as("s"))
+      .select(col("label"), col("dim_idx"), col("n"),
+        round(col("s").cast("double") / col("n"), 6).as("centroid"))
+
+  val centroidPerLabelOracle: String = s"""
+    SELECT label, CAST(s.i - 1 AS BIGINT) AS dim_idx,
+      CAST(COUNT(*) AS BIGINT) AS n,
+      round(CAST(SUM(CAST(CAST(embedding[CAST(s.i AS INT)] AS DOUBLE)
+        AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS centroid
+    FROM embeddings, generate_series(1, $Dim) AS s(i)
+    GROUP BY label, s.i"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_knn_classify" -> (knnClassify _),
+    "embed_centroid_per_label" -> (centroidPerLabel _),
     "sim_knn_bruteforce" -> (knnBruteForce _),
     "sim_ann_lsh" -> (annLsh _),
     "sim_ann_ivf" -> (annIvf _),
@@ -350,6 +433,8 @@ object SimilarityOps {
     "sim_neardup_lsh" -> (embeddingNearDupLsh _))
 
   val oracles: Map[String, String] = Map(
+    "sim_knn_classify" -> knnClassifyOracle,
+    "embed_centroid_per_label" -> centroidPerLabelOracle,
     "sim_knn_bruteforce" -> knnBruteForceOracle,
     "sim_embedding_neardup" -> embeddingNearDupOracle)
 }
