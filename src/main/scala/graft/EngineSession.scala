@@ -33,6 +33,9 @@ final class EngineSession(val spark: SparkSession,
   private val dbIndexes = mutable.Map[String, mutable.Map[String, EngineSession.IndexDef]]()
   private var currentDb: Option[String] = None
 
+  /** Name of the database in use (ref Catalog::get_database_in_use). */
+  def currentDatabase: Option[String] = currentDb
+
   /** Cheap copy-on-write clone: new catalog maps, shared (immutable)
     * DataFrames. Used by the golden-corpus harness to give every spec
     * file a fresh catalog over the same cached fixture tables. */

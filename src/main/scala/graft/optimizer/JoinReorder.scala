@@ -29,9 +29,15 @@ object JoinReorder {
   final case class Rel(plan: LogicalPlan, card: Double, idx: Int)
 
   /** Extracted join graph: relations + equi-join edges + residual
-    * conditions that reference >2 relations. */
+    * conditions that reference >2 relations. `inject` optionally maps
+    * whole subproblems (sets of relation indices) to cardinalities —
+    * the ref's InjectionCardinalityEstimator at full granularity
+    * (CardinalityEstimator.hpp:227: per-subproblem sizes from a JSON
+    * file, used for optimizer experiments with [[CardinalityGen]]).
+    * Empty in production: the independence formula applies. */
   final case class JoinGraph(rels: Vector[Rel],
-      edges: Seq[(Int, Int, Expression)], residual: Seq[Expression])
+      edges: Seq[(Int, Int, Expression)], residual: Seq[Expression],
+      inject: Map[Set[Int], Double] = Map.empty)
 
   object JoinGraph {
     val DpLimit = 12
@@ -64,8 +70,12 @@ object JoinReorder {
     }
 
   private def joinedCard(g: JoinGraph, l: JoinTree, r: JoinTree): Double =
-    if (connected(g, l.set, r.set)) JoinGraph.joinCard(l.card, r.card)
-    else l.card * r.card // cross product — heavily penalized by C_out
+    g.inject.get(l.set ++ r.set) match {
+      case Some(c) => c // injected subproblem cardinality wins
+      case None =>
+        if (connected(g, l.set, r.set)) JoinGraph.joinCard(l.card, r.card)
+        else l.card * r.card // cross product — heavily penalized by C_out
+    }
 
   /** DPsize (ref PlanEnumerator.cpp:69): dynamic programming over
     * subset sizes; exact w.r.t. the cost model. Exponential — used up
@@ -1113,7 +1123,7 @@ object JoinReorderRule extends Rule[LogicalPlan] with PredicateHelper {
     * pruning runs in the same fixed-point batch). The top-level
     * `Project(j.output, …)` restores the original output, and the
     * surrounding fixed point re-prunes the rebuilt tree. */
-  private def flatten(plan: LogicalPlan): (Seq[LogicalPlan], Seq[Expression]) =
+  private[graft] def flatten(plan: LogicalPlan): (Seq[LogicalPlan], Seq[Expression]) =
     plan match {
       case Join(l, r, Inner, cond, _) =>
         val (ll, lc) = flatten(l)
@@ -1129,7 +1139,7 @@ object JoinReorderRule extends Rule[LogicalPlan] with PredicateHelper {
       case other => (Seq(other), Nil)
     }
 
-  private def splitConds(rels: Vector[Rel], conds: Seq[Expression])
+  private[graft] def splitConds(rels: Vector[Rel], conds: Seq[Expression])
       : (Seq[(Int, Int, Expression)], Seq[Expression]) = {
     def owners(e: Expression): Set[Int] = {
       val refs = e.references.toSeq
