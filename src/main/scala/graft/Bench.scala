@@ -6,17 +6,25 @@ package graft
   *
   * Prints ONE JSON line {"metric":...,"queries":{...}}. Each query is
   * fully materialized via the noop sink (count() would let Catalyst
-  * prune the aggregate expressions away). One warm-up pass on q6
-  * amortizes parquet footer reads/JIT before timing.
+  * prune the aggregate expressions away).
   *
   * Runs in the PRODUCTION session (`Engine.session`): the join-reorder
   * extension, AQE and the object-hash-agg threshold are part of what is
   * being measured.
   *
-  * Each query is timed 3× in one JVM; "queries" reports the best run
-  * (the first pays whole-stage-codegen compilation, amortized on a
-  * long-lived cluster) and "runs" reports all three so a reviewer can
-  * separate run-to-run variance from real regressions.
+  * Measurement protocol (hardened in round 6 after round 5's numbers
+  * proved measurement-dominated — 20x run-to-run swings within one JVM):
+  *   - one UNTIMED warm-up execution per query (codegen compile, parquet
+  *     footers, JIT) before any timed rep;
+  *   - 5 timed reps per query;
+  *   - "queries" reports the MEDIAN (the stable central number to gate
+  *     on), "queries_min" the best run (steady-state on a long-lived
+  *     cluster), "variance" the per-query max/min ratio so a reviewer
+  *     can see at a glance whether a number is trustworthy;
+  *   - "driver_mem_mb" (Runtime.maxMemory) and "load_avg" (1-min system
+  *     load at start/end) are echoed so runs on differently-sized heaps
+  *     or busy hosts are not compared as if equal.
+  * "value" (the headline total) is the sum of per-query medians.
   */
 object Bench {
   val headline: Seq[String] = Seq(
@@ -29,11 +37,15 @@ object Bench {
     "text_quality_score", "events_sessionize", "events_asof_join",
     "dialect_q1")
 
-  val Reps = 3
+  val Reps = 5
+
+  private def loadAvg: Double =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Engine.session("graft-bench")
+    val loadStart = loadAvg
 
     def runOnce(name: String): Double = {
       val t0 = System.nanoTime()
@@ -46,19 +58,31 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    runOnce("q6_forecast_revenue") // warm-up: JIT + parquet footers
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      val n = s.length
+      if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+    }
+
     val results = headline.map { n =>
+      runOnce(n) // untimed warm-up: codegen + parquet footers + JIT
       val times = (1 to Reps).map(_ => runOnce(n)).filter(_ >= 0)
       n -> (if (times.isEmpty) Seq(-1.0) else times)
     }
     def fmt(v: Double) = f"$v%.4f"
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v.min) }
-      .mkString("{", ",", "}")
+    def obj(f: Seq[Double] => Double) =
+      results.map { case (k, v) => "\"" + k + "\":" + fmt(f(v)) }
+        .mkString("{", ",", "}")
+    val qs  = obj(median)
+    val qsMin = obj(_.min)
+    val varc = obj(v => if (v.min > 0) v.max / v.min else -1.0)
     val runs = results.map { case (k, v) =>
       "\"" + k + "\":[" + v.map(fmt).mkString(",") + "]"
     }.mkString("{", ",", "}")
-    val total = results.map(_._2.min).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"runs":$runs,"sf":"$sfDir"}""")
+    val total = results.map(r => median(r._2)).filter(_ >= 0).sum
+    val totalMin = results.map(_._2.min).filter(_ >= 0).sum
+    val driverMb = Runtime.getRuntime.maxMemory / (1024 * 1024)
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","total_min":${fmt(totalMin)},"reps":$Reps,"queries":$qs,"queries_min":$qsMin,"variance":$varc,"runs":$runs,"driver_mem_mb":$driverMb,"load_avg":[${fmt(loadStart)},${fmt(loadAvg)}],"sf":"$sfDir"}""")
     spark.stop()
   }
 }

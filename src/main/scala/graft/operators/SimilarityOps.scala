@@ -340,20 +340,25 @@ object SimilarityOps {
         col("rank"), round(col("cosine"), 4).as("cosine_r"))
   }
 
-  /** kNN label classification: for each query vector (every 50th id),
-    * the majority label among its k=10 cosine-nearest neighbors (vote
-    * ties broken by smallest label). The query set is a small fixed
-    * sample, so the scored product is |queries|×|corpus| — linear in
-    * the corpus, and the corpus side streams (no materialization).
-    * Fully deterministic (cosine ties broken by neighbor id) and
+  /** kNN label classification: for each query vector (a fixed-SIZE id
+    * prefix, vec_id < [[KnnClassifyQueries]]), the majority label among
+    * its k=10 cosine-nearest neighbors (vote ties broken by smallest
+    * label). Because the query set is fixed-size — not a fixed fraction
+    * — the scored product is |queries|×|corpus|, genuinely linear in
+    * the corpus, and the corpus side streams (no materialization);
+    * route candidate generation through [[annLsh]]-style buckets when
+    * the query set itself must grow with the corpus. Fully
+    * deterministic (cosine ties broken by neighbor id) and
     * integer-valued → exact DuckDB oracle. */
+  val KnnClassifyQueries = 200
+
   def knnClassify(sp: SparkSession, dir: String): DataFrame = {
     val all = Engine.table(sp, dir, "embeddings")
       .select(col("vec_id"), col("label"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
       .withColumn("nrm", sqrt(aggregate(
         transform(col("v"), x => x * x), lit(0.0), (acc, x) => acc + x)))
-    val q = all.filter(col("vec_id") % 50 === 0)
+    val q = all.filter(col("vec_id") < KnnClassifyQueries)
       .select(col("vec_id").as("query_id"), col("label").as("true_label"),
         col("v").as("qv"), col("nrm").as("qn"))
     val scored = q.join(all, col("vec_id") =!= col("query_id"))
@@ -373,7 +378,7 @@ object SimilarityOps {
         col("label").as("pred_label"), col("votes"))
   }
 
-  val knnClassifyOracle: String = """
+  val knnClassifyOracle: String = s"""
     WITH v AS (
       SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
         sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
@@ -384,7 +389,7 @@ object SimilarityOps {
         a.vec_id AS neighbor_id, a.label AS nlabel,
         list_inner_product(q.v, a.v) / (q.nrm * a.nrm) AS cosine
       FROM v q JOIN v a ON a.vec_id <> q.vec_id
-      WHERE q.vec_id % 50 = 0),
+      WHERE q.vec_id < $KnnClassifyQueries),
     ranked AS (
       SELECT *, row_number() OVER (PARTITION BY query_id
         ORDER BY cosine DESC, neighbor_id) AS rank

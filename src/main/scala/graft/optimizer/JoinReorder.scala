@@ -125,22 +125,56 @@ object JoinReorder {
     * O(n³), used beyond DpLimit. */
   object GOO extends PlanEnumerator {
     val name = "GOO"
-    def enumerate(g: JoinGraph): JoinTree = {
-      var forest: Vector[JoinTree] = g.rels.map(Leaf(_): JoinTree)
-      while (forest.length > 1) {
-        var bi = 0; var bj = 1
-        var bestCard = Double.MaxValue
-        for (i <- forest.indices; j <- (i + 1) until forest.length) {
-          val c = joinedCard(g, forest(i), forest(j))
-          if (c < bestCard) { bestCard = c; bi = i; bj = j }
-        }
-        val merged = Node(forest(bi), forest(bj), bestCard)
-        forest = forest.zipWithIndex
-          .collect { case (t, k) if k != bi && k != bj => t } :+ merged
-      }
-      forest.head
-    }
+    def enumerate(g: JoinGraph): JoinTree =
+      gooMerge(g, g.rels.map(Leaf(_): JoinTree))
   }
+
+  /** Greedy merge of a forest down to one tree — GOO's inner loop,
+    * shared with the heuristic search's anytime path completion (ref
+    * goo_path_completion, HeuristicSearchPlanEnumerator.hpp:2184). */
+  private def gooMerge(g: JoinGraph, start: Vector[JoinTree]): JoinTree = {
+    var forest = start
+    while (forest.length > 1) {
+      var bi = 0; var bj = 1
+      var bestCard = Double.MaxValue
+      for (i <- forest.indices; j <- (i + 1) until forest.length) {
+        val c = joinedCard(g, forest(i), forest(j))
+        if (c < bestCard) { bestCard = c; bi = i; bj = j }
+      }
+      val merged = Node(forest(bi), forest(bj), bestCard)
+      forest = forest.zipWithIndex
+        .collect { case (t, k) if k != bi && k != bj => t } :+ merged
+    }
+    forest.head
+  }
+
+  /** Estimated cardinality of joining ALL relations — the ref's
+    * `estimate_join_all` (CardinalityEstimator.hpp) under our
+    * independence fold: a connected component collapses to its minimum
+    * leaf cardinality (joinCard(a,b) = min(a,b)); disconnected
+    * components cross-product. Injection overrides when present. */
+  private def cardAllOf(g: JoinGraph): Double =
+    g.inject.getOrElse(g.rels.indices.toSet, {
+      val adj = adjSetsOf(g)
+      val seen = Array.fill(g.rels.length)(false)
+      var prod = 1.0
+      for (i <- g.rels.indices if !seen(i)) {
+        seen(i) = true
+        var frontier = List(i)
+        var minCard = g.rels(i).card
+        while (frontier.nonEmpty) {
+          val u = frontier.head; frontier = frontier.tail
+          adj(u).foreach { v =>
+            if (!seen(v)) {
+              seen(v) = true; frontier ::= v
+              minCard = math.min(minCard, g.rels(v).card)
+            }
+          }
+        }
+        prod *= minCard
+      }
+      prod
+    })
 
   /** PEall (ref PlanEnumerator.cpp:33): exhaustive enumeration of
     * every binary join tree — the reference ships it as the testing
@@ -745,23 +779,53 @@ object JoinReorder {
     *    hpp:1859 — deliberately inadmissible aggressive guidance),
     *    `goo` (cost of finishing greedily, ref hpp:1958 — the
     *    strongest guide, near-optimal in practice).
-    *  - `weight` > 1 gives weighted A* (ref's anytime search knob).
+    *  - `weight` > 1 gives weighted A*.
     *  - The *space* is `bottomup` (merge two subproblems per step) or
     *    `topdown` (ref TopDownComplete hpp:1593: split the first
     *    non-singleton subproblem along a MinCutAGaT ccp per step) —
     *    the reference's full search × space × heuristic config grid.
+    *
+    * Search-algorithm variants (ref's pre-configured strategies,
+    * hpp:2158-2169, built on util/HeuristicSearch.hpp genericAStar):
+    *
+    *  - `beamWidth` ≥ 1: beam search (ref `beam<2>`) — of each
+    *    expansion's successors only the `beamWidth` best by f survive;
+    *    the rest are discarded (the monotone-space configuration, where
+    *    no regular queue exists). Incomplete but drastically fewer
+    *    expansions.
+    *  - 0 < `beamWidth` < 1: dynamic beam (ref `beam<1,5>`) — the beam
+    *    keeps ⌈fraction·|successors|⌉ best per expansion.
+    *  - `lazyH`: lazy A* (ref `lazy<true>`) — successors inherit the
+    *    expanded state's heuristic value, one h evaluation per
+    *    expansion instead of one per successor (hpp's
+    *    for_each_successor_lazily).
+    *  - `costBasedPruning` (ref `cost_based_pruning<true>`): an initial
+    *    greedy plan seeds an upper bound (ref config.upper_bound);
+    *    successors whose g + unweighted-h exceed the bound are pruned,
+    *    and reaching a goal tightens it.
+    *  - `expansionBudget` < ∞: anytime A* (ref `anytime_search<true>`,
+    *    config.expansion_budget): when the budget is exhausted the best
+    *    frontier state is completed greedily (ref goo_path_completion)
+    *    — always returns a valid plan, quality scales with budget.
     *
     * States are deduplicated on the canonical partition (which
     * subproblems exist), keeping the cheapest g per partition — the
     * role of the reference's subproblem hash table. */
   final class HeuristicSearchEnumerator(
       heuristic: String = "goo", weight: Double = 1.0,
-      space: String = "bottomup") extends PlanEnumerator {
+      space: String = "bottomup",
+      beamWidth: Double = 0.0,
+      lazyH: Boolean = false,
+      costBasedPruning: Boolean = false,
+      expansionBudget: Long = Long.MaxValue) extends PlanEnumerator {
     val name = s"HeuristicSearch($space,$heuristic)"
 
     /** States popped from the frontier in the last run (the SIGMOD'23
       * claim is optimal plans with far fewer expansions than DP). */
     var lastExpanded: Int = 0
+
+    /** Successors discarded by cost-based pruning in the last run. */
+    var lastPruned: Long = 0L
 
     private def hValue(g: JoinGraph, parts: Vector[JoinTree]): Double =
       if (parts.length <= 1) 0.0
@@ -796,6 +860,36 @@ object JoinReorder {
             }
             if (bestAdd.isPosInfinity) base else base + bestAdd
           }
+        // ref avg_sel (hpp:2028, defined for the bottom-up space only):
+        // derive the geometric-mean per-join selectivity from the
+        // full-join estimate, then simulate joining the two smallest
+        // subproblems repeatedly under that uniform selectivity
+        case "avg_sel" =>
+          if (parts.length <= 2) 0.0
+          else {
+            val cards = parts.map(_.card).toArray
+            java.util.Arrays.sort(cards)
+            val cprod = cards.product
+            val selRemaining =
+              if (cprod <= 0 || cprod.isInfinity) 1.0
+              else math.min(1.0, cardAllOf(g) / cprod)
+            val avgSel = math.pow(selRemaining, 1.0 / (parts.length - 1))
+            var acc = 0.0
+            var i = 0
+            while (i < cards.length - 1) {
+              val card = cards(i) * cards(i + 1) * avgSel
+              acc += card
+              cards(i + 1) = card
+              // bubble the new intermediate back into sorted position
+              var r = i + 1
+              while (r < cards.length - 1 && cards(r) > cards(r + 1)) {
+                val t = cards(r); cards(r) = cards(r + 1); cards(r + 1) = t
+                r += 1
+              }
+              i += 1
+            }
+            acc
+          }
         case "goo" =>
           // simulate greedy completion; the final (complete) join's
           // cardinality is a plan-independent constant and excluded,
@@ -821,6 +915,7 @@ object JoinReorder {
 
     def enumerate(g: JoinGraph): JoinTree = {
       lastExpanded = 0
+      lastPruned = 0L
       if (space == "topdown") enumerateTopDown(g) else enumerateBottomUp(g)
     }
 
@@ -866,84 +961,143 @@ object JoinReorder {
           // cardinality of each subproblem split (All exempt, as in
           // the action cost) — so h stays on g's cost basis, like the
           // bottom-up goo guide.
-          def prodCard(s: Set[Int]): Double =
-            s.iterator.map(i => math.max(1.0, g.rels(i).card)).product
-          var cost = 0.0
-          var work = parts.iterator.filter(_.size > 1).toList
-          while (work.nonEmpty) {
-            val top = work.head
-            work = work.tail
-            var cMin = Double.PositiveInfinity
-            var mL: Set[Int] = null; var mR: Set[Int] = null
-            minCutAGaT(adj, top) { (l, r) =>
-              val c = (if (l.size > 1) connCard(l) else 0.0) +
-                (if (r.size > 1) connCard(r) else 0.0) +
-                1e-9 * (prodCard(l) + prodCard(r))
-              // mL==null guard: take the first cut even if all scores
-              // saturate to ∞ (product overflow on huge graphs)
-              if (mL == null || c < cMin) { cMin = c; mL = l; mR = r }
-            }
-            if (top != (0 until n).toSet) cost += connCard(top)
-            if (mL.size > 1) work = mL :: work
-            if (mR.size > 1) work = mR :: work
-          }
-          cost
+          tdGreedy(parts)._2
         case other =>
           throw new IllegalArgumentException(
             s"unknown top-down heuristic '$other'")
       }
 
+      /** TDGOO-style greedy completion of a partition: pick the
+        * min-score MinCutAGaT cut per non-singleton, recursively.
+        * Returns (splits in replay order — children before parents —
+        * and the search-cost this completion pays). Shared by the goo
+        * heuristic, the cbp upper bound, and anytime path completion
+        * (ref goo_path_completion). */
+      def tdGreedy(parts: Vector[Set[Int]])
+          : (List[(Set[Int], Set[Int])], Double) = {
+        def prodCard(s: Set[Int]): Double =
+          s.iterator.map(i => math.max(1.0, g.rels(i).card)).product
+        var cost = 0.0
+        var splits: List[(Set[Int], Set[Int])] = Nil
+        var work = parts.iterator.filter(_.size > 1).toList
+        while (work.nonEmpty) {
+          val top = work.head
+          work = work.tail
+          var cMin = Double.PositiveInfinity
+          var mL: Set[Int] = null; var mR: Set[Int] = null
+          minCutAGaT(adj, top) { (l, r) =>
+            val c = (if (l.size > 1) connCard(l) else 0.0) +
+              (if (r.size > 1) connCard(r) else 0.0) +
+              1e-9 * (prodCard(l) + prodCard(r))
+            // mL==null guard: take the first cut even if all scores
+            // saturate to ∞ (product overflow on huge graphs)
+            if (mL == null || c < cMin) { cMin = c; mL = l; mR = r }
+          }
+          if (top != all) cost += connCard(top)
+          // prepend: generated parent-first, so children (generated
+          // later) end up at the head — replay order
+          splits ::= (mL, mR)
+          if (mL.size > 1) work = mL :: work
+          if (mR.size > 1) work = mR :: work
+        }
+        (splits, cost)
+      }
+
+      /** Replay splits (children before parents) into a join tree. */
+      def buildTree(splits: List[(Set[Int], Set[Int])]): JoinTree = {
+        val treeOf = collection.mutable.Map.empty[Set[Int], JoinTree]
+        g.rels.foreach(r => treeOf(Set(r.idx)) = Leaf(r))
+        splits.foreach { case (l, r) =>
+          val (lt, rt) = (treeOf(l), treeOf(r))
+          treeOf(l ++ r) = Node(lt, rt, joinedCard(g, lt, rt))
+        }
+        treeOf(all)
+      }
+
       final case class Entry(parts: Vector[Set[Int]],
-          splits: List[(Set[Int], Set[Int])], gCost: Double, f: Double)
+          splits: List[(Set[Int], Set[Int])], gCost: Double, h: Double) {
+        def f: Double = gCost + weight * h
+      }
       implicit val ord: Ordering[Entry] = Ordering.by(e => -e.f)
       val frontier = collection.mutable.PriorityQueue.empty[Entry]
       val closed = collection.mutable.Set.empty[Set[Set[Int]]]
-      frontier.enqueue(Entry(Vector(all), Nil, 0.0, weight * hTD(Vector(all))))
+      val fallback = if (costBasedPruning) Some(tdGreedy(Vector(all))) else None
+      var ub = fallback.map(_._2).getOrElse(Double.PositiveInfinity)
+      var budget = expansionBudget
+      frontier.enqueue(Entry(Vector(all), Nil, 0.0, hTD(Vector(all))))
       while (frontier.nonEmpty) {
         val e = frontier.dequeue()
         val key = e.parts.toSet
         if (!closed.contains(key)) {
           closed += key
-          if (e.parts.forall(_.size == 1)) {
-            // goal: replay the splits (latest first ⇒ children before
-            // parents) into a join tree
-            val treeOf = collection.mutable.Map.empty[Set[Int], JoinTree]
-            g.rels.foreach(r => treeOf(Set(r.idx)) = Leaf(r))
-            e.splits.foreach { case (l, r) =>
-              val (lt, rt) = (treeOf(l), treeOf(r))
-              treeOf(l ++ r) = Node(lt, rt, joinedCard(g, lt, rt))
-            }
-            return treeOf(all)
+          if (e.parts.forall(_.size == 1)) return buildTree(e.splits)
+          if (budget <= 0) { // anytime: greedy-complete the best state
+            val (extra, _) = tdGreedy(e.parts)
+            return buildTree(extra ++ e.splits)
           }
+          budget -= 1
           lastExpanded += 1
+          val hCur = if (lazyH) e.h else 0.0
           val part = e.parts.find(_.size > 1).get
           val rest = e.parts.filterNot(_ == part)
           val action = if (part == all) 0.0 else connCard(part)
+          val succs = collection.mutable.ArrayBuffer.empty[Entry]
           minCutAGaT(adj, part) { (l, r) =>
             val parts2 = rest :+ l :+ r
-            val g2 = e.gCost + action
-            frontier.enqueue(Entry(parts2, (l, r) :: e.splits, g2,
-              g2 + weight * hTD(parts2)))
+            succs += Entry(parts2, (l, r) :: e.splits, e.gCost + action,
+              if (lazyH) hCur else hTD(parts2))
+          }
+          val kept =
+            if (beamWidth >= 1.0) succs.sortBy(_.f).take(beamWidth.toInt)
+            else if (beamWidth > 0.0)
+              succs.sortBy(_.f)
+                .take(math.ceil(succs.length * beamWidth).toInt.max(1))
+            else succs
+          kept.foreach { s =>
+            if (costBasedPruning && s.gCost + s.h > ub) lastPruned += 1
+            else {
+              if (costBasedPruning && s.parts.forall(_.size == 1) && s.gCost < ub)
+                ub = s.gCost
+              frontier.enqueue(s)
+            }
           }
         }
       }
-      throw new IllegalStateException("top-down search exhausted the frontier")
+      fallback match {
+        case Some((sp, _)) => buildTree(sp) // everything pruned
+        case None => throw new IllegalStateException(
+          "top-down search exhausted the frontier")
+      }
     }
 
     private def enumerateBottomUp(g: JoinGraph): JoinTree = {
-      final case class Entry(parts: Vector[JoinTree], gCost: Double, f: Double)
+      final case class Entry(parts: Vector[JoinTree], gCost: Double, h: Double) {
+        def f: Double = gCost + weight * h
+      }
       implicit val ord: Ordering[Entry] = Ordering.by(e => -e.f)
       val frontier = collection.mutable.PriorityQueue.empty[Entry]
       val closed = collection.mutable.Set.empty[Set[Set[Int]]]
       val start = g.rels.map(Leaf(_): JoinTree)
-      frontier.enqueue(Entry(start, 0.0, weight * hValue(g, start)))
+      frontier.enqueue(Entry(start, 0.0, hValue(g, start)))
+      // cbp upper bound: a greedy complete plan (the ref seeds
+      // config.upper_bound from an initial plan the same way, and
+      // falls back to that plan if pruning exhausts the search)
+      val fallback = if (costBasedPruning) GOO.enumerate(g) else null
+      var ub = if (fallback != null) fallback.cost else Double.PositiveInfinity
+      var budget = expansionBudget
       while (frontier.nonEmpty) {
         val e = frontier.dequeue()
         val key = e.parts.map(_.set).toSet
         if (!closed.contains(key)) {
           closed += key
           if (e.parts.length == 1) return e.parts.head
+          if (budget <= 0) // anytime: complete the best state greedily
+            return gooMerge(g, e.parts)
+          budget -= 1
           lastExpanded += 1
+          // lazy A*: successors inherit this state's h — one heuristic
+          // evaluation per expansion instead of one per successor
+          val hCur = if (lazyH) e.h else 0.0
           // expand: join a connected pair (any pair if disconnected)
           val pairs = for {
             i <- e.parts.indices; j <- (i + 1) until e.parts.length
@@ -952,16 +1106,33 @@ object JoinReorder {
             connected(g, e.parts(i).set, e.parts(j).set)
           }
           val candidates = if (connectedPairs.nonEmpty) connectedPairs else pairs
-          candidates.foreach { case (i, j) =>
+          val succs = candidates.map { case (i, j) =>
             val card = joinedCard(g, e.parts(i), e.parts(j))
             val merged = Node(e.parts(i), e.parts(j), card)
             val parts2 = e.parts.zipWithIndex
               .collect { case (t, k) if k != i && k != j => t } :+ merged
-            val g2 = e.gCost + card
-            frontier.enqueue(Entry(parts2, g2, g2 + weight * hValue(g, parts2)))
+            Entry(parts2, e.gCost + card,
+              if (lazyH) hCur else hValue(g, parts2))
+          }
+          val kept =
+            if (beamWidth >= 1.0) succs.sortBy(_.f).take(beamWidth.toInt)
+            else if (beamWidth > 0.0)
+              succs.sortBy(_.f)
+                .take(math.ceil(succs.length * beamWidth).toInt.max(1))
+            else succs
+          kept.foreach { s =>
+            // prune on g + UNWEIGHTED h (ref divides the weighting
+            // factor back out before comparing to the bound)
+            if (costBasedPruning && s.gCost + s.h > ub) lastPruned += 1
+            else {
+              if (costBasedPruning && s.parts.length == 1 && s.gCost < ub)
+                ub = s.gCost // goal found: tighten the bound
+              frontier.enqueue(s)
+            }
           }
         }
       }
+      if (fallback != null) return fallback // everything pruned: initial plan
       throw new IllegalStateException("heuristic search exhausted the frontier")
     }
   }

@@ -250,34 +250,57 @@ object StreamOps {
   /** Streaming as-of enrichment: each click carries the latest
     * purchase value seen so far for that user (processing order within
     * a user is event-time sorted per micro-batch). Stateful twin of
-    * EventOps.asofJoin for the streaming regime. */
-  final case class Tagged(user_id: Long, ts_ms: Long, is_purchase: Boolean,
-      value: Double, event_id: Long)
+    * EventOps.asofJoin for the streaming regime.
+    *
+    * State is one Double per user, but the KEY space grows with user
+    * cardinality, so it is bounded in time like the MinHash-bucket op
+    * ([[minhashCandidates]]): event-time timeout drops a user idle for
+    * `ttlMillis` past the watermark — a returning user after that
+    * simply re-warms from their next purchase, which is the correct
+    * as-of semantics for a bounded-retention join anyway. */
+  final case class Tagged(user_id: Long, ts: java.sql.Timestamp,
+      is_purchase: Boolean, value: Double, event_id: Long) {
+    def ts_ms: Long = ts.getTime
+  }
   final case class Enriched(event_id: Long, user_id: Long,
       last_purchase_value: Option[Double])
 
-  def asofEnrich(spark: SparkSession, events: DataFrame): Dataset[Enriched] = {
+  def asofEnrich(spark: SparkSession, events: DataFrame,
+      ttlMillis: Long = 24L * 3600 * 1000): Dataset[Enriched] = {
     import spark.implicits._
     events
       .filter(col("event_type").isin("purchase", "click"))
       .withWatermark("ts", "1 hour")
-      .select(col("user_id"), unix_millis(col("ts")).as("ts_ms"),
+      // keep the watermarked ts column itself — event-time timeout
+      // needs it visible to the stateful operator
+      .select(col("user_id"), col("ts"),
         (col("event_type") === "purchase").as("is_purchase"),
         col("value"), col("event_id"))
       .as[Tagged]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[Double, Enriched](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (user: Long, rows: Iterator[Tagged], state: GroupState[Double]) =>
-          val sorted = rows.toSeq.sortBy(t => (t.ts_ms, !t.is_purchase))
-          val out = Seq.newBuilder[Enriched]
-          var last = state.getOption
-          for (t <- sorted) {
-            if (t.is_purchase) last = Some(t.value)
-            else out += Enriched(t.event_id, user, last)
+          if (state.hasTimedOut) {
+            // user idle past TTL: drop their last-purchase state
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = rows.toSeq.sortBy(t => (t.ts_ms, !t.is_purchase))
+            val out = Seq.newBuilder[Enriched]
+            var last = state.getOption
+            for (t <- sorted) {
+              if (t.is_purchase) last = Some(t.value)
+              else out += Enriched(t.event_id, user, last)
+            }
+            last.foreach { v =>
+              state.update(v)
+              val lastMs = sorted.map(_.ts_ms).max
+              state.setTimeoutTimestamp(
+                math.max(lastMs, state.getCurrentWatermarkMs()) + ttlMillis)
+            }
+            out.result().iterator
           }
-          last.foreach(state.update)
-          out.result().iterator
       }
   }
 }

@@ -361,6 +361,113 @@ class JoinReorderSpec extends AnyFunSuite {
     assert(t.cost >= dp.cost - 1e-6)
   }
 
+  // ---- search-algorithm variants (ref hpp:2158-2169 config grid) ----
+
+  for (space <- Seq("bottomup", "topdown")) {
+    test(s"beam search (beam<2>) expands no more states than plain A* and stays valid ($space)") {
+      val g = randomGraph(8, 31, if (space == "topdown") "chain" else "star")
+      val opt = DPsub.enumerate(g).cost
+      val astar = new HeuristicSearchEnumerator("sum", space = space)
+      astar.enumerate(g)
+      val beam = new HeuristicSearchEnumerator("sum", space = space,
+        beamWidth = 2.0)
+      val t = beam.enumerate(g)
+      assert(t.set == (0 until 8).toSet)
+      assert(t.cost >= opt - 1e-6) // incomplete search: never better
+      assert(beam.lastExpanded <= astar.lastExpanded,
+        s"beam expanded ${beam.lastExpanded} vs A* ${astar.lastExpanded}")
+    }
+    test(s"dynamic beam (beam<1,5>) yields a valid plan with bounded expansions ($space)") {
+      val g = randomGraph(8, 37, "clique")
+      val opt = DPsub.enumerate(g).cost
+      val dyn = new HeuristicSearchEnumerator("sum", space = space,
+        beamWidth = 0.2)
+      val t = dyn.enumerate(g)
+      assert(t.set == (0 until 8).toSet)
+      assert(t.cost >= opt - 1e-6)
+      val astar = new HeuristicSearchEnumerator("sum", space = space)
+      astar.enumerate(g)
+      assert(dyn.lastExpanded <= astar.lastExpanded)
+    }
+  }
+
+  test("lazy A* (successors inherit the parent's h) yields valid never-better-than-optimal plans") {
+    for (shape <- Seq("chain", "star", "clique")) {
+      val g = randomGraph(7, 41, shape)
+      val opt = bruteForce(g)
+      for (space <- Seq("bottomup", "topdown")) {
+        val hs = new HeuristicSearchEnumerator("sum", space = space,
+          lazyH = true)
+        val t = hs.enumerate(g)
+        assert(t.set == (0 until 7).toSet)
+        assert(t.cost >= opt - 1e-6, s"$shape/$space lazy ${t.cost} vs $opt")
+      }
+      // with the zero heuristic, lazy A* degenerates to exactly
+      // Dijkstra (parent h == successor h == 0) — still optimal
+      val lz = new HeuristicSearchEnumerator("zero", lazyH = true)
+      assert(math.abs(lz.enumerate(g).cost - opt) / opt < 1e-9)
+    }
+  }
+
+  test("cost-based pruning keeps top-down sum exactly optimal while pruning states") {
+    var prunedSomewhere = false
+    for (shape <- Seq("chain", "star", "clique"); seed <- Seq(43, 47)) {
+      val g = randomGraph(8, seed, shape)
+      val opt = DPsub.enumerate(g).cost
+      val plain = new HeuristicSearchEnumerator("sum", space = "topdown")
+      plain.enumerate(g)
+      val cbp = new HeuristicSearchEnumerator("sum", space = "topdown",
+        costBasedPruning = true)
+      val t = cbp.enumerate(g)
+      // sum is admissible top-down, and the bound comes from a real
+      // plan — pruning must preserve exact optimality
+      assert(math.abs(t.cost - opt) / opt < 1e-9,
+        s"$shape/$seed cbp ${t.cost} vs optimum $opt")
+      // pruning only removes frontier states; small slack because ties
+      // in f can pop in a different order once the queue is thinned
+      assert(cbp.lastExpanded <= plain.lastExpanded + 5)
+      if (cbp.lastPruned > 0) prunedSomewhere = true
+    }
+    assert(prunedSomewhere, "pruning never fired across shapes — bound inert")
+  }
+
+  test("anytime A*: tiny budget returns a valid greedily-completed plan, full budget the A* plan") {
+    for (space <- Seq("bottomup", "topdown")) {
+      val g = randomGraph(9, 53, "star")
+      val opt = DPsub.enumerate(g).cost
+      // zero heuristic: the unbudgeted search is exact Dijkstra, so the
+      // anytime contract (final plan ≤ first plan) is provable
+      val first = new HeuristicSearchEnumerator("zero", space = space,
+        expansionBudget = 1L)
+      val tFirst = first.enumerate(g)
+      assert(tFirst.set == (0 until 9).toSet,
+        s"$space: anytime must always return a complete plan")
+      assert(first.lastExpanded <= 1)
+      assert(tFirst.cost >= opt - 1e-6)
+      val full = new HeuristicSearchEnumerator("zero", space = space)
+      val tFull = full.enumerate(g)
+      assert(math.abs(tFull.cost - opt) / opt < 1e-9)
+      // the final (unbudgeted) plan is never worse than the first
+      assert(tFull.cost <= tFirst.cost + 1e-6,
+        s"$space: final ${tFull.cost} vs first ${tFirst.cost}")
+    }
+  }
+
+  test("avg_sel heuristic (ref hpp:2028) guides bottom-up search to a valid near-optimal plan") {
+    for ((shape, seed) <- Seq(("chain", 59), ("star", 61), ("clique", 67))) {
+      val g = randomGraph(7, seed, shape)
+      val opt = bruteForce(g)
+      val zero = new HeuristicSearchEnumerator("zero")
+      zero.enumerate(g)
+      val av = new HeuristicSearchEnumerator("avg_sel")
+      val t = av.enumerate(g)
+      assert(t.set == (0 until 7).toSet)
+      assert(t.cost >= opt - 1e-6)
+      assert(av.lastExpanded <= zero.lastExpanded,
+        s"$shape: avg_sel expanded ${av.lastExpanded} vs Dijkstra ${zero.lastExpanded}")
+    }
+  }
+
   // ---- production wiring ----
 
   test("GraftExtensions injects JoinReorderRule (production session wiring)") {

@@ -130,6 +130,46 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("as-of enrichment state expires for idle users after the TTL") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.{col, timestamp_millis}
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val t0 = 1700000000000L
+    val hour = 3600L * 1000
+    // (event_id, user_id, event_type, value, epoch-ms)
+    val input = MemoryStream[(Long, Long, String, Double, Long)]
+    val events = input.toDF()
+      .toDF("event_id", "user_id", "event_type", "value", "ms")
+      .withColumn("ts", timestamp_millis(col("ms")))
+    val q = StreamOps.asofEnrich(spark, events, ttlMillis = hour)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("asofttl").start()
+    try {
+      def stateRows: Long =
+        q.lastProgress.stateOperators.head.numRowsTotal
+      input.addData((1L, 1L, "purchase", 10.0, t0),
+        (2L, 1L, "click", 0.0, t0 + 1000))
+      q.processAllAvailable()
+      assert(stateRows == 1, s"one user's purchase state expected, got $stateRows")
+      // 3 hours later (> watermark delay + TTL): user 1 goes idle
+      input.addData((3L, 2L, "click", 0.0, t0 + 3 * hour))
+      q.processAllAvailable()
+      // one more batch so the timeout fires against the advanced watermark
+      input.addData((4L, 2L, "click", 0.0, t0 + 3 * hour + 1000))
+      q.processAllAvailable()
+      assert(stateRows == 0,
+        s"idle user's state must expire (user 2 never purchased), got $stateRows")
+      // user 1 returns after expiry: re-warms from scratch, click sees no value
+      input.addData((5L, 1L, "click", 0.0, t0 + 3 * hour + 2000))
+      q.processAllAvailable()
+      val enriched = spark.table("asofttl").collect()
+        .map(r => r.getLong(0) -> Option(r.get(2))).toMap
+      assert(enriched(2L).contains(10.0), "within-window click carries the purchase")
+      assert(enriched(5L).isEmpty, "post-expiry click must NOT see the old purchase")
+    } finally q.stop()
+  }
+
   test("streaming as-of enrichment matches batch as-of join") {
     val events = StreamOps.readEvents(spark, sf)
     val q = StreamOps.asofEnrich(spark, events).writeStream
