@@ -34,10 +34,19 @@ object JoinReorder {
     * the ref's InjectionCardinalityEstimator at full granularity
     * (CardinalityEstimator.hpp:227: per-subproblem sizes from a JSON
     * file, used for optimizer experiments with [[CardinalityGen]]).
-    * Empty in production: the independence formula applies. */
+    * Empty in production: the independence formula applies.
+    *
+    * `edgeMf` optionally carries, per edge keyed like `edges`, the
+    * MAX FREQUENCY of the join attribute on each endpoint's base
+    * relation — rows / SPN-estimated distinct count, the ingredient of
+    * the reference's SPN join estimate (SpnEstimator::max_frequency,
+    * ref src/catalog/CardinalityEstimator.cpp:563-571). Populated by
+    * [[JoinReorderRule]] when `\learn_spns` has trained models; empty
+    * otherwise (the min-card fold applies). */
   final case class JoinGraph(rels: Vector[Rel],
       edges: Seq[(Int, Int, Expression)], residual: Seq[Expression],
-      inject: Map[Set[Int], Double] = Map.empty)
+      inject: Map[Set[Int], Double] = Map.empty,
+      edgeMf: Map[(Int, Int), (Double, Double)] = Map.empty)
 
   object JoinGraph {
     val DpLimit = 12
@@ -73,8 +82,30 @@ object JoinReorder {
     g.inject.get(l.set ++ r.set) match {
       case Some(c) => c // injected subproblem cardinality wins
       case None =>
-        if (connected(g, l.set, r.set)) JoinGraph.joinCard(l.card, r.card)
-        else l.card * r.card // cross product — heavily penalized by C_out
+        if (!connected(g, l.set, r.set))
+          l.card * r.card // cross product — heavily penalized by C_out
+        else {
+          // SPN join estimate via distinct counts (ref SpnEstimator::
+          // estimate_join, src/catalog/CardinalityEstimator.cpp:480-496
+          // after http://www.cidrdb.org/cidr2021/papers/
+          // cidr2021_paper01.pdf): with mf = max frequency of the join
+          // attribute, |L ⋈ R| = min(|L|/mfL, |R|/mfR) · mfL · mfR —
+          // the number of shared keys times the per-key fan-out. With
+          // mf = 1 both sides (all-PK) this degenerates to
+          // min(|L|, |R|), exactly the independence fold joinCard uses,
+          // so edges without SPN info stay on the historical formula.
+          val spnEsts = g.edges.flatMap { case (x, y, _) =>
+            val lx = l.set.contains(x) && r.set.contains(y)
+            val ly = l.set.contains(y) && r.set.contains(x)
+            if (!lx && !ly) None
+            else g.edgeMf.get((x, y)).map { case (mfX, mfY) =>
+              val (mfL, mfR) = if (lx) (mfX, mfY) else (mfY, mfX)
+              math.min(l.card / mfL, r.card / mfR) * mfL * mfR
+            }
+          }
+          if (spnEsts.nonEmpty) math.max(1.0, spnEsts.min)
+          else JoinGraph.joinCard(l.card, r.card)
+        }
     }
 
   /** DPsize (ref PlanEnumerator.cpp:69): dynamic programming over
@@ -1204,11 +1235,12 @@ object JoinReorderRule extends Rule[LogicalPlan] with PredicateHelper {
     * a model whose table matches this leaf, estimate the conjunction
     * of its range predicates jointly — correlated columns multiply
     * correctly instead of under the independence assumption. */
-  private def spnSelectivity(p: LogicalPlan): Double = {
-    if (SpnCatalog.keys.isEmpty) return 1.0
-    // resolve the scanned table's name structurally: file-backed scans
-    // carry their root path (…/lineitem.parquet → "lineitem"); only
-    // fall back to the plan string for non-file relations
+  /** The learned SPN (if any) for the table a relation subtree scans.
+    * Resolves the table name structurally: file-backed scans carry
+    * their root path (…/lineitem.parquet → "lineitem"); only falls
+    * back to the plan string for non-file relations. */
+  private def spnForPlan(p: LogicalPlan): Option[Spn] = {
+    if (SpnCatalog.keys.isEmpty) return None
     val leafNames: Seq[String] = p.collectLeaves().flatMap {
       case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
         lr.relation match {
@@ -1219,13 +1251,17 @@ object JoinReorderRule extends Rule[LogicalPlan] with PredicateHelper {
         }
       case other => Seq(other.toString.toLowerCase)
     }
-    val spn = SpnCatalog.keys
+    SpnCatalog.keys
       .find { k =>
         val table = k.split('.').last
         leafNames.exists(n => n == table || n.contains(table))
       }
       .flatMap(SpnCatalog.get)
-    spn match {
+  }
+
+  private def spnSelectivity(p: LogicalPlan): Double = {
+    if (SpnCatalog.keys.isEmpty) return 1.0
+    spnForPlan(p) match {
       case None => 1.0
       case Some(model) =>
         import org.apache.spark.sql.catalyst.expressions._
@@ -1259,6 +1295,45 @@ object JoinReorderRule extends Rule[LogicalPlan] with PredicateHelper {
     }
   }
 
+  /** Per-edge max frequencies from learned SPNs — the reference's
+    * `SpnEstimator::max_frequency` (src/catalog/CardinalityEstimator
+    * .cpp:563-571): rows / estimated distinct count of the join
+    * attribute on that endpoint's base relation. A join attribute the
+    * SPN does not cover is treated as a primary key (mf = 1, ref
+    * find_spn_id :559); an edge where NEITHER side has a trained SPN
+    * gets no entry and stays on the independence fold. */
+  private def edgeMfFor(rels: Vector[Rel],
+      edges: Seq[(Int, Int, Expression)]): Map[(Int, Int), (Double, Double)] = {
+    if (SpnCatalog.keys.isEmpty) return Map.empty
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo}
+    edges.flatMap { case (i, j, e) =>
+      e match {
+        case EqualTo(a: AttributeReference, b: AttributeReference) =>
+          val (ri, rj) = (rels(i), rels(j))
+          // owners() guaranteed {i, j}; orient the attrs to their rels
+          val (ai, aj) =
+            if (ri.plan.outputSet.contains(a)) (a, b) else (b, a)
+          def mf(r: Rel, attr: AttributeReference): Option[Double] =
+            spnForPlan(r.plan).map { spn =>
+              // dialect scans alias-prefix columns ("l.l_quantity");
+              // the SPN is keyed by bare table column names
+              spn.estimateDistinct(attr.name)
+                .orElse(spn.estimateDistinct(attr.name.split('.').last))
+                match {
+                  case Some(d) => math.max(1.0, r.card / d)
+                  case None => 1.0 // uncovered attribute → primary key
+                }
+            }
+          (mf(ri, ai), mf(rj, aj)) match {
+            case (None, None) => None
+            case (mi, mj) =>
+              Some((i, j) -> (mi.getOrElse(1.0), mj.getOrElse(1.0)))
+          }
+        case _ => None
+      }
+    }.toMap
+  }
+
   /** Marks join nodes this rule has already ordered — without it,
     * transformDown would re-match the rebuilt join inside the new
     * Project and recurse forever (tags survive tree copies, so the
@@ -1275,7 +1350,8 @@ object JoinReorderRule extends Rule[LogicalPlan] with PredicateHelper {
           Rel(p, leafCard(p), i)
         }.toVector
         val (edges, residual) = splitConds(rels, conds)
-        val graph = JoinGraph(rels, edges, residual)
+        val graph = JoinGraph(rels, edges, residual,
+          edgeMf = edgeMfFor(rels, edges))
         val tree = enumerate(graph, costModel)
         val rebuilt = build(tree, conds)
         rebuilt.foreach {

@@ -21,7 +21,11 @@ import org.apache.spark.sql.{DataFrame, functions => F}
   * rows × numeric columns), matching the reference's design where SPNs
   * are learned once per table by the `learn_spns` instruction — never
   * a full-corpus pass at query time. */
-final class Spn private (root: Spn.Node, val colNames: Vector[String]) {
+final class Spn private (root: Spn.Node, val colNames: Vector[String],
+    sampleRows: Int, scaleUp: Double) {
+
+  private def this(root: Spn.Node, colNames: Vector[String]) =
+    this(root, colNames, 0, 1.0)
 
   /** Selectivity of `AND`-ed per-column ranges, keyed by column name:
     * (lo, hi) inclusive bounds (use ±∞ for one-sided). */
@@ -32,15 +36,44 @@ final class Spn private (root: Spn.Node, val colNames: Vector[String]) {
     }
     if (byIdx.isEmpty) 1.0 else Spn.eval(root, byIdx)
   }
+
+  /** Estimated distinct-value count of one column, the ingredient of
+    * the reference's SPN join estimate (`Spn::
+    * estimate_number_distinct_values`, ref src/util/Spn.cpp:946 — Sum
+    * nodes sum their children's counts (:138), Product nodes route to
+    * the group owning the attribute (:199), leaves count observed
+    * values). `None` when the column is not covered by the model — the
+    * reference treats an uncovered join attribute as a primary key
+    * (CardinalityEstimator.cpp:559, max-frequency 1), and callers here
+    * do the same.
+    *
+    * Sample → table scale-up: when the model was trained on a sample,
+    * a near-unique column (mean per-value frequency < 2 in the sample)
+    * is assumed unique-ish in the table and its count scales with the
+    * sample fraction; a low-cardinality column's count is carried over
+    * unscaled (10 distinct flags in a 10k sample are still ~10 in the
+    * full table). */
+  def estimateDistinct(col: String): Option[Double] = {
+    val i = colNames.indexWhere(_.equalsIgnoreCase(col))
+    if (i < 0) None
+    else {
+      val d = math.max(1.0, Spn.distinctOf(root, i))
+      val freq = if (d > 0) sampleRows / d else Double.PositiveInfinity
+      Some(if (scaleUp > 1.0 && freq < 2.0) d * scaleUp else d)
+    }
+  }
 }
 
 object Spn {
   sealed trait Node
   final case class SumNode(children: Vector[Node], weights: Vector[Double]) extends Node
   final case class ProductNode(children: Vector[Node]) extends Node
-  /** Equi-width histogram over one column (by global column index). */
+  /** Equi-width histogram over one column (by global column index).
+    * `distinct` is the observed distinct-value count of the leaf's
+    * rows, serving `estimate_number_distinct_values` (ref
+    * Spn.cpp:349,547). */
   final case class LeafNode(col: Int, lo: Double, hi: Double,
-      bins: Vector[Double]) extends Node // bins sum to 1
+      bins: Vector[Double], distinct: Double) extends Node // bins sum to 1
 
   private val MinRowsToSplit = 64
   private val CorrThreshold = 0.3
@@ -50,7 +83,7 @@ object Spn {
     case SumNode(cs, ws) =>
       cs.zip(ws).map { case (c, w) => w * eval(c, ranges) }.sum
     case ProductNode(cs) => cs.map(eval(_, ranges)).product
-    case LeafNode(col, lo, hi, bins) =>
+    case LeafNode(col, lo, hi, bins, _) =>
       ranges.get(col) match {
         case None => 1.0
         case Some((qlo, qhi)) =>
@@ -68,8 +101,28 @@ object Spn {
       }
   }
 
-  /** Learn an SPN from a numeric matrix (rows × cols). */
-  def learn(data: Array[Array[Double]], colNames: Vector[String]): Spn = {
+  /** Distinct-count walk (ref Spn.cpp:946): Sum sums children (:138 —
+    * clusters partition the rows, so per-cluster counts add, at worst
+    * double-counting values spanning clusters like the reference),
+    * Product routes to the child group owning the column (:199). */
+  private[optimizer] def distinctOf(n: Node, col: Int): Double = n match {
+    case SumNode(cs, _) => cs.map(distinctOf(_, col)).sum
+    case ProductNode(cs) =>
+      cs.find(covers(_, col)).map(distinctOf(_, col)).getOrElse(1.0)
+    case LeafNode(c, _, _, _, d) => if (c == col) d else 1.0
+  }
+
+  private def covers(n: Node, col: Int): Boolean = n match {
+    case SumNode(cs, _) => cs.exists(covers(_, col))
+    case ProductNode(cs) => cs.exists(covers(_, col))
+    case LeafNode(c, _, _, _, _) => c == col
+  }
+
+  /** Learn an SPN from a numeric matrix (rows × cols). `tableRows` is
+    * the full table's row count when `data` is a sample of it — used to
+    * scale distinct-count estimates (see [[Spn.estimateDistinct]]). */
+  def learn(data: Array[Array[Double]], colNames: Vector[String],
+      tableRows: Long = 0L): Spn = {
     def leafFor(rows: Array[Array[Double]], col: Int): LeafNode = {
       val vs = rows.map(_(col))
       val lo = vs.min; val hi = vs.max
@@ -79,7 +132,8 @@ object Spn {
         val b = math.min(NumBins - 1, ((v - lo) / (hi - lo) * NumBins).toInt)
         bins(b) += 1.0
       }
-      LeafNode(col, lo, hi, bins.map(_ / vs.length).toVector)
+      LeafNode(col, lo, hi, bins.map(_ / vs.length).toVector,
+        vs.distinct.length.toDouble)
     }
 
     def corr(rows: Array[Array[Double]], a: Int, b: Int): Double = {
@@ -166,7 +220,8 @@ object Spn {
         ProductNode(cols.map(c => leafFor(rows, c)))
     }
 
-    new Spn(build(data, colNames.indices.toVector), colNames)
+    new Spn(build(data, colNames.indices.toVector), colNames,
+      data.length, if (tableRows > data.length) tableRows.toDouble / data.length else 1.0)
   }
 
   /** Learn from a DataFrame's numeric/date columns on a bounded
@@ -190,7 +245,7 @@ object Spn {
     val data = sampled.na.drop().collect()
       .map(r => Array.tabulate(numCols.length)(i =>
         if (r.isNullAt(i)) 0.0 else r.getDouble(i)))
-    learn(data, numCols)
+    learn(data, numCols, tableRows = n)
   }
 }
 

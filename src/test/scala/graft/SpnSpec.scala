@@ -64,6 +64,79 @@ class SpnSpec extends AnyFunSuite {
     SpnCatalog.clear()
   }
 
+  test("SPN distinct-count estimates track the data") {
+    val rnd = new scala.util.Random(41)
+    // 2000 rows: `key` has exactly 10 distinct values (skew), `id`
+    // is unique, `noise` decorrelates the matrix
+    val data = Array.tabulate(2000) { i =>
+      Array(i.toDouble, (rnd.nextInt(10) * 7).toDouble, rnd.nextDouble() * 100)
+    }
+    val spn = Spn.learn(data, Vector("id", "key", "noise"))
+    val dKey = spn.estimateDistinct("key").get
+    val dId = spn.estimateDistinct("id").get
+    // Sum nodes may double-count values spanning row clusters (the
+    // reference's estimator has the same bias, Spn.cpp:138) — assert
+    // the right order of magnitude, which is what the join formula
+    // needs: mf(key) ≈ 200, mf(id) ≈ 1
+    assert(dKey >= 10 && dKey <= 60, s"distinct(key)=$dKey, truth 10")
+    assert(dId >= 1000, s"distinct(id)=$dId, truth 2000")
+    assert(spn.estimateDistinct("nope").isEmpty)
+  }
+
+  test("SPN join estimate beats independence on a skewed n:m join") {
+    val rnd = new scala.util.Random(43)
+    // fact-to-fact join on a low-cardinality key: 10 shared key
+    // values on both sides → true cardinality ≈ |A|·|B|/10, which the
+    // independence fold min(|A|,|B|) underestimates by ~10×
+    val a = Array.tabulate(900)(i => Array(i.toDouble, rnd.nextInt(10).toDouble))
+    val b = Array.tabulate(1000)(i => Array(i.toDouble, rnd.nextInt(10).toDouble))
+    val spnA = Spn.learn(a, Vector("a_id", "k"))
+    val spnB = Spn.learn(b, Vector("b_id", "k"))
+    val trueCard = (for (x <- a; y <- b if x(1) == y(1)) yield 1).length.toDouble
+    val indep = math.min(a.length, b.length).toDouble
+    // the formula joinedCard applies through JoinGraph.edgeMf:
+    val mfA = a.length / spnA.estimateDistinct("k").get
+    val mfB = b.length / spnB.estimateDistinct("k").get
+    val spnEst = math.min(a.length / mfA, b.length / mfB) * mfA * mfB
+    assert(math.abs(spnEst - trueCard) < math.abs(indep - trueCard),
+      s"SPN est $spnEst vs independence $indep, truth $trueCard")
+    assert(spnEst > 3 * indep, s"SPN est $spnEst should expose the blow-up")
+  }
+
+  test("SPN join estimates steer the enumerator to the better order") {
+    import graft.optimizer.JoinReorder._
+    import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+    // Three relations, chain A–B–C. A⋈B is an n:m join on a
+    // 10-distinct-value key shared by both sides: true card ≈
+    // 80·100/10 = 800, but the independence fold prices it
+    // min(80,100) = 80 — STRICTLY cheaper than B⋈C's min(100,150) =
+    // 100, so the blind plan joins the exploding pair first. The
+    // max-frequency estimate min(80/8, 100/10)·8·10 = 800 exposes the
+    // blow-up and the informed plan starts with the flat PK-FK join
+    // B⋈C instead (informed C_out 100+800=900 vs 800+150=950).
+    val rels = Vector(
+      Rel(null, 80.0, 0),   // A: fact, key k has 10 distinct values
+      Rel(null, 100.0, 1),  // B: fact, same k, 10 distinct; fk → C PK
+      Rel(null, 150.0, 2))  // C: dim, PK
+    val e: Expression = Literal(true) // edge payload unused here
+    val edges = Seq((0, 1, e), (1, 2, e))
+    val mf = Map((0, 1) -> (8.0, 10.0), (1, 2) -> (1.0, 1.0))
+
+    def firstJoin(t: JoinTree): Set[Int] = t match {
+      case Node(l: Leaf, r: Leaf, _) => Set(l.r.idx, r.r.idx)
+      case Node(n: Node, _, _) => firstJoin(n)
+      case Node(_, n: Node, _) => firstJoin(n)
+      case Leaf(r) => Set(r.idx)
+    }
+
+    val blind = DPsize.enumerate(JoinGraph(rels, edges, Nil))
+    val informed = DPsize.enumerate(JoinGraph(rels, edges, Nil, edgeMf = mf))
+    assert(firstJoin(blind) == Set(0, 1),
+      s"independence should (wrongly) join A⋈B first, got ${firstJoin(blind)}")
+    assert(firstJoin(informed) == Set(1, 2),
+      s"informed plan should join B⋈C first, got ${firstJoin(informed)}")
+  }
+
   test("unknown instructions are rejected like the reference") {
     val session = new EngineSession(spark)
     intercept[graft.analyzer.SemaError] {
