@@ -11,7 +11,7 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
-run / connectInput := true // graft.exec.Shell reads SQL from stdin
+run / connectInput := true // graft.exec.Shell (in exec/ResultPrinter.scala) reads SQL from stdin
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -287,6 +287,52 @@ final class EngineSession(val spark: SparkSession,
       CommandOk("trained cost models (scan, join); join ordering now " +
         "uses the trained cost function")
 
+    // component selection — the dialect-level equivalent of the
+    // reference's catalog options `--plan-enumerator` /
+    // `--cardinality-estimator` (ref Catalog.cpp:100-125) and the
+    // shell's `--list-plan-enumerators` / `--list-cardinality-
+    // estimators` (ref shell.cpp:338-351). Session-scoped: the choice
+    // lands in this SparkSession's conf, read by JoinReorderRule per
+    // plan. Extra args after the HeuristicSearch name select space,
+    // heuristic, and search method (ref --hs-* options).
+    case InstructionStmt(name, args) if name.equalsIgnoreCase("plan_enumerator") =>
+      import graft.optimizer.{JoinReorder, JoinReorderRule}
+      val chosen = args.headOption.getOrElse(
+        throw new SemaError("\\plan_enumerator needs an enumerator name"))
+      try {
+        if (!chosen.equalsIgnoreCase("auto")) {
+          val space = args.lift(1).getOrElse("bottomup")
+          val heuristic = args.lift(2).getOrElse("goo")
+          val search = args.lift(3).getOrElse("AStar")
+          JoinReorder.resolve(chosen, space, heuristic, search) // validate
+          spark.conf.set(JoinReorderRule.HsSpaceConf, space)
+          spark.conf.set(JoinReorderRule.HsHeuristicConf, heuristic)
+          spark.conf.set(JoinReorderRule.HsSearchConf, search)
+        }
+        spark.conf.set(JoinReorderRule.EnumeratorConf, chosen)
+        CommandOk(s"plan enumerator set to $chosen")
+      } catch {
+        case e: IllegalArgumentException => throw new SemaError(e.getMessage)
+      }
+
+    case InstructionStmt(name, args) if name.equalsIgnoreCase("cardinality_estimator") =>
+      import graft.optimizer.JoinReorderRule
+      val chosen = args.headOption.getOrElse(
+        throw new SemaError("\\cardinality_estimator needs an estimator name"))
+      if (!Set("spn", "cartesianproduct", "injected").contains(chosen.toLowerCase))
+        throw new SemaError(
+          s"there is no cardinality estimator with the name \"$chosen\"")
+      spark.conf.set(JoinReorderRule.EstimatorConf, chosen)
+      CommandOk(s"cardinality estimator set to $chosen")
+
+    case InstructionStmt(name, _) if name.equalsIgnoreCase("list_plan_enumerators") =>
+      CommandOk(("auto" +: "HeuristicSearch" +:
+        graft.optimizer.JoinReorder.enumerators.values.map(_.name).toSeq.sorted)
+        .mkString("plan enumerators: ", ", ", ""))
+
+    case InstructionStmt(name, _) if name.equalsIgnoreCase("list_cardinality_estimators") =>
+      CommandOk("cardinality estimators: Spn, CartesianProduct, Injected")
+
     case InstructionStmt(name, _) =>
       throw new SemaError(s"instruction '\\$name' is not registered")
 
@@ -374,12 +420,15 @@ final class EngineSession(val spark: SparkSession,
         where <- s.where
         entry <- idx.values.find { d =>
           d.table == tLc &&
-            // integer keys only — the literal comparison below is Long
+            // ordered key types the index maps to Long: integers
+            // (as-is) and DATE (epoch day, Indexes.keyToLong)
             t.fields.exists(f => f._1.equalsIgnoreCase(d.keyCol) &&
-              f._2.isInstanceOf[MInt])
+              (f._2.isInstanceOf[MInt] || f._2 == MDate))
         }
         bounds = {
           val aliasLc = alias.getOrElse(tname).toLowerCase
+          val keyIsDate = t.fields.exists(f =>
+            f._1.equalsIgnoreCase(entry.keyCol) && f._2 == MDate)
           def conjuncts(e: Expr): Seq[Expr] = e match {
             case Binary("AND", l, r) => conjuncts(l) ++ conjuncts(r)
             case x => Seq(x)
@@ -391,20 +440,37 @@ final class EngineSession(val spark: SparkSession,
             case ">=" => "<="
             case other => other
           }
-          def bound(e: Expr): Option[(Long, Long)] = e match {
-            case Binary(op, Id(q, n), IntLit(v))
-                if n.equalsIgnoreCase(entry.keyCol) &&
-                  q.forall(_.toLowerCase == aliasLc) &&
-                  v != Long.MinValue && v != Long.MaxValue =>
-              op match {
-                case "=" => Some((v, v))
-                case "<" => Some((Long.MinValue, v - 1))
-                case "<=" => Some((Long.MinValue, v))
-                case ">" => Some((v + 1, Long.MaxValue))
-                case ">=" => Some((v, Long.MaxValue))
+          // literal of the key's own type, as the index's Long key
+          // space (strict comparability already rejects e.g. date
+          // keys compared to ints at sema, so no cross-type cases)
+          def litKey(e: Expr): Option[Long] = e match {
+            case IntLit(v) if !keyIsDate => Some(v)
+            case DateLit(iso) if keyIsDate =>
+              val p = iso.trim
+              val (sign, rest) = if (p.startsWith("-")) (-1, p.drop(1)) else (1, p)
+              rest.split("-").map(_.toInt) match {
+                case Array(y, m, d) =>
+                  Some(java.time.LocalDate.of(sign * y, m, d).toEpochDay)
                 case _ => None
               }
-            case Binary(op, lit: IntLit, id: Id) =>
+            case _ => None
+          }
+          def bound(e: Expr): Option[(Long, Long)] = e match {
+            case Binary(op, Id(q, n), rhs)
+                if n.equalsIgnoreCase(entry.keyCol) &&
+                  q.forall(_.toLowerCase == aliasLc) =>
+              litKey(rhs).filter(v =>
+                v != Long.MinValue && v != Long.MaxValue).flatMap { v =>
+                op match {
+                  case "=" => Some((v, v))
+                  case "<" => Some((Long.MinValue, v - 1))
+                  case "<=" => Some((Long.MinValue, v))
+                  case ">" => Some((v + 1, Long.MaxValue))
+                  case ">=" => Some((v, Long.MaxValue))
+                  case _ => None
+                }
+              }
+            case Binary(op, lit @ (_: IntLit | _: DateLit), id: Id) =>
               bound(Binary(flip(op), id, lit))
             case _ => None
           }

@@ -51,11 +51,37 @@ object IndexOps {
     SELECT l_orderkey, l_partkey, l_quantity, l_extendedprice
     FROM lineitem WHERE l_orderkey = $PointKey"""
 
+  // A one-month window that exists at every SF (orderdates span 1995-2001).
+  private val DateLo = java.time.LocalDate.of(1996, 3, 1)
+  private val DateHi = java.time.LocalDate.of(1996, 3, 31)
+
+  /** ArrayIndex range scan on a temporal key (orders.o_orderdate,
+    * stored as a midnight-aligned timestamp in the testdata) — keys
+    * map to epoch millis (true DATE columns map to epoch days; see
+    * Indexes.keyToLong), fence pruning and local bounds unchanged.
+    * The upper bound is DateHi midnight inclusive, matching SQL's
+    * date→timestamp coercion in BETWEEN. */
+  def dateRange(sp: SparkSession, dir: String): DataFrame = {
+    val idx = Indexes.build(Engine.table(sp, dir, "orders"), "o_orderdate",
+      Indexes.ArrayMethod)
+    def ms(d: java.time.LocalDate): Long =
+      d.atStartOfDay.toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+    idx.rangeScan(ms(DateLo), ms(DateHi))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("o_orderdate"))
+  }
+
+  val dateRangeOracle: String = s"""
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+    FROM orders WHERE o_orderdate BETWEEN DATE '$DateLo' AND DATE '$DateHi'"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "index_range_scan" -> (rangeScan _),
-    "index_point_lookup" -> (pointLookup _))
+    "index_point_lookup" -> (pointLookup _),
+    "index_date_range" -> (dateRange _))
 
   val oracles: Map[String, String] = Map(
     "index_range_scan" -> rangeScanOracle,
-    "index_point_lookup" -> pointLookupOracle)
+    "index_point_lookup" -> pointLookupOracle,
+    "index_date_range" -> dateRangeOracle)
 }

@@ -46,7 +46,10 @@ object JoinReorder {
   final case class JoinGraph(rels: Vector[Rel],
       edges: Seq[(Int, Int, Expression)], residual: Seq[Expression],
       inject: Map[Set[Int], Double] = Map.empty,
-      edgeMf: Map[(Int, Int), (Double, Double)] = Map.empty)
+      edgeMf: Map[(Int, Int), (Double, Double)] = Map.empty,
+      // ref CartesianProductEstimator (CardinalityEstimator.cpp:802):
+      // every join priced as |L|·|R|, selectivities ignored
+      cartesian: Boolean = false)
 
   object JoinGraph {
     val DpLimit = 12
@@ -79,7 +82,8 @@ object JoinReorder {
     }
 
   private def joinedCard(g: JoinGraph, l: JoinTree, r: JoinTree): Double =
-    g.inject.get(l.set ++ r.set) match {
+    if (g.cartesian) l.card * r.card
+    else g.inject.get(l.set ++ r.set) match {
       case Some(c) => c // injected subproblem cardinality wins
       case None =>
         if (!connected(g, l.set, r.set))
@@ -1177,6 +1181,58 @@ object JoinReorder {
       new TrainedCost.CostBasedDP(cost).enumerate(g)
     else if (g.rels.length <= JoinGraph.DpLimit) DPsize.enumerate(g)
     else GOO.enumerate(g)
+
+  /** Registry of selectable enumerators under their reference names
+    * (ref PlanEnumerator.cpp:725-754 LIST_PE). Keys lowercase. */
+  val enumerators: Map[String, PlanEnumerator] = Seq(
+    PEall, DPsize, DPsizeOpt, DPsizeSub, DPsub, DPsubOpt, DPccp,
+    GOO, TDGOO, IKKBZ, LinearizedDP, TDbasic, TDMinCutAGaT)
+    .map(e => e.name.toLowerCase -> e).toMap
+
+  /** The reference's pre-configured search strategies
+    * (HeuristicSearchPlanEnumerator.hpp:2158-2169) as parameter
+    * bundles for [[HeuristicSearchEnumerator]]:
+    * (weighted, lazy, cbp, beamWidth, anytime). */
+  val searchStrategies: Map[String, (Boolean, Boolean, Boolean, Double, Boolean)] = Map(
+    "astar" -> ((false, false, false, 0.0, false)),
+    "lazyastar" -> ((false, true, false, 0.0, false)),
+    "beam_search" -> ((false, false, false, 2.0, false)),
+    "dynamic_beam_search" -> ((false, false, false, 0.2, false)),
+    "astar_with_cbp" -> ((false, false, true, 0.0, false)),
+    "beam_search_with_cbp" -> ((false, false, true, 2.0, false)),
+    "anytimeastar" -> ((false, false, false, 0.0, true)),
+    "anytimeastar_with_cbp" -> ((false, false, true, 0.0, true)),
+    "weighted_astar" -> ((true, false, false, 0.0, false)),
+    "weighted_astar_with_cbp" -> ((true, false, true, 0.0, false)),
+    "weighted_anytimeastar" -> ((true, false, false, 0.0, true)),
+    "weighted_anytimeastar_with_cbp" -> ((true, false, true, 0.0, true)))
+
+  /** Resolve an enumerator by its registered name — the engine-side
+    * counterpart of the reference's `--plan-enumerator` catalog option
+    * (ref Catalog.cpp:114). "HeuristicSearch" composes from the hs
+    * options, mirroring `--hs-heuristic/--hs-search/--hs-wf/--hs-budget`
+    * (ref HeuristicSearchPlanEnumerator.cpp:600-648). */
+  def resolve(name: String,
+      hsSpace: String = "bottomup", hsHeuristic: String = "goo",
+      hsSearch: String = "AStar", hsWeight: Double = 2.0,
+      hsBudget: Long = Long.MaxValue): PlanEnumerator =
+    if (name.equalsIgnoreCase("HeuristicSearch")) {
+      val (weighted, lzy, cbp, beam, anytime) =
+        searchStrategies.getOrElse(hsSearch.toLowerCase,
+          throw new IllegalArgumentException(
+            s"there is no search method with the name \"$hsSearch\""))
+      new HeuristicSearchEnumerator(
+        heuristic = hsHeuristic,
+        weight = if (weighted) hsWeight else 1.0,
+        space = hsSpace,
+        beamWidth = beam,
+        lazyH = lzy,
+        costBasedPruning = cbp,
+        expansionBudget = if (anytime && hsBudget == Long.MaxValue) 64L
+          else hsBudget)
+    } else enumerators.getOrElse(name.toLowerCase,
+      throw new IllegalArgumentException(
+        s"there is no plan enumerator with the name \"$name\""))
 }
 
 /** The Catalyst rule: flatten inner-join trees, reorder via the
@@ -1189,6 +1245,26 @@ object JoinReorder {
   * table name appearing in the leaf's scan. */
 object JoinReorderRule extends Rule[LogicalPlan] with PredicateHelper {
   import JoinReorder._
+
+  /** Session confs selecting optimizer components — the engine-side
+    * counterpart of the reference's catalog options `--plan-enumerator`
+    * and `--cardinality-estimator` (ref Catalog.cpp:100-125) plus the
+    * HeuristicSearch group (HeuristicSearchPlanEnumerator.cpp:600-648).
+    * Read per plan via SQLConf, so each SparkSession picks its own;
+    * set from the dialect via `\plan_enumerator` /
+    * `\cardinality_estimator` instructions or plain spark.conf. */
+  val EnumeratorConf = "graft.plan.enumerator"         // "auto" | registry name
+  val EstimatorConf = "graft.cardinality.estimator"    // Spn|CartesianProduct|Injected
+  val HsSpaceConf = "graft.hs.space"                   // bottomup|topdown
+  val HsHeuristicConf = "graft.hs.heuristic"           // zero|sum|scaled_sum|product|lookahead|avg_sel|goo
+  val HsSearchConf = "graft.hs.search"                 // AStar|beam_search|…
+  val HsWeightConf = "graft.hs.weight"                 // --hs-wf
+  val HsBudgetConf = "graft.hs.budget"                 // --hs-budget
+
+  private def conf(key: String, default: String): String = {
+    val c = org.apache.spark.sql.internal.SQLConf.get
+    c.getConfString(key, default)
+  }
 
   /** name → cardinality overrides (test/experiment injection). Only
     * consulted when non-empty, i.e. never in production sessions. */
@@ -1209,7 +1285,7 @@ object JoinReorderRule extends Rule[LogicalPlan] with PredicateHelper {
     * InMemoryRelation); otherwise derive rows ≈ sizeInBytes / row
     * width from the output schema. Mixing bytes into a row formula
     * would skew ordering toward wide-but-short relations. */
-  private def leafCard(p: LogicalPlan): Double = {
+  private def leafCard(p: LogicalPlan, useSpn: Boolean = true): Double = {
     val injected = if (injectedCards.isEmpty) None
       else injectedCards.collectFirst {
         case (name, card) if p.collectLeaves().exists(
@@ -1224,7 +1300,7 @@ object JoinReorderRule extends Rule[LogicalPlan] with PredicateHelper {
             p.output.map(_.dataType.defaultSize).sum).toDouble
           (stats.sizeInBytes.toDouble / rowWidth).max(1.0)
       }
-      base * spnSelectivity(p)
+      if (useSpn) base * spnSelectivity(p) else base
     }
   }
 
@@ -1346,13 +1422,29 @@ object JoinReorderRule extends Rule[LogicalPlan] with PredicateHelper {
       val (leaves, conds) = flatten(j)
       if (leaves.length < 3) j
       else {
+        val est = conf(EstimatorConf, "Spn").toLowerCase match {
+          case e @ ("spn" | "cartesianproduct" | "injected") => e
+          case other => throw new IllegalArgumentException(
+            s"there is no cardinality estimator with the name \"$other\"")
+        }
+        val useSpn = est == "spn"
         val rels = leaves.zipWithIndex.map { case (p, i) =>
-          Rel(p, leafCard(p), i)
+          Rel(p, leafCard(p, useSpn), i)
         }.toVector
         val (edges, residual) = splitConds(rels, conds)
         val graph = JoinGraph(rels, edges, residual,
-          edgeMf = edgeMfFor(rels, edges))
-        val tree = enumerate(graph, costModel)
+          edgeMf = if (useSpn) edgeMfFor(rels, edges) else Map.empty,
+          cartesian = est == "cartesianproduct")
+        val enumName = conf(EnumeratorConf, "auto")
+        val tree =
+          if (enumName.equalsIgnoreCase("auto")) enumerate(graph, costModel)
+          else resolve(enumName,
+            hsSpace = conf(HsSpaceConf, "bottomup"),
+            hsHeuristic = conf(HsHeuristicConf, "goo"),
+            hsSearch = conf(HsSearchConf, "AStar"),
+            hsWeight = conf(HsWeightConf, "2.0").toDouble,
+            hsBudget = conf(HsBudgetConf, Long.MaxValue.toString).toLong
+          ).enumerate(graph)
         val rebuilt = build(tree, conds)
         rebuilt.foreach {
           case jn: Join => jn.setTagValue(reorderedTag, true)

@@ -248,9 +248,26 @@ object Indexes {
     def unpersist(): Unit = { leafRdd.unpersist(); () }
   }
 
+  /** Key-to-Long mapping shared by build and lookup sides: integers
+    * widen, DATE maps to proleptic epoch day (the same 32-bit ordinal
+    * the reference stores dates as, ref Type.hpp:334), timestamps to
+    * epoch milliseconds — each order-preserving within its type, which
+    * is all the index needs (one index has one key type). */
+  def keyToLong(v: Any): Long = v match {
+    case n: Number => n.longValue()
+    case d: java.time.LocalDate => d.toEpochDay
+    case d: java.sql.Date => d.toLocalDate.toEpochDay
+    case t: java.time.Instant => t.toEpochMilli
+    case t: java.time.LocalDateTime =>
+      t.toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+    case t: java.sql.Timestamp => t.getTime
+    case other =>
+      throw new IllegalArgumentException(s"unindexable key type: ${other.getClass}")
+  }
+
   /** Bulkload (ref ArrayIndex::bulkload): one range exchange + local
-    * sort, then each partition materializes its sorted leaf. The
-    * integer-valued key column is cast to long on extraction. */
+    * sort, then each partition materializes its sorted leaf. Integer
+    * and DATE keys are mapped to longs on extraction (keyToLong). */
   def build(df: DataFrame, keyCol: String, method: IndexMethod = ArrayMethod,
       numPartitions: Int = 0): DistributedIndex = {
     val spark = df.sparkSession
@@ -267,7 +284,7 @@ object Indexes {
       val rows = it.filter(_.get(keyIdx) != null).toArray
       if (rows.isEmpty) Iterator.empty
       else {
-        val keys = rows.map(r => r.get(keyIdx).asInstanceOf[Number].longValue())
+        val keys = rows.map(r => keyToLong(r.get(keyIdx)))
         val models = if (wantModels) trainRmi(keys) else null
         Iterator.single(new IndexPartition(keys, rows, models))
       }

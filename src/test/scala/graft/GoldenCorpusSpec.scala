@@ -240,17 +240,29 @@ class GoldenCorpusSpec extends AnyFunSuite {
         }
         val stopAfterLex = spec.stages.get("lexer").exists(_.expectsError)
 
-        // ---- parser stage (full golden AST pretty-print compare)
+        // ---- parser stage (full golden AST pretty-print compare).
+        // Parser-stage error counts, symmetric with the sema stage:
+        // across the whole corpus the parser goldens carry num_err: 0
+        // (positive cases) or num_err: NULL + returncode: 1 (error
+        // cases) — no spec pins a nonzero parser error count, so the
+        // count assert below is exact for positives and the error
+        // cases are pinned by expectsError alone.
         if (!stopAfterLex) spec.stages.get("parser").foreach { st =>
           val r = try { Some(graft.parser.AstPrinter.script(spec.query)) }
             catch {
               case _: ParseError => None
               case _: LexError => None
             }
-          if (st.expectsError)
+          if (st.expectsError) {
             soft(r.isEmpty, s"parser: expected an error, parsed fine")
-          else {
+            // fail-fast parse: one diagnostic; corpus goldens carry
+            // num_err: NULL here, so a numeric value must be 1
+            st.numErr.foreach(n => soft(n == 1,
+              s"parser: golden expects $n errors, fail-fast parse reports 1"))
+          } else {
             soft(r.isDefined, s"parser: unexpected error")
+            st.numErr.foreach(n => soft(n == 0,
+              s"parser: golden expects $n errors, parsed with 0"))
             st.out.foreach { golden =>
               val expected = golden.linesIterator.toSeq
               val actual = r.get.linesIterator.toSeq

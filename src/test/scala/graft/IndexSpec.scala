@@ -105,6 +105,41 @@ class IndexSpec extends AnyFunSuite {
       .map(_.head).toSet == Set(5, 7, 9))
   }
 
+  test("temporal-key index: epoch-milli mapping matches a filter scan") {
+    val idx = Indexes.build(orders, "o_orderdate", ArrayMethod, 8)
+    try {
+      val (lo, hi) = (java.time.LocalDate.of(1996, 3, 1),
+        java.time.LocalDate.of(1996, 6, 30))
+      def ms(d: java.time.LocalDate): Long =
+        d.atStartOfDay.toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+      val got = idx.rangeScan(ms(lo), ms(hi))
+        .select("o_orderkey").collect().map(_.getLong(0)).sorted
+      val want = orders
+        .filter(s"o_orderdate BETWEEN TIMESTAMP '$lo 00:00:00' AND TIMESTAMP '$hi 00:00:00'")
+        .select("o_orderkey").collect().map(_.getLong(0)).sorted
+      assert(got.nonEmpty && got.toSeq == want.toSeq)
+    } finally idx.unpersist()
+  }
+
+  test("dialect routes DATE-key and BETWEEN-shaped predicates") {
+    val s = new EngineSession(spark)
+    s.execute("""CREATE DATABASE ixd; USE ixd;
+      CREATE TABLE ev (d DATE, v INT(4));
+      INSERT INTO ev VALUES (d'2024-01-05', 1), (d'2024-02-10', 2),
+        (d'2024-03-15', 3), (d'2024-07-01', 4), (d'-0100-06-01', 5);
+      CREATE INDEX evd ON ev USING array (d);""")
+    def vs(sql: String): Seq[Int] =
+      s.query(sql).collect().toSeq.map(_.getInt(0)).sorted
+    val before = graft.storage.Indexes.rangeScans.get()
+    // BETWEEN-shaped conjunct pair on a DATE key
+    assert(vs("SELECT v FROM ev WHERE d >= d'2024-02-01' AND d <= d'2024-03-31';")
+      == Seq(2, 3))
+    assert(graft.storage.Indexes.rangeScans.get() > before, "date key not routed")
+    // point lookup, flipped literal side, ancient negative year
+    assert(vs("SELECT v FROM ev WHERE d = d'2024-07-01';") == Seq(4))
+    assert(vs("SELECT v FROM ev WHERE d'2024-01-01' > d;") == Seq(5))
+  }
+
   test("index routing leaves multi-table and OR queries alone") {
     val s = new EngineSession(spark)
     s.execute("""CREATE DATABASE ixdb2; USE ixdb2;
