@@ -64,6 +64,47 @@ object ChunkOps {
         unnest(range(0, GREATEST(n_chars, 1), $Stride)) AS i
       FROM documents)"""
 
+  /** Token window / stride for token-based chunking (overlap =
+    * TokChunk - TokStride tokens). */
+  val TokChunk = 64
+  val TokStride = 48
+
+  /** Token-window chunking: cut each document into overlapping
+    * fixed-TOKEN-count windows (context-window packing prep — chunk
+    * boundaries respect token, not byte, positions). Same row-local
+    * explode shape as [[chunkSliding]]: zero shuffle, fan-out
+    * `ceil(n_tokens / stride)`. Tokens are whitespace words (the same
+    * tokenizer as the repetition/token-stats ops). */
+  def chunkTokens(sp: SparkSession, dir: String): DataFrame =
+    Engine.table(sp, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), col("ws"),
+        explode(sequence(lit(1),
+          greatest(size(col("ws")), lit(1)), lit(TokStride))).as("tstart"))
+      .select(
+        col("doc_id"),
+        ((col("tstart") - 1) / TokStride).cast("long").as("chunk_id"),
+        (col("tstart") - 1).cast("long").as("tok_start"),
+        concat_ws(" ", slice(col("ws"), col("tstart"), lit(TokChunk)))
+          .as("chunk_text"),
+        least(size(col("ws")) - col("tstart") + 1, lit(TokChunk))
+          .cast("long").as("n_tokens"))
+
+  /** `range` is stop-exclusive (Spark `sequence` stop-inclusive), so
+    * `range(1, n+1, s)` matches `sequence(1, n, s)`; GREATEST keeps
+    * empty docs at one chunk. list slicing is 1-based inclusive on
+    * both sides. */
+  val chunkTokensOracle: String = s"""
+    SELECT doc_id,
+      CAST((i - 1) // $TokStride AS BIGINT) AS chunk_id,
+      CAST(i - 1 AS BIGINT) AS tok_start,
+      array_to_string(ws[CAST(i AS INT):CAST(i + $TokChunk - 1 AS INT)], ' ')
+        AS chunk_text,
+      CAST(LEAST(len(ws) - i + 1, $TokChunk) AS BIGINT) AS n_tokens
+    FROM (
+      SELECT doc_id, ws, unnest(range(1, GREATEST(len(ws), 1) + 1, $TokStride)) AS i
+      FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents))"""
+
   /** Longest run of equal adjacent elements in a sorted array = the
     * count of the most frequent element. Implemented with the
     * `aggregate` higher-order function over struct state — evaluated
@@ -134,9 +175,11 @@ object ChunkOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "doc_chunk_sliding" -> (chunkSliding _),
+    "doc_chunk_tokens" -> (chunkTokens _),
     "text_repetition_stats" -> (repetitionStats _))
 
   val oracles: Map[String, String] = Map(
     "doc_chunk_sliding" -> chunkSlidingOracle,
+    "doc_chunk_tokens" -> chunkTokensOracle,
     "text_repetition_stats" -> repetitionStatsOracle)
 }

@@ -114,6 +114,61 @@ object DedupOps {
     JOIN sizes sb ON sb.doc_id = doc_b
     WHERE CAST(c AS DOUBLE) / (sa.n_sh + sb.n_sh - c) >= 0.5"""
 
+  /** Containment threshold for [[containment]]. */
+  val ContainmentTau = 0.6
+
+  /** Asymmetric shingle CONTAINMENT C(A→B) = |A∩B| / |A|: flags a
+    * document whose shingle set is mostly inside another's — the
+    * quotation/sub-document duplication Jaccard misses when lengths
+    * differ (|A∩B|/|A∪B| shrinks with the larger doc, |A∩B|/|A| does
+    * not). Directed pairs, both directions emitted. Same inverted-index
+    * shape as [[ngramJaccard]] — shingle-key self-join with the hot-DF
+    * cap, intersection counts, one join to per-doc sizes — so the same
+    * 100 TB posture: no all-pairs product, skew bounded by the cap.
+    * Exact int/int division → oracle-safe. */
+  def containment(sp: SparkSession, dir: String): DataFrame = {
+    val shAll = shingles(sp, dir)
+    val hot = shAll.groupBy(col("shingle"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") > ShingleDfCap)
+      .select(col("shingle"))
+    val sh = shAll.join(hot, Seq("shingle"), "left_anti").cache()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val inter = sh.as("x").join(sh.as("y"),
+        col("x.shingle") === col("y.shingle") &&
+          col("x.doc_id") =!= col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("c"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("n_sh", "na"), "doc_a")
+      .withColumn("containment", col("c").cast("double") / col("na"))
+      .filter(col("containment") >= ContainmentTau)
+      .select(col("doc_a"), col("doc_b"), col("containment"))
+  }
+
+  val containmentOracle: String = s"""
+    WITH words AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    sh0 AS (
+      SELECT DISTINCT doc_id,
+        unnest(list_transform(
+          range(1, GREATEST(len(ws) - 1, 2)),
+          i -> array_to_string(ws[i:i+2], ' '))) AS shingle
+      FROM words),
+    hot AS (
+      SELECT shingle FROM sh0 GROUP BY shingle HAVING COUNT(*) > $ShingleDfCap),
+    sh AS (
+      SELECT * FROM sh0 WHERE shingle NOT IN (SELECT shingle FROM hot)),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS c
+      FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id <> y.doc_id
+      GROUP BY x.doc_id, y.doc_id)
+    SELECT doc_a, doc_b, CAST(c AS DOUBLE) / sa.n_sh AS containment
+    FROM inter JOIN sizes sa ON sa.doc_id = doc_a
+    WHERE CAST(c AS DOUBLE) / sa.n_sh >= $ContainmentTau"""
+
   /** Near-duplicate CLUSTERING: assign every document the minimum
     * doc_id of its near-dup connected component, where edges are the
     * exact n-gram Jaccard pairs (≥ 0.5). Iterative min-label
@@ -338,6 +393,7 @@ object DedupOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> (exact _),
     "dedup_ngram_jaccard" -> (ngramJaccard _),
+    "dedup_containment" -> (containment _),
     "dedup_minhash_lsh" -> (minhashLsh _),
     "dedup_simhash" -> (simhashPairs _),
     "dedup_cluster" -> (cluster _),
@@ -346,6 +402,7 @@ object DedupOps {
   val oracles: Map[String, String] = Map(
     "dedup_exact" -> exactOracle,
     "dedup_ngram_jaccard" -> ngramJaccardOracle,
+    "dedup_containment" -> containmentOracle,
     "dedup_cluster" -> clusterOracle,
     "dedup_cluster_keep_best" -> clusterKeepBestOracle)
 }

@@ -426,9 +426,65 @@ object SimilarityOps {
     FROM embeddings, generate_series(1, $Dim) AS s(i)
     GROUP BY label, s.i"""
 
+  /** Vectors scoring below this cosine against their own label
+    * centroid are flagged as outliers (~bottom 5% on the testdata). */
+  val OutlierTau = 0.0
+
+  /** Embedding outlier scoring: cosine of every vector to its label's
+    * centroid, flagging low-affinity vectors (mislabeled / junk
+    * embeddings — the standard curation filter before training on
+    * labeled embeddings). Centroids use the same exact-decimal sums as
+    * [[centroidPerLabel]]; the centroid table is |labels| rows, so the
+    * scoring join is an AQE broadcast and the whole op is one map-side
+    * aggregation + one map pass — nothing grows with corpus size except
+    * the scan. */
+  def outlierFilter(sp: SparkSession, dir: String): DataFrame = {
+    val emb = Engine.table(sp, dir, "embeddings")
+    val cent = emb
+      .select(col("label"), posexplode(col("embedding")).as(Seq("d", "x")))
+      .groupBy(col("label"), col("d"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x").cast("double").cast("decimal(18,6)")).as("s"))
+      .select(col("label"), col("d"),
+        round(col("s").cast("double") / col("n"), 6).as("c"))
+      .groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("d"), col("c")))),
+        s => s.getField("c")).as("cv"))
+    val v = emb.select(col("vec_id"), col("label"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+    def dot(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    v.join(cent, "label")
+      .select(col("vec_id"), col("label"),
+        round(dot(col("v"), col("cv")) /
+          (sqrt(dot(col("v"), col("v"))) * sqrt(dot(col("cv"), col("cv")))), 6)
+          .as("cos_centroid"))
+      .withColumn("is_outlier", col("cos_centroid") < OutlierTau)
+  }
+
+  val outlierFilterOracle: String = s"""
+    WITH cent AS (
+      SELECT label, s.i AS d,
+        round(CAST(SUM(CAST(CAST(embedding[CAST(s.i AS INT)] AS DOUBLE)
+          AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS c
+      FROM embeddings, generate_series(1, $Dim) AS s(i)
+      GROUP BY label, s.i),
+    cvec AS (SELECT label, list(c ORDER BY d) AS cv FROM cent GROUP BY label),
+    v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings)
+    SELECT vec_id, v.label,
+      round(list_inner_product(v.v, cv) /
+        (sqrt(list_inner_product(v.v, v.v)) * sqrt(list_inner_product(cv, cv))),
+        6) AS cos_centroid,
+      round(list_inner_product(v.v, cv) /
+        (sqrt(list_inner_product(v.v, v.v)) * sqrt(list_inner_product(cv, cv))),
+        6) < $OutlierTau AS is_outlier
+    FROM v JOIN cvec ON v.label = cvec.label"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_knn_classify" -> (knnClassify _),
     "embed_centroid_per_label" -> (centroidPerLabel _),
+    "embed_outlier_filter" -> (outlierFilter _),
     "sim_knn_bruteforce" -> (knnBruteForce _),
     "sim_ann_lsh" -> (annLsh _),
     "sim_ann_ivf" -> (annIvf _),
@@ -440,6 +496,7 @@ object SimilarityOps {
   val oracles: Map[String, String] = Map(
     "sim_knn_classify" -> knnClassifyOracle,
     "embed_centroid_per_label" -> centroidPerLabelOracle,
+    "embed_outlier_filter" -> outlierFilterOracle,
     "sim_knn_bruteforce" -> knnBruteForceOracle,
     "sim_embedding_neardup" -> embeddingNearDupOracle)
 }
