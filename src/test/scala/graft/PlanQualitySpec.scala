@@ -78,6 +78,34 @@ class PlanQualitySpec extends AnyFunSuite {
       s"cartesian product in cluster plan:\n$plan")
   }
 
+  test("embedding outlier scoring broadcasts the centroid table") {
+    // |labels| rows vs the corpus: the scoring join must be broadcast,
+    // never a sort-merge shuffle of the full embedding table
+    val plan = planOf("embed_outlier_filter")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"centroid join not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"corpus-wide shuffle join in outlier scoring:\n$plan")
+  }
+
+  test("token chunking is one shuffle-free map pass") {
+    val plan = planOf("doc_chunk_tokens")
+    assert(!plan.contains("Exchange"),
+      s"chunking should be row-local, found a shuffle:\n$plan")
+  }
+
+  test("containment dedup has no cartesian product or forced broadcast") {
+    val df = SparkEntry.queries("dedup_containment")(spark, sf)
+    val logical = df.queryExecution.analyzed.toString
+    assert(!logical.contains("ResolvedHint"),
+      "forced broadcast in containment plan")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"all-pairs shape in containment plan:\n$plan")
+  }
+
   test("q1 aggregation stays in whole-stage codegen") {
     val plan = planOf("q1_pricing_summary")
     // codegen'd operators carry the "*(n)" stage prefix in simple mode
