@@ -89,6 +89,32 @@ object Shell {
   def main(args: Array[String]): Unit = {
     val spark = graft.Engine.session("graft-shell")
     val session = new graft.EngineSession(spark)
+    // catalog component selection flags, same names as the reference
+    // shell (ref Catalog.cpp:100-125, shell.cpp:338-351); they route
+    // through the matching \instructions so validation is shared
+    var i = 0
+    while (i < args.length) {
+      args(i) match {
+        case "--plan-enumerator" if i + 1 < args.length =>
+          session.execute(s"\\plan_enumerator ${args(i + 1)};"); i += 2
+        case "--cardinality-estimator" if i + 1 < args.length =>
+          session.execute(s"\\cardinality_estimator ${args(i + 1)};"); i += 2
+        case "--list-plan-enumerators" =>
+          session.execute("\\list_plan_enumerators;") match {
+            case graft.CommandOk(m) => System.err.println(m)
+            case _ => ()
+          }
+          i += 1
+        case "--list-cardinality-estimators" =>
+          session.execute("\\list_cardinality_estimators;") match {
+            case graft.CommandOk(m) => System.err.println(m)
+            case _ => ()
+          }
+          i += 1
+        case other =>
+          System.err.println(s"unknown option: $other"); i += 1
+      }
+    }
     val in = scala.io.Source.stdin
     val buf = new StringBuilder
     for (line <- in.getLines()) {

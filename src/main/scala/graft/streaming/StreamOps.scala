@@ -48,13 +48,26 @@ object StreamOps {
   /** Streaming exact dedup — twin of DedupOps.exact for the
     * continuous-ingest regime: first-seen document per content hash
     * survives. State is keyed on the 128-bit hash (32 bytes/doc, the
-    * same shuffle-payload argument as the batch op); a production
-    * deployment bounds it with `withWatermark` on ingest time +
-    * dropDuplicatesWithinWatermark. */
-  def dedupExact(docs: DataFrame): DataFrame =
-    docs
-      .select(col("doc_id"), md5(col("text").cast("binary")).as("text_hash"))
-      .dropDuplicates("text_hash")
+    * same shuffle-payload argument as the batch op) and BOUNDED IN
+    * TIME like every stateful op in this file: a watermark on ingest
+    * time + `dropDuplicatesWithinWatermark` lets Spark evict hash
+    * state once the watermark passes it — duplicates within the
+    * dedup horizon are still dropped exactly, and state never grows
+    * beyond one horizon of distinct hashes. If `docs` carries no
+    * `ingest_ts`, arrival processing time is stamped (same convention
+    * as [[minhashCandidates]]). */
+  def dedupExact(docs: DataFrame,
+      dedupHorizon: String = "24 hours"): DataFrame = {
+    val stamped =
+      if (docs.columns.contains("ingest_ts")) docs
+      else docs.withColumn("ingest_ts", current_timestamp())
+    stamped
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("text_hash"),
+        col("ingest_ts"))
+      .withWatermark("ingest_ts", dedupHorizon)
+      .dropDuplicatesWithinWatermark("text_hash")
+      .drop("ingest_ts")
+  }
 
   // ---------------------------------------- streaming MinHash-LSH
 
