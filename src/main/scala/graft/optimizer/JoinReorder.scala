@@ -1217,6 +1217,20 @@ object JoinReorder {
       hsSearch: String = "AStar", hsWeight: Double = 2.0,
       hsBudget: Long = Long.MaxValue): PlanEnumerator =
     if (name.equalsIgnoreCase("HeuristicSearch")) {
+      // heuristics are per-space, like the reference's vertex/heuristic
+      // template instantiations (avg_sel & co. exist bottom-up only,
+      // sqrt_sum top-down only, hpp:1790,2028) — reject undefined
+      // combinations here, not at query time
+      val perSpace = Map(
+        "bottomup" -> Set("zero", "sum", "scaled_sum", "product",
+          "lookahead", "avg_sel", "goo"),
+        "topdown" -> Set("zero", "sum", "sqrt_sum", "goo"))
+      val legal = perSpace.getOrElse(hsSpace.toLowerCase,
+        throw new IllegalArgumentException(
+          s"there is no search space with the name \"$hsSpace\""))
+      if (!legal.contains(hsHeuristic.toLowerCase))
+        throw new IllegalArgumentException(
+          s"heuristic \"$hsHeuristic\" is not defined for the $hsSpace space")
       val (weighted, lzy, cbp, beam, anytime) =
         searchStrategies.getOrElse(hsSearch.toLowerCase,
           throw new IllegalArgumentException(

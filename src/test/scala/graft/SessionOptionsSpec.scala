@@ -81,6 +81,11 @@ class SessionOptionsSpec extends AnyFunSuite {
     intercept[SemaError](s.execute("\\plan_enumerator NoSuchEnum;"))
     intercept[SemaError](s.execute("\\plan_enumerator HeuristicSearch bottomup goo no_such_search;"))
     intercept[SemaError](s.execute("\\cardinality_estimator NoSuchEstimator;"))
+    // per-space heuristics: avg_sel exists bottom-up only (ref
+    // hpp:2028), sqrt_sum top-down only (hpp:1790)
+    intercept[SemaError](s.execute("\\plan_enumerator HeuristicSearch topdown avg_sel;"))
+    intercept[SemaError](s.execute("\\plan_enumerator HeuristicSearch bottomup sqrt_sum;"))
+    intercept[SemaError](s.execute("\\plan_enumerator HeuristicSearch sideways goo;"))
     // nothing leaked into the conf
     assert(spark.conf.getOption(JoinReorderRule.EnumeratorConf).isEmpty)
     assert(spark.conf.getOption(JoinReorderRule.EstimatorConf).isEmpty)
