@@ -173,13 +173,42 @@ object CurationOps {
     FROM bigrams b JOIN dfs d ON b.g = d.g
     GROUP BY b.doc_id"""
 
+  /** Deterministic train/val/test split (80/10/10) with a per-language
+    * balance audit. Assignment is a doc_id modulus — row-local,
+    * shuffle-free, reproducible across runs/engines, and stable under
+    * re-ingestion (a document keeps its split forever, the property
+    * eval-leak prevention actually needs). Per-stratum proportions
+    * converge by id uniformity; an exact-rank variant would reuse the
+    * [[packSequences]] two-phase prefix sum. The query emits the
+    * (lang, split) balance table a pipeline gates on — the only
+    * shuffle is that final small aggregation. */
+  def splitStratified(sp: SparkSession, dir: String): DataFrame =
+    Engine.table(sp, dir, "documents")
+      .withColumn("split",
+        when(col("doc_id") % 10 < 8, "train")
+          .when(col("doc_id") % 10 === 8, "val")
+          .otherwise("test"))
+      .groupBy(col("lang"), col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"))
+
+  val splitStratifiedOracle: String = """
+    SELECT lang,
+      CASE WHEN doc_id % 10 < 8 THEN 'train'
+           WHEN doc_id % 10 = 8 THEN 'val' ELSE 'test' END AS split,
+      COUNT(*) AS n_docs,
+      CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM documents GROUP BY 1, 2"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_decontaminate" -> (decontaminate _),
     "pipeline_pack_sequences" -> (packSequences _),
+    "pipeline_split_stratified" -> (splitStratified _),
     "text_ngram_familiarity" -> (ngramFamiliarity _))
 
   val oracles: Map[String, String] = Map(
     "pipeline_decontaminate" -> decontaminateOracle,
     "pipeline_pack_sequences" -> packSequencesOracle,
+    "pipeline_split_stratified" -> splitStratifiedOracle,
     "text_ngram_familiarity" -> ngramFamiliarityOracle)
 }

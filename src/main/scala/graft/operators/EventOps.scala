@@ -39,6 +39,34 @@ object EventOps {
     FROM events
     GROUP BY date_trunc('hour', ts), event_type"""
 
+  /** HOPPING (sliding) 1-hour window every 15 minutes, keyed by
+    * event_type — each event lands in 4 overlapping windows
+    * (`functions.window` with a slide). The fan-out is the constant
+    * window/slide ratio, applied row-locally before the one aggregation
+    * shuffle, so the shape scales exactly like the tumbling op. The
+    * oracle replays the same alignment arithmetic (windows are
+    * epoch-aligned: start ≡ 0 mod slide, start ≤ ts < start + width). */
+  def windowHopping(sp: SparkSession, dir: String): DataFrame =
+    Engine.table(sp, dir, "events")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        dsum(col("value")).as("total_value"))
+      .select(unix_millis(col("window.start")).as("w_start_ms"),
+        col("event_type"), col("n"), col("total_value"))
+
+  val windowHoppingOracle: String = """
+    WITH e AS (
+      SELECT event_type, value, epoch_ms(ts) AS ts_ms,
+        unnest(range(0, 4)) AS k
+      FROM events)
+    SELECT CAST((ts_ms // 900000) * 900000 - k * 900000 AS BIGINT) AS w_start_ms,
+      event_type, COUNT(*) AS n,
+      CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM e
+    WHERE (ts_ms // 900000) * 900000 - k * 900000 > ts_ms - 3600000
+    GROUP BY 1, 2"""
+
   /** Sessionization: a session breaks after a 30-minute silence per
     * user (gaps-and-islands via window functions). */
   def sessionize(sp: SparkSession, dir: String): DataFrame = {
@@ -150,12 +178,14 @@ object EventOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_window_agg" -> (windowAgg _),
+    "events_window_hopping" -> (windowHopping _),
     "events_sessionize" -> (sessionize _),
     "events_asof_join" -> (asofJoin _),
     "events_range_join" -> (rangeJoin _))
 
   val oracles: Map[String, String] = Map(
     "events_window_agg" -> windowAggOracle,
+    "events_window_hopping" -> windowHoppingOracle,
     "events_sessionize" -> sessionizeOracle,
     "events_asof_join" -> asofJoinOracle,
     "events_range_join" -> rangeJoinOracle)

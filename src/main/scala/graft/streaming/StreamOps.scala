@@ -205,6 +205,30 @@ object StreamOps {
       .select(unix_timestamp(col("window.start")).as("hour_ts"),
         col("event_type"), col("n"), col("total_value"))
 
+  /** Stream-stream INTERVAL join — streaming twin of
+    * EventOps.rangeJoin: every purchase paired with the same user's
+    * clicks within ±15 minutes. This is Spark's native stream-stream
+    * join with a time-range condition: both sides watermarked, the
+    * range predicate bounds how long either side's rows stay in join
+    * state, so state size is (rate × window), never corpus-sized —
+    * the canonical Structured Streaming interval-join shape. */
+  def intervalJoin(events: DataFrame): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "30 minutes")
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "30 minutes")
+    purchases.join(clicks,
+      col("p_user") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 15 MINUTES") &&
+        col("c_ts") <= col("p_ts") + expr("INTERVAL 15 MINUTES"))
+      .select(col("purchase_id"), col("click_id"),
+        (unix_millis(col("c_ts")) - unix_millis(col("p_ts"))).as("delta_ms"))
+  }
+
   // ------------------------------------------------- sessionization
 
   final case class Ev(user_id: Long, ts: java.sql.Timestamp, value: Double) {

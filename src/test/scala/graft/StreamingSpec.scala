@@ -93,6 +93,23 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches the batch range join on full replay") {
+    val events = StreamOps.readEvents(spark, sf)
+    val q = StreamOps.intervalJoin(events).writeStream
+      .outputMode("append").format("memory").queryName("ivjoin").start()
+    try {
+      q.processAllAvailable()
+      val stream = spark.table("ivjoin").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val batch = EventOps.rangeJoin(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(stream == batch,
+        s"stream-only: ${stream -- batch}; batch-only: ${batch -- stream}")
+      // both sides watermarked: join state is bounded, not corpus-sized
+      assert(q.lastProgress.stateOperators.nonEmpty)
+    } finally q.stop()
+  }
+
   test("streaming window agg matches batch on full replay") {
     val events = StreamOps.readEvents(spark, sf)
     val q = StreamOps.windowAgg(events).writeStream
