@@ -418,17 +418,8 @@ final class EngineSession(val spark: SparkSession,
         idx <- dbIndexes.get(dbName)
         t <- db().get(tLc)
         where <- s.where
-        entry <- idx.values.find { d =>
-          d.table == tLc &&
-            // ordered key types the index maps to Long: integers
-            // (as-is) and DATE (epoch day, Indexes.keyToLong)
-            t.fields.exists(f => f._1.equalsIgnoreCase(d.keyCol) &&
-              (f._2.isInstanceOf[MInt] || f._2 == MDate))
-        }
-        bounds = {
+        routed <- {
           val aliasLc = alias.getOrElse(tname).toLowerCase
-          val keyIsDate = t.fields.exists(f =>
-            f._1.equalsIgnoreCase(entry.keyCol) && f._2 == MDate)
           def conjuncts(e: Expr): Seq[Expr] = e match {
             case Binary("AND", l, r) => conjuncts(l) ++ conjuncts(r)
             case x => Seq(x)
@@ -440,56 +431,76 @@ final class EngineSession(val spark: SparkSession,
             case ">=" => "<="
             case other => other
           }
-          // literal of the key's own type, as the index's Long key
-          // space (strict comparability already rejects e.g. date
-          // keys compared to ints at sema, so no cross-type cases)
-          def litKey(e: Expr): Option[Long] = e match {
-            case IntLit(v) if !keyIsDate => Some(v)
-            case DateLit(iso) if keyIsDate =>
-              val p = iso.trim
-              val (sign, rest) = if (p.startsWith("-")) (-1, p.drop(1)) else (1, p)
-              rest.split("-").map(_.toInt) match {
-                case Array(y, m, d) =>
-                  Some(java.time.LocalDate.of(sign * y, m, d).toEpochDay)
-                case _ => None
-              }
-            case _ => None
-          }
-          def bound(e: Expr): Option[(Long, Long)] = e match {
-            case Binary(op, Id(q, n), rhs)
-                if n.equalsIgnoreCase(entry.keyCol) &&
-                  q.forall(_.toLowerCase == aliasLc) =>
-              litKey(rhs).filter(v =>
-                v != Long.MinValue && v != Long.MaxValue).flatMap { v =>
-                op match {
-                  case "=" => Some((v, v))
-                  case "<" => Some((Long.MinValue, v - 1))
-                  case "<=" => Some((Long.MinValue, v))
-                  case ">" => Some((v + 1, Long.MaxValue))
-                  case ">=" => Some((v, Long.MaxValue))
+          /** [lo, hi] the WHERE pins on `entry`'s key, or None when no
+            * conjunct constrains it. */
+          def boundsFor(entry: EngineSession.IndexDef): Option[(Long, Long)] = {
+            val keyIsDate = t.fields.exists(f =>
+              f._1.equalsIgnoreCase(entry.keyCol) && f._2 == MDate)
+            // literal of the key's own type, as the index's Long key
+            // space (strict comparability already rejects e.g. date
+            // keys compared to ints at sema, so no cross-type cases)
+            def litKey(e: Expr): Option[Long] = e match {
+              case IntLit(v) if !keyIsDate => Some(v)
+              case DateLit(iso) if keyIsDate =>
+                val p = iso.trim
+                val (sign, rest) = if (p.startsWith("-")) (-1, p.drop(1)) else (1, p)
+                rest.split("-").map(_.toInt) match {
+                  case Array(y, m, d) =>
+                    Some(java.time.LocalDate.of(sign * y, m, d).toEpochDay)
                   case _ => None
                 }
-              }
-            case Binary(op, lit @ (_: IntLit | _: DateLit), id: Id) =>
-              bound(Binary(flip(op), id, lit))
-            case _ => None
+              case _ => None
+            }
+            def bound(e: Expr): Option[(Long, Long)] = e match {
+              case Binary(op, Id(q, n), rhs)
+                  if n.equalsIgnoreCase(entry.keyCol) &&
+                    q.forall(_.toLowerCase == aliasLc) =>
+                litKey(rhs).filter(v =>
+                  v != Long.MinValue && v != Long.MaxValue).flatMap { v =>
+                  op match {
+                    case "=" => Some((v, v))
+                    case "<" => Some((Long.MinValue, v - 1))
+                    case "<=" => Some((Long.MinValue, v))
+                    case ">" => Some((v + 1, Long.MaxValue))
+                    case ">=" => Some((v, Long.MaxValue))
+                    case _ => None
+                  }
+                }
+              case Binary(op, lit @ (_: IntLit | _: DateLit), id: Id) =>
+                bound(Binary(flip(op), id, lit))
+              case _ => None
+            }
+            val bs = conjuncts(where).flatMap(bound(_))
+            if (bs.isEmpty) None
+            else Some((bs.map(_._1).max, bs.map(_._2).min))
           }
-          conjuncts(where).flatMap(bound(_))
+          // among ALL indexes on this table whose key the WHERE
+          // constrains, pick the one pinning the narrowest key range
+          // (a point lookup beats a half-open range) — the reference's
+          // access-path choice by estimated selectivity
+          val candidates = idx.values.toSeq.filter { d =>
+            d.table == tLc &&
+              // ordered key types the index maps to Long: integers
+              // (as-is) and DATE (epoch day, Indexes.keyToLong)
+              t.fields.exists(f => f._1.equalsIgnoreCase(d.keyCol) &&
+                (f._2.isInstanceOf[MInt] || f._2 == MDate))
+          }
+          candidates.flatMap(e => boundsFor(e).map(b => (e, b)))
+            .sortBy { case (_, (lo, hi)) => BigInt(hi) - BigInt(lo) }
+            .headOption
+            .map { case (entry, (lo, hi)) =>
+              val built = entry.built.getOrElse {
+                val m =
+                  if (entry.method == "rmi") graft.storage.Indexes.RmiMethod
+                  else graft.storage.Indexes.ArrayMethod
+                val b = graft.storage.Indexes.build(t.df, entry.keyCol, m)
+                entry.built = Some(b)
+                b
+              }
+              tLc -> built.rangeScan(lo, hi)
+            }
         }
-        if bounds.nonEmpty
-      } yield {
-        val lo = bounds.map(_._1).max
-        val hi = bounds.map(_._2).min
-        val built = entry.built.getOrElse {
-          val m =
-            if (entry.method == "rmi") graft.storage.Indexes.RmiMethod
-            else graft.storage.Indexes.ArrayMethod
-          val b = graft.storage.Indexes.build(t.df, entry.keyCol, m)
-          entry.built = Some(b)
-          b
-        }
-        tLc -> built.rangeScan(lo, hi)
-      }
+      } yield routed
     case _ => None
   }
 

@@ -140,6 +140,27 @@ class IndexSpec extends AnyFunSuite {
     assert(vs("SELECT v FROM ev WHERE d'2024-01-01' > d;") == Seq(5))
   }
 
+  test("with several indexes, routing picks the one the WHERE constrains") {
+    val s = new EngineSession(spark)
+    s.execute("""CREATE DATABASE ixm; USE ixm;
+      CREATE TABLE m (k INT(4), v INT(4));
+      INSERT INTO m VALUES (1, 100), (2, 200), (3, 300), (4, 400);
+      CREATE INDEX mk ON m (k);
+      CREATE INDEX mv ON m (v);""")
+    def rows(sql: String): Seq[Int] =
+      s.query(sql).collect().toSeq.map(_.getInt(0)).sorted
+    // predicate only on v: the k-index has no bounds, the v-index must
+    // still serve the scan (declaration order must not matter)
+    val before = graft.storage.Indexes.rangeScans.get()
+    assert(rows("SELECT k FROM m WHERE v >= 200 AND v <= 300;") == Seq(2, 3))
+    assert(graft.storage.Indexes.rangeScans.get() > before,
+      "v-index not routed when k-index is declared first")
+    // both constrained: the point lookup (narrower range) wins, and
+    // the other predicate still applies as a residual filter
+    assert(rows("SELECT k FROM m WHERE k >= 1 AND v = 400;") == Seq(4))
+    assert(rows("SELECT k FROM m WHERE k >= 99 AND v = 400;").isEmpty)
+  }
+
   test("index routing leaves multi-table and OR queries alone") {
     val s = new EngineSession(spark)
     s.execute("""CREATE DATABASE ixdb2; USE ixdb2;
