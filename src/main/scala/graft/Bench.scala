@@ -67,6 +67,11 @@ object Bench {
     val results = headline.map { n =>
       runOnce(n) // untimed warm-up: codegen + parquet footers + JIT
       val times = (1 to Reps).map(_ => runOnce(n)).filter(_ >= 0)
+      // each invocation builds fresh DataFrames, so per-op cache()s
+      // (minhash signatures, shingle subsets) accumulate as dead
+      // entries across reps/queries — dropping them between queries
+      // removes that GC pressure from the next query's measurement
+      spark.sharedState.cacheManager.clearCache()
       n -> (if (times.isEmpty) Seq(-1.0) else times)
     }
     def fmt(v: Double) = f"$v%.4f"
