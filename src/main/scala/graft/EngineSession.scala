@@ -304,10 +304,20 @@ final class EngineSession(val spark: SparkSession,
           val space = args.lift(1).getOrElse("bottomup")
           val heuristic = args.lift(2).getOrElse("goo")
           val search = args.lift(3).getOrElse("AStar")
-          JoinReorder.resolve(chosen, space, heuristic, search) // validate
+          // optional trailing args mirror --hs-wf / --hs-budget
+          val weight = args.lift(4).map(a => a.toDoubleOption.getOrElse(
+            throw new SemaError(s"weighting factor must be a number, got '$a'")))
+          val budget = args.lift(5).map(a => a.toLongOption.getOrElse(
+            throw new SemaError(s"expansion budget must be an integer, got '$a'")))
+          JoinReorder.resolve(chosen, space, heuristic, search,
+            weight.getOrElse(2.0), budget.getOrElse(Long.MaxValue)) // validate
           spark.conf.set(JoinReorderRule.HsSpaceConf, space)
           spark.conf.set(JoinReorderRule.HsHeuristicConf, heuristic)
           spark.conf.set(JoinReorderRule.HsSearchConf, search)
+          weight.foreach(w =>
+            spark.conf.set(JoinReorderRule.HsWeightConf, w.toString))
+          budget.foreach(b =>
+            spark.conf.set(JoinReorderRule.HsBudgetConf, b.toString))
         }
         spark.conf.set(JoinReorderRule.EnumeratorConf, chosen)
         CommandOk(s"plan enumerator set to $chosen")

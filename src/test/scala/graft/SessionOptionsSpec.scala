@@ -16,7 +16,8 @@ class SessionOptionsSpec extends AnyFunSuite {
   private def clearConfs(): Unit =
     Seq(JoinReorderRule.EnumeratorConf, JoinReorderRule.EstimatorConf,
       JoinReorderRule.HsSpaceConf, JoinReorderRule.HsHeuristicConf,
-      JoinReorderRule.HsSearchConf).foreach(spark.conf.unset)
+      JoinReorderRule.HsSearchConf, JoinReorderRule.HsWeightConf,
+      JoinReorderRule.HsBudgetConf).foreach(spark.conf.unset)
 
   private def join5Results(): Seq[String] =
     operators.Relational.join5Way(spark, sf)
@@ -55,6 +56,13 @@ class SessionOptionsSpec extends AnyFunSuite {
     s.execute("\\plan_enumerator HeuristicSearch topdown goo beam_search;")
     assert(spark.conf.get(JoinReorderRule.HsSpaceConf) == "topdown")
     assert(spark.conf.get(JoinReorderRule.HsSearchConf) == "beam_search")
+    // optional weight/budget args (ref --hs-wf / --hs-budget)
+    s.execute("\\plan_enumerator HeuristicSearch bottomup goo weighted_anytimeastar 1.5 128;")
+    assert(spark.conf.get(JoinReorderRule.HsWeightConf) == "1.5")
+    assert(spark.conf.get(JoinReorderRule.HsBudgetConf) == "128")
+    intercept[SemaError](s.execute(
+      "\\plan_enumerator HeuristicSearch bottomup goo AStar notanumber;"))
+    s.execute("\\plan_enumerator HeuristicSearch topdown goo beam_search;")
     spark.experimental.extraOptimizations = Seq(JoinReorderRule)
     try assert(join5Results() == base)
     finally {
