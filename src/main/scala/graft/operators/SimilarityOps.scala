@@ -408,7 +408,14 @@ object SimilarityOps {
     * DECIMAL(18,6) so partial-aggregation order cannot perturb the
     * result (same trick as the relational oracle sums) — the plan is
     * a map-side partial sum + one 640-key shuffle, the canonical
-    * scalable aggregation shape. */
+    * scalable aggregation shape.
+    *
+    * The mean is rounded to 6 dp in EXACT DECIMAL arithmetic (decimal
+    * division, then a decimal HALF_UP cast): `round(s_double / n, 6)`
+    * is not portable — when the true quotient sits exactly on a 5e-7
+    * tie the engines perceive the double's binary expansion
+    * differently and round apart (hit at sf0.1). The oracle emulates
+    * the same HALF_UP with integer arithmetic. */
   def centroidPerLabel(sp: SparkSession, dir: String): DataFrame =
     Engine.table(sp, dir, "embeddings")
       .select(col("label"), posexplode(col("embedding")).as(Seq("dim_idx", "x")))
@@ -416,15 +423,27 @@ object SimilarityOps {
       .agg(count(lit(1)).as("n"),
         sum(col("x").cast("double").cast("decimal(18,6)")).as("s"))
       .select(col("label"), col("dim_idx"), col("n"),
-        round(col("s").cast("double") / col("n"), 6).as("centroid"))
+        (col("s") / col("n")).cast("decimal(18,6)").cast("double")
+          .as("centroid"))
+
+  /** HALF_UP(s/n) at 6 dp in pure integer arithmetic (S = s·10⁶ is
+    * exact for a DECIMAL(18,6)): away-from-zero ties like BigDecimal. */
+  private def sqlHalfUpDiv(s: String, n: String): String = s"""
+    CAST(CASE WHEN $s >= 0
+      THEN (2 * CAST($s * 1000000 AS BIGINT) + $n) // (2 * $n)
+      ELSE -((-2 * CAST($s * 1000000 AS BIGINT) + $n) // (2 * $n))
+    END AS DOUBLE) / 1000000"""
 
   val centroidPerLabelOracle: String = s"""
-    SELECT label, CAST(s.i - 1 AS BIGINT) AS dim_idx,
-      CAST(COUNT(*) AS BIGINT) AS n,
-      round(CAST(SUM(CAST(CAST(embedding[CAST(s.i AS INT)] AS DOUBLE)
-        AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS centroid
-    FROM embeddings, generate_series(1, $Dim) AS s(i)
-    GROUP BY label, s.i"""
+    WITH agg AS (
+      SELECT label, CAST(s.i - 1 AS BIGINT) AS dim_idx,
+        CAST(COUNT(*) AS BIGINT) AS n,
+        SUM(CAST(CAST(embedding[CAST(s.i AS INT)] AS DOUBLE)
+          AS DECIMAL(18,6))) AS s
+      FROM embeddings, generate_series(1, $Dim) AS s(i)
+      GROUP BY label, s.i)
+    SELECT label, dim_idx, n, ${sqlHalfUpDiv("s", "n")} AS centroid
+    FROM agg"""
 
   /** Vectors scoring below this cosine against their own label
     * centroid are flagged as outliers (~bottom 5% on the testdata). */
@@ -433,11 +452,15 @@ object SimilarityOps {
   /** Embedding outlier scoring: cosine of every vector to its label's
     * centroid, flagging low-affinity vectors (mislabeled / junk
     * embeddings — the standard curation filter before training on
-    * labeled embeddings). Centroids use the same exact-decimal sums as
-    * [[centroidPerLabel]]; the centroid table is |labels| rows, so the
-    * scoring join is an AQE broadcast and the whole op is one map-side
-    * aggregation + one map pass — nothing grows with corpus size except
-    * the scan. */
+    * labeled embeddings). Centroids use the same exact-decimal sums
+    * and exact HALF_UP division as [[centroidPerLabel]]; the cosine
+    * itself is NOT re-rounded — with bit-identical inputs the
+    * sequential double dot/norm/divide chain is bit-identical across
+    * engines (the same parity [[knnBruteForce]] relies on), whereas
+    * rounding a double at a fixed scale has non-portable ties. The
+    * centroid table is |labels| rows, so the scoring join is an AQE
+    * broadcast and the whole op is one map-side aggregation + one map
+    * pass — nothing grows with corpus size except the scan. */
   def outlierFilter(sp: SparkSession, dir: String): DataFrame = {
     val emb = Engine.table(sp, dir, "embeddings")
     val cent = emb
@@ -446,7 +469,7 @@ object SimilarityOps {
       .agg(count(lit(1)).as("n"),
         sum(col("x").cast("double").cast("decimal(18,6)")).as("s"))
       .select(col("label"), col("d"),
-        round(col("s").cast("double") / col("n"), 6).as("c"))
+        (col("s") / col("n")).cast("decimal(18,6)").cast("double").as("c"))
       .groupBy(col("label"))
       .agg(transform(array_sort(collect_list(struct(col("d"), col("c")))),
         s => s.getField("c")).as("cv"))
@@ -456,29 +479,31 @@ object SimilarityOps {
       aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
     v.join(cent, "label")
       .select(col("vec_id"), col("label"),
-        round(dot(col("v"), col("cv")) /
-          (sqrt(dot(col("v"), col("v"))) * sqrt(dot(col("cv"), col("cv")))), 6)
+        (dot(col("v"), col("cv")) /
+          (sqrt(dot(col("v"), col("v"))) * sqrt(dot(col("cv"), col("cv")))))
           .as("cos_centroid"))
       .withColumn("is_outlier", col("cos_centroid") < OutlierTau)
   }
 
   val outlierFilterOracle: String = s"""
-    WITH cent AS (
-      SELECT label, s.i AS d,
-        round(CAST(SUM(CAST(CAST(embedding[CAST(s.i AS INT)] AS DOUBLE)
-          AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS c
+    WITH agg AS (
+      SELECT label, s.i AS d, CAST(COUNT(*) AS BIGINT) AS n,
+        SUM(CAST(CAST(embedding[CAST(s.i AS INT)] AS DOUBLE)
+          AS DECIMAL(18,6))) AS s
       FROM embeddings, generate_series(1, $Dim) AS s(i)
       GROUP BY label, s.i),
+    cent AS (
+      SELECT label, d, ${sqlHalfUpDiv("s", "n")} AS c FROM agg),
     cvec AS (SELECT label, list(c ORDER BY d) AS cv FROM cent GROUP BY label),
     v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
           FROM embeddings)
     SELECT vec_id, v.label,
-      round(list_inner_product(v.v, cv) /
-        (sqrt(list_inner_product(v.v, v.v)) * sqrt(list_inner_product(cv, cv))),
-        6) AS cos_centroid,
-      round(list_inner_product(v.v, cv) /
-        (sqrt(list_inner_product(v.v, v.v)) * sqrt(list_inner_product(cv, cv))),
-        6) < $OutlierTau AS is_outlier
+      list_inner_product(v.v, cv) /
+        (sqrt(list_inner_product(v.v, v.v)) * sqrt(list_inner_product(cv, cv)))
+        AS cos_centroid,
+      list_inner_product(v.v, cv) /
+        (sqrt(list_inner_product(v.v, v.v)) * sqrt(list_inner_product(cv, cv)))
+        < $OutlierTau AS is_outlier
     FROM v JOIN cvec ON v.label = cvec.label"""
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
