@@ -300,7 +300,7 @@ final class EngineSession(val spark: SparkSession,
       val chosen = args.headOption.getOrElse(
         throw new SemaError("\\plan_enumerator needs an enumerator name"))
       try {
-        if (!chosen.equalsIgnoreCase("auto")) {
+        if (chosen.equalsIgnoreCase("HeuristicSearch")) {
           val space = args.lift(1).getOrElse("bottomup")
           val heuristic = args.lift(2).getOrElse("goo")
           val search = args.lift(3).getOrElse("AStar")
@@ -314,10 +314,24 @@ final class EngineSession(val spark: SparkSession,
           spark.conf.set(JoinReorderRule.HsSpaceConf, space)
           spark.conf.set(JoinReorderRule.HsHeuristicConf, heuristic)
           spark.conf.set(JoinReorderRule.HsSearchConf, search)
-          weight.foreach(w =>
-            spark.conf.set(JoinReorderRule.HsWeightConf, w.toString))
-          budget.foreach(b =>
-            spark.conf.set(JoinReorderRule.HsBudgetConf, b.toString))
+          // each \plan_enumerator invocation is self-contained: omitted
+          // weight/budget reset to defaults instead of inheriting stale
+          // values from a previous selection
+          weight match {
+            case Some(w) => spark.conf.set(JoinReorderRule.HsWeightConf, w.toString)
+            case None => spark.conf.unset(JoinReorderRule.HsWeightConf)
+          }
+          budget match {
+            case Some(b) => spark.conf.set(JoinReorderRule.HsBudgetConf, b.toString)
+            case None => spark.conf.unset(JoinReorderRule.HsBudgetConf)
+          }
+        } else {
+          // non-HeuristicSearch names take no space/heuristic/search args
+          if (args.length > 1)
+            throw new SemaError(
+              s"plan enumerator '$chosen' takes no extra arguments")
+          if (!chosen.equalsIgnoreCase("auto"))
+            JoinReorder.resolve(chosen) // validate the name exists
         }
         spark.conf.set(JoinReorderRule.EnumeratorConf, chosen)
         CommandOk(s"plan enumerator set to $chosen")

@@ -84,54 +84,114 @@ object ResultPrinter {
 
 /** Minimal REPL over EngineSession — the E1 entry point shape of the
   * reference (ref src/shell.cpp). Reads ;-terminated statements from
-  * stdin, prints results in golden format. */
+  * stdin, prints results in golden format.
+  *
+  * Diagnostic flags mirror the reference shell's option table
+  * (ref src/shell.cpp:256-316):
+  *  - `--ast`            print the AST of statements (AstPrinter)
+  *  - `--plan`           emit the chosen (optimized logical) plan
+  *  - `--physplan`       emit the chosen physical execution plan
+  *  - `--dryrun`         parse/plan but don't execute the query
+  *                       (ref mutable.cpp:187 — only result
+  *                       materialization is skipped; DDL/INSERT run)
+  *  - `-t`/`--times`     report exact timings (ms, ref mutable.cpp:82)
+  *  - `-q`/`--quiet`     work in quiet mode (suppress command
+  *                       confirmations, ref shell.cpp:55)
+  *  - `--echo`           echo statements before running them */
 object Shell {
-  def main(args: Array[String]): Unit = {
-    val spark = graft.Engine.session("graft-shell")
-    val session = new graft.EngineSession(spark)
+  private final class Opts {
+    var ast = false; var plan = false; var physplan = false
+    var dryrun = false; var times = false; var quiet = false
+    var echo = false
+  }
+
+  /** Testable core: consume `args` + `in`, write to `out`/`err`.
+    * Returns the exit code — nonzero when a component-selection
+    * option is invalid (clean error-and-exit like the reference
+    * shell, instead of an uncaught stack trace). */
+  def run(args: Array[String], session: graft.EngineSession,
+      in: Iterator[String], out: java.io.PrintStream,
+      err: java.io.PrintStream): Int = {
+    val o = new Opts
     // catalog component selection flags, same names as the reference
     // shell (ref Catalog.cpp:100-125, shell.cpp:338-351); they route
     // through the matching \instructions so validation is shared
+    def option(stmt: String): Boolean =
+      try { session.execute(stmt); true } catch {
+        case e: graft.analyzer.SemaError => err.println(e.getMessage); false
+        case e: Exception => err.println(s"error: ${e.getMessage}"); false
+      }
     var i = 0
     while (i < args.length) {
       args(i) match {
+        case "--ast" => o.ast = true; i += 1
+        case "--plan" => o.plan = true; i += 1
+        case "--physplan" => o.physplan = true; i += 1
+        case "--dryrun" => o.dryrun = true; i += 1
+        case "-t" | "--times" => o.times = true; i += 1
+        case "-q" | "--quiet" => o.quiet = true; i += 1
+        case "--echo" => o.echo = true; i += 1
         case "--plan-enumerator" if i + 1 < args.length =>
-          session.execute(s"\\plan_enumerator ${args(i + 1)};"); i += 2
+          if (!option(s"\\plan_enumerator ${args(i + 1)};")) return 1
+          i += 2
         case "--cardinality-estimator" if i + 1 < args.length =>
-          session.execute(s"\\cardinality_estimator ${args(i + 1)};"); i += 2
+          if (!option(s"\\cardinality_estimator ${args(i + 1)};")) return 1
+          i += 2
         case "--list-plan-enumerators" =>
           session.execute("\\list_plan_enumerators;") match {
-            case graft.CommandOk(m) => System.err.println(m)
+            case graft.CommandOk(m) => err.println(m)
             case _ => ()
           }
           i += 1
         case "--list-cardinality-estimators" =>
           session.execute("\\list_cardinality_estimators;") match {
-            case graft.CommandOk(m) => System.err.println(m)
+            case graft.CommandOk(m) => err.println(m)
             case _ => ()
           }
           i += 1
         case other =>
-          System.err.println(s"unknown option: $other"); i += 1
+          err.println(s"unknown option: $other"); i += 1
       }
     }
-    val in = scala.io.Source.stdin
     val buf = new StringBuilder
-    for (line <- in.getLines()) {
+    for (line <- in) {
       buf.append(line).append('\n')
       if (line.trim.endsWith(";")) {
         val sql = buf.toString; buf.clear()
-        try session.execute(sql) match {
-          case graft.QueryResult(df) => ResultPrinter.print(df)
-          case graft.CommandOk(msg) => System.err.println(msg)
+        if (o.echo) out.println(sql.trim)
+        val t0 = System.nanoTime
+        try {
+          if (o.ast)
+            graft.parser.Parser.parse(sql).foreach(st =>
+              out.println(graft.parser.AstPrinter.stmt(st)))
+          session.execute(sql) match {
+            case graft.QueryResult(df) =>
+              if (o.plan) out.println(df.queryExecution.optimizedPlan.treeString)
+              if (o.physplan) out.println(df.queryExecution.executedPlan.treeString)
+              // dryrun (ref mutable.cpp:187): the plan above is still
+              // computed; only result materialization is skipped
+              if (!o.dryrun) ResultPrinter.print(df, out)
+            case graft.CommandOk(msg) => if (!o.quiet) err.println(msg)
+          }
+          if (o.times)
+            out.println(f"Execute query: ${(System.nanoTime - t0) / 1e6}%.3f")
         } catch {
           // positioned diagnostics already render as `-:l:c: error: …`
           // (ref shell output shape) — don't double-prefix them
-          case e: graft.analyzer.SemaError => System.err.println(e.getMessage)
-          case e: Exception => System.err.println(s"error: ${e.getMessage}")
+          case e: graft.analyzer.SemaError => err.println(e.getMessage)
+          case e: Exception => err.println(s"error: ${e.getMessage}")
         }
       }
     }
+    0
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = graft.Engine.session("graft-shell")
+    val session = new graft.EngineSession(spark)
+    val code = run(args, session, scala.io.Source.stdin.getLines(),
+      System.out, System.err)
     spark.stop()
+    if (code != 0) sys.exit(code)
   }
 }

@@ -1433,14 +1433,17 @@ object JoinReorderRule extends Rule[LogicalPlan] with PredicateHelper {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
     case j @ Join(_, _, Inner, _, _) if j.getTagValue(reorderedTag).isEmpty =>
+      // validate the estimator conf before the reorder-eligibility
+      // check so a bad value set directly via spark.conf surfaces at
+      // planning time even on 2-way joins
+      val est = conf(EstimatorConf, "Spn").toLowerCase match {
+        case e @ ("spn" | "cartesianproduct" | "injected") => e
+        case other => throw new IllegalArgumentException(
+          s"there is no cardinality estimator with the name \"$other\"")
+      }
       val (leaves, conds) = flatten(j)
       if (leaves.length < 3) j
       else {
-        val est = conf(EstimatorConf, "Spn").toLowerCase match {
-          case e @ ("spn" | "cartesianproduct" | "injected") => e
-          case other => throw new IllegalArgumentException(
-            s"there is no cardinality estimator with the name \"$other\"")
-        }
         val useSpn = est == "spn"
         val rels = leaves.zipWithIndex.map { case (p, i) =>
           Rel(p, leafCard(p, useSpn), i)

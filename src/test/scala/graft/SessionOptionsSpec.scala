@@ -71,6 +71,27 @@ class SessionOptionsSpec extends AnyFunSuite {
     }
   }
 
+  test("omitted weight/budget args reset stale confs (self-contained)") {
+    val s = new EngineSession(spark)
+    s.execute("\\plan_enumerator HeuristicSearch bottomup goo weighted_anytimeastar 1.5 128;")
+    assert(spark.conf.get(JoinReorderRule.HsWeightConf) == "1.5")
+    assert(spark.conf.get(JoinReorderRule.HsBudgetConf) == "128")
+    // re-selecting without weight/budget must not inherit 1.5/128
+    s.execute("\\plan_enumerator HeuristicSearch bottomup goo AStar;")
+    assert(spark.conf.getOption(JoinReorderRule.HsWeightConf).isEmpty)
+    assert(spark.conf.getOption(JoinReorderRule.HsBudgetConf).isEmpty)
+    clearConfs()
+  }
+
+  test("non-HeuristicSearch names reject extra args") {
+    val s = new EngineSession(spark)
+    intercept[SemaError](s.execute("\\plan_enumerator DPccp garbage;"))
+    intercept[SemaError](s.execute("\\plan_enumerator auto bottomup;"))
+    // the rejected invocation stored nothing
+    assert(spark.conf.getOption(JoinReorderRule.EnumeratorConf).isEmpty)
+    assert(spark.conf.getOption(JoinReorderRule.HsSpaceConf).isEmpty)
+  }
+
   test("\\cardinality_estimator CartesianProduct (results hold)") {
     val base = join5Results()
     val s = new EngineSession(spark)
@@ -108,6 +129,27 @@ class SessionOptionsSpec extends AnyFunSuite {
         if (t == null) Nil
         else Option(t.getMessage).toSeq ++ msgs(t.getCause)
       assert(msgs(e).exists(_.contains("no plan enumerator")), e.toString)
+    } finally {
+      spark.experimental.extraOptimizations = Nil
+      clearConfs()
+    }
+  }
+
+  test("bad estimator conf surfaces even on 2-way joins") {
+    import TestSession._
+    spark.conf.set(JoinReorderRule.EstimatorConf, "bogus")
+    spark.experimental.extraOptimizations = Seq(JoinReorderRule)
+    try {
+      // a plain PK-FK join flattens to 2 leaves — below the reorder
+      // threshold, but the estimator conf must still be validated
+      val n = spark.read.parquet(s"$sf/nation.parquet")
+      val r = spark.read.parquet(s"$sf/region.parquet")
+      val e = intercept[Exception](
+        n.join(r, n("n_regionkey") === r("r_regionkey")).count())
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil
+        else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(_.contains("no cardinality estimator")), e.toString)
     } finally {
       spark.experimental.extraOptimizations = Nil
       clearConfs()
