@@ -340,4 +340,31 @@ object StreamOps {
           }
       }
   }
+
+  // --------------------------------------- correctness registration
+
+  /** Batch-equivalence twin for the driver's oracle gate: runs the
+    * REAL streaming interval join (parquet file source → stream-stream
+    * range join → memory sink) to completion and returns the sink as a
+    * batch DataFrame. The single replay micro-batch makes the result
+    * deterministic (watermark starts at 0, nothing is dropped), so it
+    * must hash-match EventOps.rangeJoin's oracle. The memory sink holds
+    * only the join OUTPUT (same rows as the batch range join — bounded
+    * by matches, not corpus size); this entry exists to put the
+    * streaming code path under CORRECTNESS, not as a production path. */
+  def intervalJoinReplay(spark: SparkSession, dir: String): DataFrame = {
+    val q = intervalJoin(readEvents(spark, dir)).writeStream
+      .outputMode("append").format("memory")
+      .queryName("events_interval_stream_sink").start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table("events_interval_stream_sink")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_interval_stream" -> (intervalJoinReplay _))
+
+  /** Same matches as the batch range join (EventOps.rangeJoinOracle):
+    * purchase×click pairs of one user within ±15 minutes. */
+  val oracles: Map[String, String] = Map(
+    "events_interval_stream" -> graft.operators.EventOps.rangeJoinOracle)
 }
