@@ -35,7 +35,11 @@ object Bench {
     "agg_global", "order_by_topk",
     "dedup_exact", "dedup_minhash_lsh", "sim_knn_bruteforce",
     "text_quality_score", "events_sessionize", "events_asof_join",
-    "dialect_q1")
+    "dialect_q1",
+    // round-5/6 pipeline operators — benched so a perf regression on
+    // the newer surface is visible without a judge re-run
+    "dedup_containment", "pipeline_pack_sequences", "pipeline_decontaminate",
+    "embed_outlier_filter", "events_window_hopping", "doc_chunk_tokens")
 
   val Reps = 5
 
@@ -87,7 +91,17 @@ object Bench {
     val total = results.map(r => median(r._2)).filter(_ >= 0).sum
     val totalMin = results.map(_._2.min).filter(_ >= 0).sum
     val driverMb = Runtime.getRuntime.maxMemory / (1024 * 1024)
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","total_min":${fmt(totalMin)},"reps":$Reps,"queries":$qs,"queries_min":$qsMin,"variance":$varc,"runs":$runs,"driver_mem_mb":$driverMb,"load_avg":[${fmt(loadStart)},${fmt(loadAvg)}],"sf":"$sfDir"}""")
+    // bench-under-load policy (README "Benchmark protocol"): a
+    // gate-worthy run needs the host near-idle — round 6's recorded
+    // minhash variance of 4.2 was entirely host load (load_avg 3→9).
+    // Flag any run whose load average exceeded cores/5 at either end
+    // so reviewers re-run instead of gating on a noisy number.
+    val loadEnd = loadAvg
+    val loadWarn = {
+      val cap = Runtime.getRuntime.availableProcessors / 5.0
+      loadStart > cap || loadEnd > cap
+    }
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","total_min":${fmt(totalMin)},"reps":$Reps,"queries":$qs,"queries_min":$qsMin,"variance":$varc,"runs":$runs,"driver_mem_mb":$driverMb,"load_avg":[${fmt(loadStart)},${fmt(loadEnd)}],"load_warning":$loadWarn,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
