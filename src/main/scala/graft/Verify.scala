@@ -40,6 +40,21 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // quantitative gates for the no-oracle (approximate) ops: score
+    // each against its exact twin and surface the numbers next to the
+    // correctness dump so "no_oracle" rows carry an auditable metric
+    try {
+      val gates = graft.tools.QualityGates.compute(spark, sfDir)
+      Files.writeString(Paths.get(s"$outDir/quality.json"),
+        graft.tools.QualityGates.toJson(gates))
+      gates.foreach { g =>
+        System.err.println(f"[quality] ${g.query}%-22s ${g.metric}%-26s " +
+          f"${g.value}%.4f >= ${g.threshold}%.2f ${if (g.pass) "PASS" else "FAIL"}")
+      }
+      spark.sharedState.cacheManager.clearCache()
+    } catch { case e: Throwable =>
+      System.err.println(s"[verify] quality gates failed: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

@@ -362,32 +362,56 @@ object DedupOps {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
-  /** 64-bit SimHash per document + near-dup pairs at Hamming ≤ 8,
-    * candidates from 4×16-bit band buckets. The sign-vote vector is a
-    * single custom Aggregator buffer (Array[Int](64)), not 64 sum()
-    * columns. */
-  def simhashPairs(sp: SparkSession, dir: String): DataFrame = {
+  /** The 64-bit SimHash signature stage alone — shared by the
+    * multi-table candidate path below and QualityGates' exact
+    * all-pairs twin. The sign-vote vector is a single custom
+    * Aggregator buffer (Array[Int](64)), not 64 sum() columns. */
+  def simhashSignatures(sp: SparkSession, dir: String): DataFrame = {
     val simhashAgg = udaf(graft.functions.SimHashAgg)
-    val tokens = Engine.table(sp, dir, "documents")
+    Engine.table(sp, dir, "documents")
       .repartition(sp.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .withColumn("h", xxhash64(col("tok")))
-    val sigs = tokens.groupBy(col("doc_id"))
+      .groupBy(col("doc_id"))
       .agg(simhashAgg(col("h")).as("simhash"))
-    val bands = sigs.select(col("doc_id"), col("simhash"),
-      explode(array((0 until 4).map { b =>
-        struct(lit(b).as("band"),
-          shiftright(col("simhash"), b * 16).bitwiseAND(0xffffL).as("key"))
+  }
+
+  /** SimHash near-dup pairs at Hamming ≤ 3 via the Manku/Jain/Sarma
+    * multi-table scheme (WWW'07 "Detecting near-duplicates for web
+    * crawling"): split the 64-bit signature into 6 blocks and build
+    * one table per C(6,3)=20 choice of 3 blocks as the ~32-bit
+    * bucket key. Any pair within Hamming 3 leaves ≥3 blocks
+    * untouched, so SOME table keys them identically — recall is 1.0
+    * BY CONSTRUCTION (QualityGates pins it against the exact
+    * all-pairs twin), while 32-bit keys keep random bucket
+    * collisions — and therefore candidate volume — near zero at any
+    * corpus size. The earlier 4×16-band design missed ~60% of true
+    * pairs (8 diffs can touch all 4 bands) and Hamming ≤ 8 on 64
+    * bits mostly admitted the random background (the corpus pair
+    * histogram rises geometrically from h≈5). */
+  def simhashPairs(sp: SparkSession, dir: String): DataFrame = {
+    val sigs = simhashSignatures(sp, dir)
+    // 6 blocks of 11/11/11/11/10/10 bits
+    val offs = Seq(0, 11, 22, 33, 44, 54)
+    val lens = Seq(11, 11, 11, 11, 10, 10)
+    def block(i: Int) = shiftright(col("simhash"), offs(i))
+      .bitwiseAND((1L << lens(i)) - 1)
+    val combos = (0 until 6).combinations(3).toSeq
+    val tables = sigs.select(col("doc_id"), col("simhash"),
+      explode(array(combos.zipWithIndex.map { case (c, t) =>
+        struct(lit(t).as("tbl"),
+          (block(c(0)) * lit(1L << 22) + block(c(1)) * lit(1L << 11) +
+            block(c(2))).as("key"))
       }: _*)).as("bs"))
       .select(col("doc_id"), col("simhash"),
-        col("bs.band").as("band"), col("bs.key").as("key"))
-    bands.as("l").join(bands.as("r"),
-        col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
+        col("bs.tbl").as("tbl"), col("bs.key").as("key"))
+    tables.as("l").join(tables.as("r"),
+        col("l.tbl") === col("r.tbl") && col("l.key") === col("r.key") &&
           col("l.doc_id") < col("r.doc_id"))
       .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),
         bit_count(col("l.simhash").bitwiseXOR(col("r.simhash"))).as("hamming"))
       .distinct()
-      .filter(col("hamming") <= 8)
+      .filter(col("hamming") <= 3)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -1,0 +1,151 @@
+package graft.tools
+
+import graft.Engine
+import graft.operators.{DedupOps, MultimodalOps, SimilarityOps, TextOps}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Quantitative quality gates for the approximate (no-SQL-oracle)
+  * operators: each is scored against its EXACT twin at the
+  * verification scale factor, so the per-round artifact carries a
+  * recall/precision/error number instead of a bare rows-only check.
+  *
+  * Every gate here mirrors an assertion a ScalaTest spec already
+  * makes (DedupSimilaritySpec, MultimodalSpec, FunctionsSpec); this
+  * module surfaces the measured values into `quality.json` next to
+  * the driver's correctness dump so the gate is auditable.
+  *
+  * Scale posture: gates run at verification SFs (sf0.001/sf0.01).
+  * The exact twins used for scoring are all-pairs or driver-side by
+  * design — they are measurement instruments, never production paths
+  * (same status as the documented `sim_embedding_neardup` twin).
+  */
+object QualityGates {
+
+  final case class Gate(query: String, twin: String, metric: String,
+      value: Double, threshold: Double, nApprox: Long, nExact: Long) {
+    def pass: Boolean = value + 1e-12 >= threshold
+  }
+
+  private def pairSet(df: DataFrame): Set[(Long, Long)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  private def recallPrecision(query: String, twin: String,
+      approx: Set[(Long, Long)], exact: Set[(Long, Long)],
+      recallTh: Double): Seq[Gate] = {
+    val hit = (approx & exact).size.toDouble
+    Seq(
+      Gate(query, twin, "pair_recall",
+        if (exact.isEmpty) 1.0 else hit / exact.size, recallTh,
+        approx.size, exact.size),
+      // the approximate paths verify candidates exactly before
+      // emitting, so anything below 1.0 here is a real defect
+      Gate(query, twin, "pair_precision",
+        if (approx.isEmpty) 1.0 else hit / approx.size, 1.0,
+        approx.size, exact.size))
+  }
+
+  def compute(sp: SparkSession, dir: String): Seq[Gate] = {
+    val gates = Seq.newBuilder[Gate]
+
+    // ---- dedup_minhash_lsh vs exact n-gram Jaccard (τ = 0.5)
+    gates ++= recallPrecision("dedup_minhash_lsh", "dedup_ngram_jaccard",
+      pairSet(DedupOps.minhashLsh(sp, dir).select("doc_a", "doc_b")),
+      pairSet(DedupOps.ngramJaccard(sp, dir).select("doc_a", "doc_b")),
+      recallTh = 0.8)
+
+    // ---- dedup_simhash (multi-table candidates) vs exact all-pairs
+    // Hamming ≤ 3 over the SAME signatures. The Manku 3-of-6-block
+    // tables guarantee recall 1.0 by pigeonhole — gate at exactly 1.0
+    val sigs = DedupOps.simhashSignatures(sp, dir)
+    val sl = sigs.select(col("doc_id").as("doc_a"), col("simhash").as("sa"))
+    val sr = sigs.select(col("doc_id").as("doc_b"), col("simhash").as("sb"))
+    val exactHam = pairSet(sl.join(sr, col("doc_a") < col("doc_b"))
+      .filter(bit_count(col("sa").bitwiseXOR(col("sb"))) <= 3)
+      .select("doc_a", "doc_b"))
+    gates ++= recallPrecision("dedup_simhash", "exact_hamming_allpairs",
+      pairSet(DedupOps.simhashPairs(sp, dir).select("doc_a", "doc_b")),
+      exactHam, recallTh = 1.0)
+
+    // ---- ANN recall@5 vs brute-force exact top-5
+    val bf = pairSet(SimilarityOps.knnBruteForce(sp, dir)
+      .select("query_id", "neighbor_id"))
+    def annRecall(name: String, df: DataFrame, th: Double): Unit = {
+      val ann = pairSet(df.select("query_id", "neighbor_id"))
+      gates += Gate(name, "sim_knn_bruteforce", "recall_at_5",
+        if (bf.isEmpty) 1.0 else (ann & bf).size.toDouble / bf.size, th,
+        ann.size, bf.size)
+    }
+    annRecall("sim_ann_lsh", SimilarityOps.annLsh(sp, dir), 0.2)
+    annRecall("sim_ann_ivf", SimilarityOps.annIvf(sp, dir), 0.3)
+    annRecall("sim_ann_pq", SimilarityOps.annPq(sp, dir), 0.55)
+
+    // ---- sim_neardup_lsh vs the exact all-pairs cosine twin
+    gates ++= recallPrecision("sim_neardup_lsh", "sim_embedding_neardup",
+      pairSet(SimilarityOps.embeddingNearDupLsh(sp, dir)
+        .select("id_a", "id_b")),
+      pairSet(SimilarityOps.embeddingNearDup(sp, dir)
+        .select("id_a", "id_b")),
+      recallTh = 0.8)
+
+    // ---- sim_pq_encode: trained codebook must clearly beat the
+    // trivial one-centroid codebook (whose error is the total variance)
+    val enc = SimilarityOps.pqEncode(sp, dir)
+      .agg(avg(col("recon_err2")).as("e"), count(lit(1)).as("n"))
+      .collect()(0)
+    val (avgErr, nEnc) = (enc.getDouble(0), enc.getLong(1))
+    val totalVar = Engine.table(sp, dir, "embeddings")
+      .select(explode(col("embedding")).as("x"))
+      .agg((variance(col("x")) * 64).as("tv")).collect()(0).getDouble(0)
+    gates += Gate("sim_pq_encode", "one_centroid_codebook",
+      "reconstruction_improvement", 1.0 - avgErr / totalVar, 0.2, nEnc, nEnc)
+
+    // ---- media_byte_entropy vs a driver-side exact recompute
+    // (bounded sample, same shape as MultimodalSpec)
+    val gotEnt = MultimodalOps.byteEntropy(sp, dir)
+      .filter(col("doc_id") < 50)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val rawEnt = Engine.table(sp, dir, "documents")
+      .filter(col("doc_id") < 50)
+      .selectExpr("doc_id", "cast(text as binary)")
+      .collect().map(r => (r.getLong(0), r.getAs[Array[Byte]](1)))
+    val entOk = rawEnt.count { case (id, blob) =>
+      val counts = blob.groupBy(_ & 0xff).view.mapValues(_.length.toDouble)
+      val n = blob.length.toDouble
+      val h = -counts.values.map(c => (c / n) * math.log(c / n)).sum / math.log(2)
+      gotEnt.get(id).exists(e => math.abs(e - h) < 1e-9)
+    }
+    gates += Gate("media_byte_entropy", "driver_exact_recompute",
+      "exact_match_rate",
+      if (rawEnt.isEmpty) 1.0 else entOk.toDouble / rawEnt.length, 1.0,
+      gotEnt.size, rawEnt.length)
+
+    // ---- text_fingerprint vs a driver-side RollingMinHash recompute
+    val gotFp = TextOps.fingerprint(sp, dir)
+      .filter(col("doc_id") < 200)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rawFp = Engine.table(sp, dir, "documents")
+      .filter(col("doc_id") < 200)
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val fpOk = rawFp.count { case (id, text) =>
+      gotFp.get(id).contains(
+        graft.functions.RollingMinHash.minHash(text.getBytes("UTF-8"), 16))
+    }
+    gates += Gate("text_fingerprint", "driver_exact_recompute",
+      "exact_match_rate",
+      if (rawFp.isEmpty) 1.0 else fpOk.toDouble / rawFp.length, 1.0,
+      gotFp.size, rawFp.length)
+
+    gates.result()
+  }
+
+  /** JSON array, one object per gate (manual emission — same
+    * no-dependency posture as Verify's oracle_sql.json). */
+  def toJson(gates: Seq[Gate]): String =
+    gates.map { g =>
+      s"""{"query":"${g.query}","twin":"${g.twin}","metric":"${g.metric}",""" +
+        f""""value":${g.value}%.6f,"threshold":${g.threshold}%.6f,""" +
+        s""""pass":${g.pass},"n_approx":${g.nApprox},"n_exact":${g.nExact}}"""
+    }.mkString("[", ",", "]")
+}

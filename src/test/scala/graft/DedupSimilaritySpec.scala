@@ -20,12 +20,12 @@ class DedupSimilaritySpec extends AnyFunSuite {
       s"LSH recall too low: ${lsh.size}/${exact.size}")
   }
 
-  test("simhash pairs have hamming <= 8 and are symmetric-free (a<b)") {
+  test("simhash pairs have hamming <= 3 and are symmetric-free (a<b)") {
     val rows = DedupOps.simhashPairs(spark, sf).collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
       assert(r.getAs[Long]("doc_a") < r.getAs[Long]("doc_b"))
-      assert(r.getAs[Int]("hamming") <= 8)
+      assert(r.getAs[Int]("hamming") <= 3)
     }
   }
 
