@@ -3,7 +3,7 @@ package graft.optimizer
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.expressions.{And, Attribute, Expression, PredicateHelper}
 import org.apache.spark.sql.catalyst.plans.Inner
-import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, JoinHint, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, GlobalLimit, Join, JoinHint, LocalLimit, LogicalPlan, Offset, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 
 /** Join-order optimization re-expressing the reference's research core
@@ -1301,21 +1301,81 @@ object JoinReorderRule extends Rule[LogicalPlan] with PredicateHelper {
     * would skew ordering toward wide-but-short relations. */
   private def leafCard(p: LogicalPlan, useSpn: Boolean = true): Double = {
     val injected = if (injectedCards.isEmpty) None
-      else injectedCards.collectFirst {
-        case (name, card) if p.collectLeaves().exists(
-          _.toString.toLowerCase.contains(name.toLowerCase)) => card
+      else {
+        // resolve structurally like spnForPlan — file scans don't
+        // carry their path in toString
+        val names = leafNamesOf(p)
+        injectedCards.collectFirst {
+          case (name, card) if names.exists(n =>
+            n == name.toLowerCase || n.contains(name.toLowerCase)) => card
+        }
       }
     injected.getOrElse {
-      val stats = p.stats
-      val base = stats.rowCount match {
-        case Some(rc) => rc.toDouble.max(1.0)
-        case None =>
-          val rowWidth = math.max(8,
-            p.output.map(_.dataType.defaultSize).sum).toDouble
-          (stats.sizeInBytes.toDouble / rowWidth).max(1.0)
+      (if (useSpn) refinedCard(p) else None).getOrElse {
+        val stats = p.stats
+        val base = stats.rowCount match {
+          case Some(rc) => rc.toDouble.max(1.0)
+          case None =>
+            val rowWidth = math.max(8,
+              p.output.map(_.dataType.defaultSize).sum).toDouble
+            (stats.sizeInBytes.toDouble / rowWidth).max(1.0)
+        }
+        if (useSpn) base * spnSelectivity(p) else base
       }
-      if (useSpn) base * spnSelectivity(p) else base
     }
+  }
+
+  /** Aggregate/Limit leaves of the join graph — decorrelated
+    * subqueries surface exactly these shapes below a reorderable
+    * join. Without CBO, Spark prices an Aggregate at its child's
+    * size, so a tiny group-by looks corpus-sized to the enumerator
+    * and gets ordered like a fact table. Mirror the reference's
+    * estimator interface breadth (CardinalityEstimator.hpp:102-112):
+    *  - grouping → Π per-key SPN distinct counts
+    *    (`SpnEstimator::estimate_grouping`), capped by the input
+    *    estimate since a group count never exceeds the grouped rows;
+    *  - limit/offset → `estimate_limit` arithmetic on the child
+    *    estimate (applies even when the child itself was SPN-refined,
+    *    which Spark's size-only visitor cannot see).
+    * Composed grouping expressions (ref: `data_model_exception`) and
+    * un-modeled tables fall back to Spark's stats. Descends through
+    * column-pruning Projects only. */
+  private def refinedCard(p: LogicalPlan): Option[Double] = p match {
+    case Project(_, child) => refinedCard(child)
+    case GlobalLimit(Lit(n), child) =>
+      Some(Spn.estimateLimit(leafCard(child), n))
+    case LocalLimit(Lit(n), child) =>
+      Some(Spn.estimateLimit(leafCard(child), n))
+    case Offset(Lit(n), child) =>
+      Some(math.max(0.0, leafCard(child) - n))
+    case agg: Aggregate =>
+      if (agg.groupingExpressions.isEmpty) Some(1.0)
+      else spnForPlan(agg.child).flatMap { spn =>
+        import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference}
+        val keys = agg.groupingExpressions.map {
+          case a: AttributeReference => Some(bareName(spn, a.name))
+          case Alias(a: AttributeReference, _) => Some(bareName(spn, a.name))
+          case _ => None // composed expression → no SPN estimate
+        }
+        if (keys.exists(_.isEmpty)) None
+        else Some(math.min(spn.estimateGrouping(keys.flatten),
+          leafCard(agg.child)))
+      }
+    case _ => None
+  }
+
+  /** Dialect scans alias-prefix columns ("l.l_quantity"); the SPN is
+    * keyed by bare table column names. */
+  private def bareName(spn: Spn, name: String): String =
+    if (spn.estimateDistinct(name).isDefined) name else name.split('.').last
+
+  private object Lit {
+    def unapply(e: org.apache.spark.sql.catalyst.expressions.Expression): Option[Long] =
+      e match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => Some(v.toLong)
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) => Some(v)
+        case _ => None
+      }
   }
 
   /** Correlation-aware filter selectivity from a learned SPN (ref
@@ -1329,9 +1389,12 @@ object JoinReorderRule extends Rule[LogicalPlan] with PredicateHelper {
     * Resolves the table name structurally: file-backed scans carry
     * their root path (…/lineitem.parquet → "lineitem"); only falls
     * back to the plan string for non-file relations. */
-  private def spnForPlan(p: LogicalPlan): Option[Spn] = {
-    if (SpnCatalog.keys.isEmpty) return None
-    val leafNames: Seq[String] = p.collectLeaves().flatMap {
+  /** Structural table names of a subtree's leaves: file-backed scans
+    * carry their root path (…/lineitem.parquet → "lineitem"); only
+    * falls back to the plan string for non-file relations. Shared by
+    * SPN lookup and cardinality injection. */
+  private def leafNamesOf(p: LogicalPlan): Seq[String] =
+    p.collectLeaves().flatMap {
       case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
         lr.relation match {
           case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
@@ -1341,6 +1404,10 @@ object JoinReorderRule extends Rule[LogicalPlan] with PredicateHelper {
         }
       case other => Seq(other.toString.toLowerCase)
     }
+
+  private def spnForPlan(p: LogicalPlan): Option[Spn] = {
+    if (SpnCatalog.keys.isEmpty) return None
+    val leafNames: Seq[String] = leafNamesOf(p)
     SpnCatalog.keys
       .find { k =>
         val table = k.split('.').last

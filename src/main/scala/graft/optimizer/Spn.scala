@@ -62,9 +62,34 @@ final class Spn private (root: Spn.Node, val colNames: Vector[String],
       Some(if (scaleUp > 1.0 && freq < 2.0) d * scaleUp else d)
     }
   }
+
+  /** Full-table row estimate (sample rows × scale-up) — the model's
+    * `num_rows`, backing the primary-key fallback below. */
+  def numRows: Double = math.max(1.0, sampleRows * scaleUp)
+
+  /** Grouped cardinality = Π per-key distinct counts, mirroring ref
+    * `SpnEstimator::estimate_grouping` (src/catalog/
+    * CardinalityEstimator.cpp:646-669, interface hpp:102-112): each
+    * group key contributes its estimated distinct-value count; a key
+    * the model does not cover is treated as a primary key and
+    * contributes `num_rows` (ref :665). An empty key set is the
+    * global aggregate's single group. Callers that know the input's
+    * (possibly filtered) cardinality should cap the product with it —
+    * a group count can never exceed the grouped row count. */
+  def estimateGrouping(cols: Seq[String]): Double =
+    if (cols.isEmpty) 1.0
+    else cols.map(c => estimateDistinct(c).getOrElse(numRows)).product
 }
 
 object Spn {
+  /** Limit caps cardinality: `min(card − offset, limit)` — ref
+    * `SpnEstimator::estimate_limit` (src/catalog/CardinalityEstimator
+    * .cpp:639-644), with the offset subtraction of
+    * `CartesianProductEstimator::estimate_limit` (:89-97). Pure
+    * arithmetic, shared by every estimator kind. */
+  def estimateLimit(card: Double, limit: Long, offset: Long = 0L): Double =
+    math.min(math.max(0.0, card - offset), math.max(0L, limit).toDouble)
+
   sealed trait Node
   final case class SumNode(children: Vector[Node], weights: Vector[Double]) extends Node
   final case class ProductNode(children: Vector[Node]) extends Node

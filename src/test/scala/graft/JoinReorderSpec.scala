@@ -486,6 +486,85 @@ class JoinReorderSpec extends AnyFunSuite {
     } finally spark.experimental.extraOptimizations = Nil
   }
 
+  test("SPN grouping estimate re-orders an aggregate-below-join plan for the better") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join, LogicalPlan}
+    import graft.optimizer.{Spn, SpnCatalog}
+    // Decorrelated-subquery shape: AGG(big GROUP BY k) ⋈ d1 ⋈ d2.
+    //   big: 20k rows, k has 10 distinct values → AGG is truly 10 rows
+    //   d1:  1k rows, k1 ∈ 0..99 (10 rows/key), j1 unique
+    //   d2:  5k rows, j2 unique
+    // True intermediates: AGG⋈d1 = 100 (only k1 < 10 survives) then
+    // ⋈d2 = 100; d1⋈d2 = 1000. True C_out: agg-first 200, d1d2-first
+    // 1100 — joining the aggregate first is strictly better.
+    // Blind, the aggregate is priced at its child's 20k rows
+    // (simulated via the injection estimator, the ref's tool for
+    // exactly this experiment), which inflates est(AGG⋈d1) to ~200k;
+    // that oversized intermediate makes the j-edge estimate take d2's
+    // side (5000·1 instead of the true 100), so the enumerator starts
+    // with d1⋈d2 (201k < 205k). With estimate_grouping the aggregate
+    // prices at ~10 rows, est(AGG⋈d1) collapses to ~100, the
+    // composite becomes the limiting side of the j-edge, and
+    // agg-first wins (200 vs 1100) — matching the true optimum.
+    val dir = java.nio.file.Files.createTempDirectory("spn_grouping").toString
+    spark.range(20000).selectExpr("id % 10 AS k", "id AS v")
+      .write.mode("overwrite").parquet(s"$dir/big.parquet")
+    spark.range(1000).selectExpr("id % 100 AS k1", "id AS j1")
+      .write.mode("overwrite").parquet(s"$dir/d1.parquet")
+    spark.range(5000).selectExpr("id AS j2")
+      .write.mode("overwrite").parquet(s"$dir/d2.parquet")
+    SpnCatalog.clear()
+    for (t <- Seq("big", "d1", "d2"))
+      SpnCatalog.put(s"t.$t",
+        Spn.learnFrom(spark.read.parquet(s"$dir/$t.parquet")))
+
+    def query() = {
+      val agg = spark.read.parquet(s"$dir/big.parquet")
+        .groupBy("k").agg(org.apache.spark.sql.functions.sum("v").as("sv"))
+      val d1 = spark.read.parquet(s"$dir/d1.parquet")
+      val d2 = spark.read.parquet(s"$dir/d2.parquet")
+      agg.join(d1, agg("k") === d1("k1")).join(d2, d1("j1") === d2("j2"))
+    }
+    // the first-executed join is the deepest Join node (pre-order
+    // collect puts it last); "joins the aggregate first" ⇔ that join
+    // has an Aggregate descendant
+    def firstJoinHasAgg(p: LogicalPlan): Boolean = {
+      val joins = p.collect { case j: Join => j }
+      assert(joins.nonEmpty, p.treeString)
+      joins.last.exists(_.isInstanceOf[Aggregate])
+    }
+    spark.experimental.extraOptimizations = Seq(JoinReorderRule)
+    try {
+      // blind: aggregate priced at child size → starts with d1⋈d2
+      JoinReorderRule.injectedCards = Map("big" -> 20000.0)
+      assert(!firstJoinHasAgg(query().queryExecution.optimizedPlan),
+        "blind plan should not start with the aggregate")
+      // refined: estimate_grouping prices AGG at ~10 → joined first
+      JoinReorderRule.injectedCards = Map.empty
+      assert(firstJoinHasAgg(query().queryExecution.optimizedPlan),
+        "grouping-refined plan should join the aggregate first")
+      // and that order is genuinely better: compare true C_out
+      val aggD1 = query() // recompute true intermediate sizes
+      val nAggFirst = {
+        val agg = spark.read.parquet(s"$dir/big.parquet")
+          .groupBy("k").agg(org.apache.spark.sql.functions.sum("v").as("sv"))
+        val d1 = spark.read.parquet(s"$dir/d1.parquet")
+        agg.join(d1, agg("k") === d1("k1")).count()
+      }
+      val nD1D2 = {
+        val d1 = spark.read.parquet(s"$dir/d1.parquet")
+        val d2 = spark.read.parquet(s"$dir/d2.parquet")
+        d1.join(d2, d1("j1") === d2("j2")).count()
+      }
+      val nFinal = aggD1.count()
+      assert(nAggFirst + nFinal < nD1D2 + nFinal,
+        s"agg-first C_out ${nAggFirst + nFinal} vs d1d2-first ${nD1D2 + nFinal}")
+    } finally {
+      spark.experimental.extraOptimizations = Nil
+      JoinReorderRule.injectedCards = Map.empty
+      SpnCatalog.clear()
+    }
+  }
+
   test("rule preserves results on dialect comma-joins (q3 shape)") {
     val base = operators.DialectQueries.queries("dialect_q3")(spark, sf)
       .collect().map(_.toSeq.toString).sorted

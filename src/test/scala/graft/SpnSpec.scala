@@ -137,6 +137,30 @@ class SpnSpec extends AnyFunSuite {
       s"informed plan should join B⋈C first, got ${firstJoin(informed)}")
   }
 
+  test("SPN grouping and limit estimates mirror the reference interface") {
+    // k: 10 distinct values, v: ~unique — ref estimate_grouping is the
+    // product of per-key distinct counts (CardinalityEstimator.cpp:646)
+    val rnd = new scala.util.Random(17)
+    val data = Array.tabulate(2000)(i =>
+      Array((i % 10).toDouble, i.toDouble, rnd.nextDouble()))
+    val spn = Spn.learn(data, Vector("k", "v", "noise"))
+    val gK = spn.estimateGrouping(Seq("k"))
+    assert(math.abs(gK - 10.0) <= 2.0, s"grouping on k: $gK")
+    // multi-key: product of the two distinct counts
+    val gKV = spn.estimateGrouping(Seq("k", "v"))
+    assert(gKV >= gK * 100, s"k×v product missing: $gKV")
+    // uncovered key → primary key → num_rows (ref :665)
+    val gPk = spn.estimateGrouping(Seq("not_a_column"))
+    assert(math.abs(gPk - spn.numRows) < 1e-9)
+    // empty key set = the single global group
+    assert(spn.estimateGrouping(Nil) == 1.0)
+    // limit arithmetic (ref :639, offset per CartesianProduct :89)
+    assert(Spn.estimateLimit(1000.0, 10) == 10.0)
+    assert(Spn.estimateLimit(5.0, 10) == 5.0)
+    assert(Spn.estimateLimit(1000.0, 10, offset = 995) == 5.0)
+    assert(Spn.estimateLimit(1000.0, 10, offset = 2000) == 0.0)
+  }
+
   test("unknown instructions are rejected like the reference") {
     val session = new EngineSession(spark)
     intercept[graft.analyzer.SemaError] {
