@@ -49,7 +49,20 @@ object JoinReorder {
       edgeMf: Map[(Int, Int), (Double, Double)] = Map.empty,
       // ref CartesianProductEstimator (CardinalityEstimator.cpp:802):
       // every join priced as |L|·|R|, selectivities ignored
-      cartesian: Boolean = false)
+      cartesian: Boolean = false) {
+    /** Per-relation neighbor bitmasks (graphs with ≤ 64 relations):
+      * the search/heuristic hot paths test connectivity per candidate
+      * pair, and an edge-list scan with Set.contains there made
+      * beam-search time out on clique-15 where the SIGMOD'23 numbers
+      * are milliseconds. Empty beyond 64 relations (callers fall back
+      * to the edge scan). */
+    lazy val adjMask: Array[Long] = {
+      val a = new Array[Long](rels.length)
+      if (rels.length <= 64)
+        edges.foreach { case (x, y, _) => a(x) |= 1L << y; a(y) |= 1L << x }
+      a
+    }
+  }
 
   object JoinGraph {
     val DpLimit = 12
@@ -62,13 +75,21 @@ object JoinReorder {
   /** A plan enumerator maps a join graph to a join order: a binary
     * tree over relation indices. Mirrors the reference's pluggable
     * `PlanEnumerator` interface. */
-  sealed trait JoinTree { def card: Double; def cost: Double; def set: Set[Int] }
+  sealed trait JoinTree {
+    def card: Double; def cost: Double; def set: Set[Int]
+    /** Bitmask twin of `set` for ≤ 64 relations (hot-path
+      * connectivity); bits beyond index 63 are dropped. */
+    def mask: Long
+  }
   final case class Leaf(r: Rel) extends JoinTree {
-    def card: Double = r.card; def cost: Double = 0.0; def set = Set(r.idx)
+    def card: Double = r.card; def cost: Double = 0.0
+    val set = Set(r.idx)
+    val mask: Long = if (r.idx < 64) 1L << r.idx else 0L
   }
   final case class Node(l: JoinTree, r: JoinTree, card: Double) extends JoinTree {
     def cost: Double = l.cost + r.cost + card // C_out
-    def set: Set[Int] = l.set ++ r.set
+    lazy val set: Set[Int] = l.set ++ r.set
+    val mask: Long = l.mask | r.mask
   }
 
   trait PlanEnumerator {
@@ -81,13 +102,31 @@ object JoinReorder {
       (a.contains(x) && b.contains(y)) || (a.contains(y) && b.contains(x))
     }
 
+  /** Connectivity of two subtrees via precomputed neighbor bitmasks —
+    * OR the left side's adjacency rows, intersect with the right's
+    * membership mask. Popcount-bounded, no edge scan, no Set ops. */
+  private def connectedTrees(g: JoinGraph, l: JoinTree, r: JoinTree): Boolean =
+    if (g.rels.length <= 64) {
+      val adj = g.adjMask
+      var rem = l.mask
+      var acc = 0L
+      while (rem != 0L) {
+        acc |= adj(java.lang.Long.numberOfTrailingZeros(rem))
+        rem &= rem - 1
+      }
+      (acc & r.mask) != 0L
+    } else connected(g, l.set, r.set)
+
   private def joinedCard(g: JoinGraph, l: JoinTree, r: JoinTree): Double =
     if (g.cartesian) l.card * r.card
-    else g.inject.get(l.set ++ r.set) match {
+    else (if (g.inject.isEmpty) None else g.inject.get(l.set ++ r.set)) match {
       case Some(c) => c // injected subproblem cardinality wins
       case None =>
-        if (!connected(g, l.set, r.set))
+        if (!connectedTrees(g, l, r))
           l.card * r.card // cross product — heavily penalized by C_out
+        else if (g.edgeMf.isEmpty)
+          // no SPN info anywhere: independence fold, skip the edge scan
+          JoinGraph.joinCard(l.card, r.card)
         else {
           // SPN join estimate via distinct counts (ref SpnEstimator::
           // estimate_join, src/catalog/CardinalityEstimator.cpp:480-496
@@ -888,7 +927,7 @@ object JoinReorder {
           else {
             var bestAdd = Double.PositiveInfinity
             for (i <- parts.indices; j <- (i + 1) until parts.length
-                 if connected(g, parts(i).set, parts(j).set)) {
+                 if connectedTrees(g, parts(i), parts(j))) {
               val jc = joinedCard(g, parts(i), parts(j))
               val add = 2 * jc - parts(i).card - parts(j).card
               if (add < bestAdd) bestAdd = add
@@ -1111,7 +1150,12 @@ object JoinReorder {
       }
       implicit val ord: Ordering[Entry] = Ordering.by(e => -e.f)
       val frontier = collection.mutable.PriorityQueue.empty[Entry]
-      val closed = collection.mutable.Set.empty[Set[Set[Int]]]
+      // closed keys: sorted subproblem bitmasks (≤ 64 rels) — far
+      // cheaper to build/hash than a Set[Set[Int]]
+      val closed = collection.mutable.Set.empty[AnyRef]
+      def keyOf(parts: Vector[JoinTree]): AnyRef =
+        if (g.rels.length <= 64) parts.map(_.mask).sorted
+        else parts.map(_.set).toSet
       val start = g.rels.map(Leaf(_): JoinTree)
       frontier.enqueue(Entry(start, 0.0, hValue(g, start)))
       // cbp upper bound: a greedy complete plan (the ref seeds
@@ -1122,7 +1166,7 @@ object JoinReorder {
       var budget = expansionBudget
       while (frontier.nonEmpty) {
         val e = frontier.dequeue()
-        val key = e.parts.map(_.set).toSet
+        val key = keyOf(e.parts)
         if (!closed.contains(key)) {
           closed += key
           if (e.parts.length == 1) return e.parts.head
@@ -1138,7 +1182,7 @@ object JoinReorder {
             i <- e.parts.indices; j <- (i + 1) until e.parts.length
           } yield (i, j)
           val connectedPairs = pairs.filter { case (i, j) =>
-            connected(g, e.parts(i).set, e.parts(j).set)
+            connectedTrees(g, e.parts(i), e.parts(j))
           }
           val candidates = if (connectedPairs.nonEmpty) connectedPairs else pairs
           val succs = candidates.map { case (i, j) =>

@@ -470,6 +470,34 @@ class JoinReorderSpec extends AnyFunSuite {
 
   // ---- production wiring ----
 
+  test("heuristic search beats DP wall-clock at n=20 on star/clique (SIGMOD'23 headline)") {
+    import graft.optimizer.JoinReorder
+    def time[A](f: => A): (Double, A) = {
+      val t0 = System.nanoTime
+      val a = f
+      ((System.nanoTime - t0) / 1e6, a)
+    }
+    val hs = JoinReorder.resolve("HeuristicSearch", hsSearch = "anytimeastar")
+    hs.enumerate(randomGraph(8, 1, "chain")) // JIT warm-up
+    DPsubOpt.enumerate(randomGraph(8, 1, "chain"))
+    // star-20: the fastest DP family member (DPsubOpt, ~1.5 s in
+    // ENUMBENCH) still completes — direct wall-clock comparison
+    val star = randomGraph(20, 7, "star")
+    val (hsStarMs, hsStar) = time(hs.enumerate(star))
+    val (dpStarMs, dpStar) = time(DPsubOpt.enumerate(star))
+    assert(hsStar.set == (0 until 20).toSet)
+    assert(dpStar.cost <= hsStar.cost + 1e-6) // DP is the optimum
+    assert(hsStarMs < dpStarMs,
+      f"hs $hsStarMs%.1f ms !< dp $dpStarMs%.1f ms")
+    // clique-20: every DP family member exceeds the 3 s EnumBench
+    // budget (see ENUMBENCH.json) — pin that anytime heuristic search
+    // still returns a complete plan promptly
+    val clique = randomGraph(20, 7, "clique")
+    val (hsCliqueMs, hsClique) = time(hs.enumerate(clique))
+    assert(hsClique.set == (0 until 20).toSet)
+    assert(hsCliqueMs < 2000.0, f"clique-20 hs took $hsCliqueMs%.1f ms")
+  }
+
   test("GraftExtensions injects JoinReorderRule (production session wiring)") {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new graft.optimizer.GraftExtensions().apply(ext)
