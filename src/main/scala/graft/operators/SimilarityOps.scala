@@ -70,30 +70,72 @@ object SimilarityOps {
 
   // Random-hyperplane LSH, L independent tables of k bits each
   // (sig bit = sign(v · plane)); deterministic seeded directions.
-  // L×k trades recall vs candidate volume — the standard knob at scale.
+  // L×k trades recall vs candidate volume — the standard knob at
+  // scale. The plane pool is sized for the adaptive upper bound
+  // (MaxTables × MaxBits); a (L, k) configuration uses its prefix.
   private val NumTables = 8
   private val BitsPerTable = 6
+  private val MaxTables = 24
+  private val MaxBits = 16
   private val Dim = 64
   private val planes: Array[Array[Array[Double]]] = {
     val r = new scala.util.Random(7)
-    Array.fill(NumTables, BitsPerTable)(Array.fill(Dim)(r.nextGaussian()))
+    Array.fill(MaxTables, MaxBits)(Array.fill(Dim)(r.nextGaussian()))
   }
 
-  /** Per-table LSH signature for a double-vector column. */
-  private def lshSig(v: Column, table: Int): Column =
-    (0 until BitsPerTable).map { p =>
-      val proj = (0 until Dim).map(i => element_at(v, i + 1) * lit(planes(table)(p)(i)))
-        .reduce(_ + _)
-      when(proj >= 0, lit(1L << p)).otherwise(0L)
-    }.reduce((a, b) => a.bitwiseOR(b))
+  /** Corpus-size-adaptive (tables, bits): keep expected bucket
+    * occupancy near 32 (candidate volume ∝ n²/2^bits, so fixed bits
+    * turn quadratic at scale), and add tables as bits grow so the
+    * cos ≥ 0.95 pair-recall stays ≥ ~99% (per-bit collision
+    * probability 1 − θ/π ≈ 0.9 at θ = 18°: recall =
+    * 1 − (1 − 0.9^bits)^tables). At the oracle SFs (n ≤ 2000) this
+    * resolves to the historical 8 × 6 configuration. */
+  private def lshConfig(n: Long): (Int, Int) = {
+    def ceilLog2(x: Long) = 64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, x - 1))
+    val bits = math.max(BitsPerTable, math.min(MaxBits, ceilLog2(math.max(1L, n / 32))))
+    val tables = math.min(MaxTables,
+      math.max(NumTables, math.ceil(NumTables * math.pow(0.9, BitsPerTable - bits)).toInt))
+    (tables, bits)
+  }
 
-  /** (table, sig) bucket entries, one row per table per vector. */
-  private def buckets(df: DataFrame): DataFrame =
-    df.select(col("*"), explode(array((0 until NumTables).map { t =>
-      struct(lit(t).as("tbl"), lshSig(col("v"), t).as("sig"))
-    }: _*)).as("b"))
-      .select(col("vec_id"), col("v"), col("nrm"),
-        col("b.tbl").as("tbl"), col("b.sig").as("sig"))
+  /** (table, sig) bucket entries, one row per table per vector.
+    *
+    * Signatures are computed in one tight per-partition pass over
+    * primitive arrays. The earlier expression formulation (8 tables ×
+    * 6 bits × 64 `element_at` terms inlined into one projection)
+    * exceeded Janino's generated-method limits, so whole-stage codegen
+    * FELL BACK to interpreted eval and signature computation dominated
+    * the whole operator (~20 s at sf0.1, the top cost in
+    * SCALEBENCH.json before this change). Summation order matches the
+    * old expression (i = 0..63 left fold), so signatures are
+    * bit-identical. */
+  private def buckets(df: DataFrame,
+      numTables: Int = NumTables, bitsPerTable: Int = BitsPerTable): DataFrame = {
+    val sp = df.sparkSession
+    import sp.implicits._
+    val (pl, nt, bt, dim) = (planes, numTables, bitsPerTable, Dim)
+    df.select(col("vec_id"), col("v"), col("nrm"))
+      .as[(Long, Seq[Double], Double)]
+      .mapPartitions { it =>
+        it.flatMap { case (id, vSeq, nrm) =>
+          val v = vSeq.toArray
+          (0 until nt).iterator.map { t =>
+            var sig = 0L
+            var p = 0
+            while (p < bt) {
+              val plane = pl(t)(p)
+              var s = 0.0
+              var i = 0
+              while (i < dim) { s += v(i) * plane(i); i += 1 }
+              if (s >= 0) sig |= 1L << p
+              p += 1
+            }
+            (id, vSeq, nrm, t, sig)
+          }
+        }
+      }
+      .toDF("vec_id", "v", "nrm", "tbl", "sig")
+  }
 
   /** ANN: L hash tables + 1-bit-flip multi-probe on the query side,
     * exact cosine re-rank over the candidate union, top-k per query.
@@ -106,13 +148,17 @@ object SimilarityOps {
     val q = buckets(vecs(sp, dir).filter(col("vec_id") < 10))
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("nrm").as("qn"), col("tbl").as("qtbl"), explode(probes).as("qsig"))
-    val cands = q.join(all,
+    // dedup on the id pair only (see embeddingNearDupLsh), then join
+    // the vectors back for exact scoring
+    val cands = q.join(all.select(col("vec_id"), col("tbl"), col("sig")),
         col("tbl") === col("qtbl") && col("sig") === col("qsig") &&
           col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("qv"), col("qn"),
-        col("vec_id"), col("v"), col("nrm"))
+      .select(col("query_id"), col("vec_id"))
       .distinct() // a pair can collide in several tables/probes
-    val scored = cands
+    val qv = vecs(sp, dir)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val cv = vecs(sp, dir)
+    val scored = cands.join(qv, "query_id").join(cv, "vec_id")
       .withColumn("cosine", dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("vec_id"))
@@ -191,17 +237,44 @@ object SimilarityOps {
     * volume is bucket-local, so the all-pairs product never forms.
     * Approximate by construction → recall-spec'd, no SQL oracle. */
   def embeddingNearDupLsh(sp: SparkSession, dir: String): DataFrame = {
-    val b = buckets(vecs(sp, dir))
-    val cands = b.as("l").join(b.as("r"),
+    import sp.implicits._
+    val vv = vecs(sp, dir)
+    // size (tables, bits) from the corpus so candidate volume stays
+    // near-linear (one cheap count; production LSH sizing needs the
+    // same statistic)
+    val (tables, bits) = lshConfig(vv.count())
+    val b = buckets(vv, tables, bits)
+    // one shuffle total: the bucket self-join. Candidates ride the
+    // vectors from the join (no re-join), cosine verification runs as
+    // a tight typed pass (the HOF dot on millions of candidate pairs
+    // was the dominant cost in SCALEBENCH before this change), and
+    // dedup happens AFTER the ≥ 0.95 filter where only true near-dup
+    // pairs — a tiny set — remain (a pair can collide in several
+    // tables; verifying a duplicate candidate twice is far cheaper
+    // than a distinct() over the full candidate volume).
+    b.as("l").join(b.as("r"),
         col("l.tbl") === col("r.tbl") && col("l.sig") === col("r.sig") &&
           col("l.vec_id") < col("r.vec_id"))
       .select(col("l.vec_id").as("id_a"), col("l.v").as("va"), col("l.nrm").as("na"),
         col("r.vec_id").as("id_b"), col("r.v").as("vb"), col("r.nrm").as("nb"))
+      .as[(Long, Seq[Double], Double, Long, Seq[Double], Double)]
+      .mapPartitions { it =>
+        it.flatMap { case (ida, vaSeq, na, idb, vbSeq, nb) =>
+          // same fold order as the HOF dot() → bit-identical cosines
+          val va = vaSeq.toArray; val vb = vbSeq.toArray
+          var s = 0.0
+          var i = 0
+          while (i < va.length) { s += va(i) * vb(i); i += 1 }
+          val cos = s / (na * nb)
+          if (cos >= 0.95)
+            // match Spark's round(col, 4): HALF_UP decimal rounding
+            Some((ida, idb, BigDecimal(cos)
+              .setScale(4, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble))
+          else None
+        }
+      }
+      .toDF("id_a", "id_b", "cosine_r")
       .distinct()
-    cands
-      .withColumn("cosine", dot(col("va"), col("vb")) / (col("na") * col("nb")))
-      .filter(col("cosine") >= 0.95)
-      .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine_r"))
   }
 
   val embeddingNearDupOracle: String = """
