@@ -360,11 +360,37 @@ object StreamOps {
     spark.table("events_interval_stream_sink")
   }
 
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "events_interval_stream" -> (intervalJoinReplay _))
+  /** Streaming windowed-aggregation replay twin: complete-mode memory
+    * sink, so every window is emitted and the result is exact. Only
+    * the count column is kept — `total_value` is a float sum whose
+    * accumulation order differs between the streaming state store and
+    * a batch shuffle, so it has no bit-stable oracle form (the batch
+    * `events_window_agg` covers it via exact-decimal summation).
+    * Sessionize has no replay twin here: its open tail session stays
+    * in state per user (subset, not equality — StreamingSpec pins
+    * that containment instead). */
+  def windowAggReplay(spark: SparkSession, dir: String): DataFrame = {
+    val q = windowAgg(readEvents(spark, dir)).writeStream
+      .outputMode("complete").format("memory")
+      .queryName("events_window_stream_sink").start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table("events_window_stream_sink")
+      .select(col("hour_ts"), col("event_type"), col("n"))
+  }
 
-  /** Same matches as the batch range join (EventOps.rangeJoinOracle):
-    * purchase×click pairs of one user within ±15 minutes. */
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_interval_stream" -> (intervalJoinReplay _),
+    "events_window_stream" -> (windowAggReplay _))
+
+  /** Oracles: the interval join shares the batch range-join SQL
+    * (purchase×click pairs of one user within ±15 minutes); the
+    * window replay is the count-only projection of the batch
+    * window-agg SQL. */
   val oracles: Map[String, String] = Map(
-    "events_interval_stream" -> graft.operators.EventOps.rangeJoinOracle)
+    "events_interval_stream" -> graft.operators.EventOps.rangeJoinOracle,
+    "events_window_stream" -> """
+      SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_ts,
+        event_type, COUNT(*) AS n
+      FROM events
+      GROUP BY date_trunc('hour', ts), event_type""")
 }
