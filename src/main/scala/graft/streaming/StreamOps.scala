@@ -378,19 +378,55 @@ object StreamOps {
       .select(col("hour_ts"), col("event_type"), col("n"))
   }
 
+  /** Streaming as-of enrichment replay twin. A single replay
+    * micro-batch sees the watermark at 0, so no row is late-dropped
+    * and no TTL fires: the output is exactly the batch as-of join
+    * (StreamingSpec asserts the same equality row-by-row), and it can
+    * share EventOps.asofJoinOracle verbatim. */
+  def asofEnrichReplay(spark: SparkSession, dir: String): DataFrame = {
+    val q = asofEnrich(spark, readEvents(spark, dir)).toDF.writeStream
+      .outputMode("append").format("memory")
+      .queryName("events_asof_stream_sink").start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table("events_asof_stream_sink")
+      .select(col("event_id"), col("user_id"), col("last_purchase_value"))
+  }
+
+  /** Streaming exact-dedup replay twin. WHICH doc_id survives per
+    * content hash is micro-batch-arrival-order-dependent (all rows of
+    * a replay land in one batch, so "first seen" is partition order —
+    * not deterministic), but the SET of surviving hashes is exactly
+    * the distinct content set — that is the projection registered
+    * here. Survivor-choice policy is the batch op's job
+    * (dedup_cluster_keep_best); the streaming guarantee under test is
+    * "every distinct content survives exactly once". */
+  def dedupExactReplay(spark: SparkSession, dir: String): DataFrame = {
+    val q = dedupExact(readDocuments(spark, dir)).writeStream
+      .outputMode("append").format("memory")
+      .queryName("docs_dedup_stream_sink").start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table("docs_dedup_stream_sink").select(col("text_hash"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_interval_stream" -> (intervalJoinReplay _),
-    "events_window_stream" -> (windowAggReplay _))
+    "events_window_stream" -> (windowAggReplay _),
+    "events_asof_stream" -> (asofEnrichReplay _),
+    "docs_dedup_stream" -> (dedupExactReplay _))
 
   /** Oracles: the interval join shares the batch range-join SQL
-    * (purchase×click pairs of one user within ±15 minutes); the
-    * window replay is the count-only projection of the batch
-    * window-agg SQL. */
+    * (purchase×click pairs of one user within ±15 minutes); the as-of
+    * replay shares the batch as-of SQL; the window replay is the
+    * count-only projection of the batch window-agg SQL; the dedup
+    * replay is the distinct content-hash set. */
   val oracles: Map[String, String] = Map(
     "events_interval_stream" -> graft.operators.EventOps.rangeJoinOracle,
+    "events_asof_stream" -> graft.operators.EventOps.asofJoinOracle,
     "events_window_stream" -> """
       SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_ts,
         event_type, COUNT(*) AS n
       FROM events
-      GROUP BY date_trunc('hour', ts), event_type""")
+      GROUP BY date_trunc('hour', ts), event_type""",
+    "docs_dedup_stream" ->
+      "SELECT DISTINCT md5(text) AS text_hash FROM documents")
 }
