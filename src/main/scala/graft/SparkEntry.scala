@@ -23,7 +23,8 @@ object SparkEntry {
     Relational.queries ++ EventOps.queries ++ TextOps.queries ++
       DedupOps.queries ++ SimilarityOps.queries ++ MultimodalOps.queries ++
       DialectQueries.queries ++ IndexOps.queries ++ CurationOps.queries ++
-      ChunkOps.queries ++ graft.streaming.StreamOps.queries
+      ChunkOps.queries ++ StatsOps.queries ++
+      graft.streaming.StreamOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -31,5 +32,6 @@ object SparkEntry {
     Relational.oracles ++ EventOps.oracles ++ TextOps.oracles ++
       DedupOps.oracles ++ SimilarityOps.oracles ++ MultimodalOps.oracles ++
       DialectQueries.oracles ++ IndexOps.oracles ++ CurationOps.oracles ++
-      ChunkOps.oracles ++ graft.streaming.StreamOps.oracles
+      ChunkOps.oracles ++ StatsOps.oracles ++
+      graft.streaming.StreamOps.oracles
 }

@@ -216,19 +216,113 @@ object SimilarityOps {
         col("rank"), round(col("cosine"), 4).as("cosine_r"))
   }
 
-  /** Embedding near-duplicate pairs: cosine ≥ 0.95, id-ordered.
+  /** Embedding near-duplicate pairs: cosine ≥ τ, id-ordered.
     * Exact all-pairs — the small-scale oracle twin of
-    * [[embeddingNearDupLsh]], same relationship brute-force kNN has to
-    * the ANN variants. */
-  def embeddingNearDup(sp: SparkSession, dir: String): DataFrame = {
+    * [[embeddingNearDupLsh]] (τ = 0.95) and, at [[SemDedupTau]], the
+    * measurement twin of [[semanticDedup]]'s quality gate. */
+  def embeddingNearDup(sp: SparkSession, dir: String,
+      tau: Double = 0.95): DataFrame = {
     val a = vecs(sp, dir)
       .select(col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
     val b = vecs(sp, dir)
       .select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
     a.join(b, col("id_a") < col("id_b"))
       .withColumn("cosine", dot(col("va"), col("vb")) / (col("na") * col("nb")))
-      .filter(col("cosine") >= 0.95)
+      .filter(col("cosine") >= tau)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine_r"))
+  }
+
+  // ------------------------------------------------- semantic dedup
+
+  /** A pair with cosine ≥ τ is a semantic duplicate; the higher-id
+    * member is dropped. Lower than the 0.95 near-dup bar on purpose:
+    * semantic dedup targets paraphrases, not byte-level twins. */
+  val SemDedupTau = 0.9
+
+  /** SemDeDup-style semantic deduplication (cluster-then-dedup, as in
+    * Abbas et al. 2023, arXiv:2303.09540): k-means partitions the
+    * embedding space and duplicate search runs ONLY inside clusters,
+    * shrinking the n² all-pairs product to k·(n/k)² — with k grown
+    * ∝ n (cluster size held constant) the op is linear in the corpus.
+    * Each vector is assigned to its 2 nearest centroids so a dup pair
+    * straddling a cluster boundary still shares an assignment with
+    * high probability; the constant-factor duplicate work is removed
+    * by a distinct AFTER the τ filter, where only true dups remain.
+    *
+    * Decision rule (identical to the exact twin): drop a vector iff
+    * some LOWER-id vector with cosine ≥ τ exists. Every drop is
+    * backed by an exactly-computed in-cluster pair — also a global
+    * pair — so vs the all-pairs twin precision is 1.0 by construction
+    * and only recall is approximate (gated in quality.json and
+    * DedupSimilaritySpec).
+    *
+    * Scale shape: quantizer trains on a hash sample (same posture as
+    * [[annIvf]]); assignment is a shuffle-free typed pass with the
+    * k×dim centroid matrix riding the closure (no n×k crossJoin
+    * inflation); the only shuffle is the cluster-key self-join.
+    * Output: one row per vector, `kept` marking survivors. */
+  def semanticDedup(sp: SparkSession, dir: String): DataFrame =
+    semanticDedupFrom(sp, vecs(sp, dir))
+
+  /** Core of [[semanticDedup]] over an explicit (vec_id, v, nrm)
+    * frame — split out so the spec can plant synthetic near-dup
+    * vectors (the testdata embeddings are uniform random: max
+    * pairwise cosine ≈ 0.51, so the corpus itself contains no
+    * semantic dups at any sensible τ and an unplanted assertion
+    * would be vacuous). */
+  def semanticDedupFrom(sp: SparkSession, all: DataFrame): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    import sp.implicits._
+    val k = 16
+    val sampleMod =
+      sp.conf.getOption("graft.ivf.sampleMod").map(_.toInt).getOrElse(4)
+    val train = all.withColumn("fv", array_to_vector(col("v")))
+      .filter(pmod(xxhash64(col("vec_id")), lit(sampleMod)) === 0)
+    val model = new KMeans().setK(k).setSeed(7).setMaxIter(5)
+      .setFeaturesCol("fv").setPredictionCol("cid").fit(train)
+    val cents: Array[Array[Double]] = model.clusterCenters.map(_.toArray)
+    val assigned = all.select(col("vec_id"), col("v"), col("nrm"))
+      .as[(Long, Seq[Double], Double)]
+      .mapPartitions { it =>
+        it.flatMap { case (id, vSeq, nrm) =>
+          val v = vSeq.toArray
+          var best = -1; var bestD = Double.MaxValue
+          var second = -1; var secondD = Double.MaxValue
+          var c = 0
+          while (c < cents.length) {
+            val ctr = cents(c)
+            var d = 0.0; var i = 0
+            while (i < v.length) { val t = v(i) - ctr(i); d += t * t; i += 1 }
+            if (d < bestD) { second = best; secondD = bestD; best = c; bestD = d }
+            else if (d < secondD) { second = c; secondD = d }
+            c += 1
+          }
+          Seq((best, id, vSeq, nrm), (second, id, vSeq, nrm))
+        }
+      }
+      .toDF("cid", "vec_id", "v", "nrm")
+    val l = assigned.select(col("cid"), col("vec_id").as("id_a"),
+      col("v").as("va"), col("nrm").as("na"))
+    val r = assigned.select(col("cid").as("cid_r"), col("vec_id").as("id_b"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    val dropped = l.join(r,
+        col("cid") === col("cid_r") && col("id_a") < col("id_b"))
+      .as[(Int, Long, Seq[Double], Double, Int, Long, Seq[Double], Double)]
+      .mapPartitions { it =>
+        it.flatMap { case (_, _, vaSeq, na, _, idb, vbSeq, nb) =>
+          // same fold order as the HOF dot() → bit-identical cosines,
+          // so the τ decision agrees with the exact twin's
+          val va = vaSeq.toArray; val vb = vbSeq.toArray
+          var s = 0.0; var i = 0
+          while (i < va.length) { s += va(i) * vb(i); i += 1 }
+          if (s / (na * nb) >= SemDedupTau) Some(idb) else None
+        }
+      }
+      .toDF("vec_id").distinct()
+    all.select(col("vec_id"))
+      .join(dropped.withColumn("kept", lit(false)), Seq("vec_id"), "left")
+      .select(col("vec_id"), coalesce(col("kept"), lit(true)).as("kept"))
   }
 
   /** Near-duplicates at scale: candidates only from shared LSH buckets
@@ -588,8 +682,9 @@ object SimilarityOps {
     "sim_ann_ivf" -> (annIvf _),
     "sim_pq_encode" -> (pqEncode _),
     "sim_ann_pq" -> (annPq _),
-    "sim_embedding_neardup" -> (embeddingNearDup _),
-    "sim_neardup_lsh" -> (embeddingNearDupLsh _))
+    "sim_embedding_neardup" -> ((s, d) => embeddingNearDup(s, d)),
+    "sim_neardup_lsh" -> (embeddingNearDupLsh _),
+    "dedup_semantic" -> (semanticDedup _))
 
   val oracles: Map[String, String] = Map(
     "sim_knn_classify" -> knnClassifyOracle,

@@ -1,0 +1,106 @@
+package graft.operators
+
+import graft.Engine
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed corpus statistics — the profiling pass every curation
+  * pipeline runs before filtering thresholds are chosen.
+  *
+  * Two families:
+  *  - EXACT per-group quantiles, shaped for scale: aggregate to
+  *    (group, value) counts first — one partial-agg shuffle over data
+  *    whose size is groups × distinct values, NOT rows — then take
+  *    discrete (type-1) quantiles from the cumulative distribution
+  *    with a window over that tiny aggregate. Integer in, integer
+  *    out → hash-exact against the DuckDB oracle.
+  *  - SKETCHES (HLL distinct counts, compressed-histogram quantiles):
+  *    the 100 TB path when even the distinct-value aggregate is big
+  *    or a single pass must answer many columns. Approximate by
+  *    construction → no SQL oracle; each is quality-gated against its
+  *    exact twin in quality.json / StatsSpec.
+  */
+object StatsOps {
+
+  private val Ps = Seq(("p25", 0.25), ("p50", 0.50), ("p75", 0.75), ("p90", 0.90))
+
+  /** Exact discrete quantiles of document length per language: the
+    * value at rank ceil(p·n) — smallest n_chars whose cumulative count
+    * reaches the rank. All arithmetic is integer except ceil(p·n),
+    * which both engines evaluate identically (same double p, same
+    * integer n). */
+  def lengthQuantiles(sp: SparkSession, dir: String): DataFrame = {
+    val counts = Engine.table(sp, dir, "documents")
+      .groupBy(col("lang"), col("n_chars"))
+      .agg(count(lit(1)).as("c"))
+    val wCum = Window.partitionBy(col("lang")).orderBy(col("n_chars"))
+    val wAll = Window.partitionBy(col("lang"))
+    val cum = counts
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .withColumn("tot", sum(col("c")).over(wAll))
+    val qs = Ps.map { case (name, p) =>
+      min(when(col("cum") >= ceil(lit(p) * col("tot")), col("n_chars")))
+        .as(name)
+    }
+    val aggs = max(col("tot")).as("n_docs") +: qs
+    cum.groupBy(col("lang"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("lang") +: col("n_docs") +: Ps.map(p => col(p._1)): _*)
+  }
+
+  val lengthQuantilesOracle: String = {
+    val qs = Ps.map { case (name, p) =>
+      s"MIN(CASE WHEN cum >= CEIL($p*tot) THEN n_chars END) AS $name"
+    }.mkString(",\n      ")
+    s"""
+    WITH counts AS (
+      SELECT lang, n_chars, COUNT(*) AS c FROM documents GROUP BY lang, n_chars),
+    cum AS (
+      SELECT lang, n_chars,
+        SUM(c) OVER (PARTITION BY lang ORDER BY n_chars) AS cum,
+        SUM(c) OVER (PARTITION BY lang) AS tot
+      FROM counts)
+    SELECT lang, CAST(MAX(tot) AS BIGINT) AS n_docs,
+      $qs
+    FROM cum GROUP BY lang"""
+  }
+
+  /** HLL++ distinct-content estimate per source — the sketch that
+    * replaces COUNT(DISTINCT text) when the distinct set itself is
+    * too large to shuffle: constant memory per group, one pass,
+    * mergeable partials. rsd 0.02 ≈ 1.5 kB of registers per group.
+    * Approximate → quality-gated against the exact distinct count
+    * (relative error, StatsSpec + quality.json). */
+  def approxDistinct(sp: SparkSession, dir: String): DataFrame =
+    Engine.table(sp, dir, "documents")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        approx_count_distinct(col("text"), rsd = 0.02).as("approx_distinct"))
+
+  /** Sketch quantiles of n_chars per language via percentile_approx
+    * (Greenwald-Khanna style compressed histogram): bounded state per
+    * group regardless of value cardinality — the fallback when even
+    * the (group, value) count aggregate of [[lengthQuantiles]] is too
+    * wide (high-cardinality continuous values). Gated against the
+    * exact quantiles. */
+  def approxQuantiles(sp: SparkSession, dir: String): DataFrame = {
+    val acc = lit(10000)
+    Engine.table(sp, dir, "documents")
+      .groupBy(col("lang"))
+      .agg(percentile_approx(col("n_chars"),
+        array(Ps.map(p => lit(p._2)): _*), acc).as("qs"))
+      .select(col("lang") +:
+        Ps.zipWithIndex.map { case ((name, _), i) =>
+          col("qs").getItem(i).as(name)
+        }: _*)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stats_length_quantiles" -> (lengthQuantiles _),
+    "stats_approx_distinct" -> (approxDistinct _),
+    "stats_approx_quantiles" -> (approxQuantiles _))
+
+  val oracles: Map[String, String] = Map(
+    "stats_length_quantiles" -> lengthQuantilesOracle)
+}

@@ -1,7 +1,7 @@
 package graft.tools
 
 import graft.Engine
-import graft.operators.{DedupOps, MultimodalOps, SimilarityOps, TextOps}
+import graft.operators.{DedupOps, MultimodalOps, SimilarityOps, StatsOps, TextOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -88,6 +88,24 @@ object QualityGates {
         .select("id_a", "id_b")),
       recallTh = 0.8)
 
+    // ---- dedup_semantic vs all-pairs cosine ≥ τ with the same
+    // greedy lower-id-survives rule. Drops are exactly verified
+    // in-cluster pairs (also global pairs) → precision must be 1.0;
+    // recall < 1 only for pairs straddling both probed clusters.
+    val droppedSem = SimilarityOps.semanticDedup(sp, dir)
+      .filter(!col("kept")).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    val droppedExact = SimilarityOps
+      .embeddingNearDup(sp, dir, SimilarityOps.SemDedupTau)
+      .select("id_b").distinct().collect().map(_.getLong(0)).toSet
+    val semHit = (droppedSem & droppedExact).size.toDouble
+    gates += Gate("dedup_semantic", "allpairs_cosine_greedy", "drop_recall",
+      if (droppedExact.isEmpty) 1.0 else semHit / droppedExact.size, 0.85,
+      droppedSem.size, droppedExact.size)
+    gates += Gate("dedup_semantic", "allpairs_cosine_greedy", "drop_precision",
+      if (droppedSem.isEmpty) 1.0 else semHit / droppedSem.size, 1.0,
+      droppedSem.size, droppedExact.size)
+
     // ---- sim_pq_encode: trained codebook must clearly beat the
     // trivial one-centroid codebook (whose error is the total variance)
     val enc = SimilarityOps.pqEncode(sp, dir)
@@ -99,6 +117,38 @@ object QualityGates {
       .agg((variance(col("x")) * 64).as("tv")).collect()(0).getDouble(0)
     gates += Gate("sim_pq_encode", "one_centroid_codebook",
       "reconstruction_improvement", 1.0 - avgErr / totalVar, 0.2, nEnc, nEnc)
+
+    // ---- stats_approx_distinct (HLL++, rsd 0.02) vs exact
+    // COUNT(DISTINCT text) per source: gate worst-group accuracy
+    val hll = StatsOps.approxDistinct(sp, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    val exactDistinct = Engine.table(sp, dir, "documents")
+      .groupBy(col("source"))
+      .agg(countDistinct(col("text")).as("d"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val hllAcc = exactDistinct.map { case (s, ex) =>
+      1.0 - math.abs(hll.getOrElse(s, 0L) - ex).toDouble / math.max(ex, 1L)
+    }.min
+    gates += Gate("stats_approx_distinct", "exact_count_distinct",
+      "worst_group_accuracy", hllAcc, 0.9,
+      hll.size, exactDistinct.size)
+
+    // ---- stats_approx_quantiles vs the exact discrete quantiles:
+    // worst relative deviation across (lang, percentile)
+    val exactQ = StatsOps.lengthQuantiles(sp, dir)
+      .collect().map(r => r.getString(0) ->
+        Seq(r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    val approxQ = StatsOps.approxQuantiles(sp, dir)
+      .collect().map(r => r.getString(0) ->
+        Seq(r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val qAcc = exactQ.flatMap { case (lang, ex) =>
+      approxQ.get(lang).toSeq.flatMap(ap => ex.zip(ap).map { case (e, a) =>
+        1.0 - math.abs(a - e).toDouble / math.max(e, 1L)
+      })
+    }.min
+    gates += Gate("stats_approx_quantiles", "stats_length_quantiles",
+      "worst_quantile_accuracy", qAcc, 0.9,
+      approxQ.size, exactQ.size)
 
     // ---- media_byte_entropy vs a driver-side exact recompute
     // (bounded sample, same shape as MultimodalSpec)

@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.{DedupOps, SimilarityOps}
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Semantic checks for the approximate (non-oracled) dedup/similarity
@@ -118,5 +119,35 @@ class DedupSimilaritySpec extends AnyFunSuite {
     val docs = Engine.table(spark, sf, "documents")
     val nDistinct = docs.select("text").distinct().count()
     assert(DedupOps.exact(spark, sf).count() == nDistinct)
+  }
+
+  test("semantic dedup drops planted paraphrase vectors and keeps the rest") {
+    // the testdata embeddings are uniform random (max pairwise cosine
+    // ≈ 0.51), so semantic dups must be PLANTED: for each vec_id < 50
+    // add a copy at id+10000 with a 5%-of-norm bump on dimension 0 —
+    // cosine vs the original ≈ 0.9988 ≥ τ, natural pairs all ≪ τ.
+    def withNrm(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("nrm", sqrt(aggregate(
+        transform(col("v"), x => x * x), lit(0.0), (acc, x) => acc + x)))
+    val base = Engine.table(spark, sf, "embeddings")
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+    val planted = withNrm(base.filter(col("vec_id") < 50))
+      .select((col("vec_id") + 10000L).as("vec_id"),
+        transform(col("v"), (x, i) =>
+          when(i === 0, x + lit(0.05) * col("nrm")).otherwise(x)).as("v"))
+    val aug = withNrm(base.select("vec_id", "v")
+      .unionByName(planted.select("vec_id", "v")))
+    val res = SimilarityOps.semanticDedupFrom(spark, aug).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val plantedIds = (0L until 50L).map(_ + 10000L).toSet
+    assert(res.size == base.count() + 50, "one row per vector")
+    val dropped = res.collect { case (id, false) => id }.toSet
+    // exact twin on the augmented corpus: the greedy lower-id rule
+    // must drop exactly the planted copies — and so must the
+    // cluster-local path (a copy sits next to its original, so the
+    // 2-probe assignments coincide)
+    assert(dropped == plantedIds,
+      s"missed ${(plantedIds -- dropped).take(5)}, false ${(dropped -- plantedIds).take(5)}")
   }
 }

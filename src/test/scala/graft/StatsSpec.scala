@@ -1,0 +1,63 @@
+package graft
+
+import graft.Engine
+import graft.operators.StatsOps
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Corpus-statistics operators: the exact discrete quantiles against
+  * a driver-side recompute, and the sketch ops against their exact
+  * twins (the same accuracies QualityGates surfaces per round). */
+class StatsSpec extends AnyFunSuite {
+  import TestSession._
+
+  test("exact length quantiles match a driver-side sorted recompute") {
+    val got = StatsOps.lengthQuantiles(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), Seq(r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))))
+      .toMap
+    val raw = Engine.table(spark, sf, "documents")
+      .select(col("lang"), col("n_chars"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    assert(got.keySet == raw.keySet)
+    for ((lang, vals) <- raw) {
+      val (n, qs) = got(lang)
+      assert(n == vals.length, s"$lang n_docs")
+      val want = Seq(0.25, 0.50, 0.75, 0.90)
+        .map(p => vals(math.ceil(p * vals.length).toInt - 1))
+      assert(qs == want, s"$lang quantiles: got $qs want $want")
+      assert(qs == qs.sorted, s"$lang quantiles not monotone")
+    }
+  }
+
+  test("HLL distinct estimate within max(5%, ±3) of exact per source") {
+    val hll = StatsOps.approxDistinct(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    val exact = Engine.table(spark, sf, "documents")
+      .groupBy(col("source")).agg(countDistinct(col("text")).as("d"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(hll.keySet == exact.keySet)
+    for ((s, ex) <- exact) {
+      // tiny groups get an absolute floor: at |distinct| ≈ 25 a ±2
+      // wobble is 8% relative yet well inside HLL's expected band
+      val tol = math.max(0.05 * ex, 3.0)
+      val err = math.abs(hll(s) - ex).toDouble
+      assert(err <= tol, s"source $s: HLL ${hll(s)} vs exact $ex (err $err)")
+    }
+  }
+
+  test("sketch quantiles within 10% of the exact discrete quantiles") {
+    val exact = StatsOps.lengthQuantiles(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        Seq(r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    val approx = StatsOps.approxQuantiles(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        Seq(r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(approx.keySet == exact.keySet)
+    for ((lang, ex) <- exact; (e, a) <- ex.zip(approx(lang))) {
+      val dev = math.abs(a - e).toDouble / math.max(e, 1L)
+      assert(dev <= 0.10, s"$lang: approx $a vs exact $e (dev $dev)")
+    }
+  }
+}
