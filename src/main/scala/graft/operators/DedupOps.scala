@@ -414,8 +414,65 @@ object DedupOps {
       .filter(col("hamming") <= 3)
   }
 
+  // --------------------------------------- Bloom-filter cross-corpus
+
+  /** Reference corpus for cross-corpus membership: one source split
+    * (the "already-trained-on" or blocklisted shard). */
+  val BloomRefSource = "src0"
+  val BloomFpp = 0.01
+
+  /** Cross-corpus membership dedup with a Bloom filter: flag every
+    * candidate document whose exact content hash appears in the
+    * reference corpus — WITHOUT shuffling the reference's hash set
+    * into a join. The filter is built distributed (mergeable partials
+    * via Spark's treeAggregate under `stat.bloomFilter`), sized
+    * O(n·log 1/fpp) bits regardless of corpus width, then broadcast;
+    * the candidate side is one map pass. At 100 TB this replaces a
+    * corpus × corpus semi-join whose build side alone would shuffle
+    * terabytes: the ~n-bit sketch rides to every executor once.
+    *
+    * Bloom guarantees: NO false negatives (every true member is
+    * flagged — gate recall is exactly 1.0), false positives ≤ fpp
+    * (gated ≤ 3× nominal in quality.json / DedupSpec's twin check
+    * against the exact semi-join). */
+  def bloomFilterDedup(sp: SparkSession, dir: String): DataFrame =
+    bloomFilterDedupFrom(sp, Engine.table(sp, dir, "documents"))
+
+  /** Core of [[bloomFilterDedup]] over an explicit (doc_id, source,
+    * text, …) frame — split out so the spec can plant cross-corpus
+    * duplicates (the testdata corpus contains no exact text dups, so
+    * the no-false-negative property needs planted members; the
+    * false-positive bound is measurable on the raw corpus). */
+  def bloomFilterDedupFrom(sp: SparkSession, docsIn: DataFrame): DataFrame = {
+    val docs = docsIn.select(col("doc_id"), col("source"),
+      md5(col("text").cast("binary")).as("h"))
+    val ref = docs.filter(col("source") === BloomRefSource)
+    val bloom = ref.stat.bloomFilter("h", math.max(ref.count(), 64L), BloomFpp)
+    val bc = sp.sparkContext.broadcast(bloom)
+    val might = udf((h: String) => bc.value.mightContainString(h))
+    docs.filter(col("source") =!= BloomRefSource)
+      .select(col("doc_id"), might(col("h")).as("maybe_in_reference"))
+  }
+
+  /** Exact twin of [[bloomFilterDedup]] for measurement: the semi-join
+    * membership set (doc_ids of candidates whose text occurs in the
+    * reference source). */
+  def bloomExactTwin(sp: SparkSession, dir: String): DataFrame =
+    bloomExactTwinFrom(Engine.table(sp, dir, "documents"))
+
+  def bloomExactTwinFrom(docsIn: DataFrame): DataFrame = {
+    val docs = docsIn.select(col("doc_id"), col("source"),
+      md5(col("text").cast("binary")).as("h"))
+    val ref = docs.filter(col("source") === BloomRefSource)
+      .select(col("h")).distinct()
+    docs.filter(col("source") =!= BloomRefSource)
+      .join(ref, Seq("h"), "left_semi")
+      .select(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> (exact _),
+    "dedup_bloom_filter" -> (bloomFilterDedup _),
     "dedup_ngram_jaccard" -> (ngramJaccard _),
     "dedup_containment" -> (containment _),
     "dedup_minhash_lsh" -> (minhashLsh _),

@@ -274,7 +274,11 @@ object SimilarityOps {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     import sp.implicits._
-    val k = 16
+    // cluster count grows with the corpus so cluster SIZE stays
+    // constant: in-cluster pair volume is k·(n/k)² = n·(n/k), linear
+    // once n/k is pinned. One cheap count — the same corpus-sizing
+    // posture as the LSH table/bit config.
+    val k = math.max(16, (all.count() / 512L).toInt)
     val sampleMod =
       sp.conf.getOption("graft.ivf.sampleMod").map(_.toInt).getOrElse(4)
     val train = all.withColumn("fv", array_to_vector(col("v")))

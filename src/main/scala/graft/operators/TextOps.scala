@@ -67,6 +67,39 @@ object TextOps {
         / (LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1) AS stop_ratio
     FROM p"""
 
+  /** Top-10 documents per language by token count — the "keep the
+    * best k per stratum" selection every curation pipeline ends with.
+    * Ranking keys are pure integers (token count desc, doc_id) so
+    * rank decisions are engine-portable with no float-ordering
+    * hazard. Scale shape: rank-limit windows get Spark's
+    * WindowGroupLimit — each map task keeps only its local top-k
+    * BEFORE the shuffle (pinned in PlanQualitySpec), so the shuffle
+    * carries k·partitions rows per group, not the corpus. */
+  def topkPerLang(sp: SparkSession, dir: String): DataFrame = {
+    val d = Engine.table(sp, dir, "documents")
+      .select(col("lang"), col("doc_id"),
+        (length(col("text")) - length(replace(col("text"), lit(" "), lit("")))
+          + 1).cast("long").as("n_tokens"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("n_tokens").desc, col("doc_id"))
+    d.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 10)
+      .select(col("lang"), col("rk"), col("doc_id"), col("n_tokens"))
+  }
+
+  val topkPerLangOracle: String = """
+    WITH d AS (
+      SELECT lang, doc_id,
+        CAST(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS BIGINT)
+          AS n_tokens
+      FROM documents)
+    SELECT lang,
+      CAST(ROW_NUMBER() OVER (
+        PARTITION BY lang ORDER BY n_tokens DESC, doc_id) AS BIGINT) AS rk,
+      doc_id, n_tokens
+    FROM d
+    QUALIFY rk <= 10"""
+
   /** Language-ID by stopword-marker voting over {en,de,fr,es,zh} with a
     * deterministic tie-break. Portable CASE chain (first max wins). */
   def langId(sp: SparkSession, dir: String): DataFrame = {
@@ -348,6 +381,7 @@ object TextOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_redact_pii" -> (redactPii _),
     "pipeline_sample_per_lang" -> (samplePerLang _),
+    "pipeline_topk_per_lang" -> (topkPerLang _),
     "pipeline_token_budget" -> (tokenBudget _),
     "pipeline_quality_filter" -> (qualityFilterPipeline _),
     "text_token_stats" -> (tokenStats _),
@@ -360,6 +394,7 @@ object TextOps {
   val oracles: Map[String, String] = Map(
     "text_redact_pii" -> redactPiiOracle,
     "pipeline_sample_per_lang" -> samplePerLangOracle,
+    "pipeline_topk_per_lang" -> topkPerLangOracle,
     "pipeline_token_budget" -> tokenBudgetOracle,
     "pipeline_quality_filter" -> qualityFilterPipelineOracle,
     "text_token_stats" -> tokenStatsOracle,

@@ -118,6 +118,25 @@ object QualityGates {
     gates += Gate("sim_pq_encode", "one_centroid_codebook",
       "reconstruction_improvement", 1.0 - avgErr / totalVar, 0.2, nEnc, nEnc)
 
+    // ---- dedup_bloom_filter vs the exact semi-join twin: Bloom has
+    // no false negatives (recall exactly 1.0) and its false-positive
+    // rate among true non-members must stay ≤ 3× the nominal fpp
+    val bfRows = DedupOps.bloomFilterDedup(sp, dir)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1))
+    val bfFlagged = bfRows.collect { case (id, true) => id }.toSet
+    val bfMember = DedupOps.bloomExactTwin(sp, dir)
+      .collect().map(_.getLong(0)).toSet
+    gates += Gate("dedup_bloom_filter", "exact_semi_join", "member_recall",
+      if (bfMember.isEmpty) 1.0
+      else (bfFlagged & bfMember).size.toDouble / bfMember.size, 1.0,
+      bfFlagged.size, bfMember.size)
+    val bfNonMember = bfRows.length - bfMember.size
+    val bfFpr = if (bfNonMember <= 0) 0.0
+      else (bfFlagged -- bfMember).size.toDouble / bfNonMember
+    gates += Gate("dedup_bloom_filter", "exact_semi_join",
+      "fp_rate_headroom", 1.0 - bfFpr, 1.0 - 3 * DedupOps.BloomFpp,
+      bfFlagged.size, bfMember.size)
+
     // ---- stats_approx_distinct (HLL++, rsd 0.02) vs exact
     // COUNT(DISTINCT text) per source: gate worst-group accuracy
     val hll = StatsOps.approxDistinct(sp, dir)

@@ -34,7 +34,7 @@ object ScaleBench {
   val Ops: Seq[String] = Seq(
     "dedup_minhash_lsh", "dedup_containment", "dedup_cluster",
     "pipeline_pack_sequences", "events_sessionize",
-    "sim_neardup_lsh", "sim_ann_ivf")
+    "sim_neardup_lsh", "sim_ann_ivf", "dedup_semantic")
 
   private def caesar(c: Column, shift: Int): Column = {
     val lower = "abcdefghijklmnopqrstuvwxyz"

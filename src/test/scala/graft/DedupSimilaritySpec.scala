@@ -121,6 +121,32 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(DedupOps.exact(spark, sf).count() == nDistinct)
   }
 
+  test("bloom cross-corpus membership: no false negatives, bounded false positives") {
+    // the testdata corpus has no exact text duplicates at all, so
+    // cross-corpus members must be PLANTED: re-tag 20 copies of
+    // reference texts under another source at shifted doc_ids
+    val docs = Engine.table(spark, sf, "documents")
+    val plantedDocs = docs
+      .filter(col("source") === DedupOps.BloomRefSource)
+      .orderBy(col("doc_id")).limit(20)
+      .select((col("doc_id") + 100000L).as("doc_id"), lit("srcX").as("source"),
+        col("text"))
+    val aug = docs.select("doc_id", "source", "text").unionByName(plantedDocs)
+    val rows = DedupOps.bloomFilterDedupFrom(spark, aug)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1))
+    val flagged = rows.collect { case (id, true) => id }.toSet
+    val member = DedupOps.bloomExactTwinFrom(aug)
+      .collect().map(_.getLong(0)).toSet
+    val plantedIds = plantedDocs.collect().map(_.getLong(0)).toSet
+    assert(plantedIds.subsetOf(member), "planted members missing from exact twin")
+    assert(member.subsetOf(flagged),
+      s"bloom false negatives: ${(member -- flagged).take(5)}")
+    val nonMember = rows.length - member.size
+    val fpr = if (nonMember <= 0) 0.0
+      else (flagged -- member).size.toDouble / nonMember
+    assert(fpr <= 3 * DedupOps.BloomFpp, s"bloom fpr $fpr")
+  }
+
   test("semantic dedup drops planted paraphrase vectors and keeps the rest") {
     // the testdata embeddings are uniform random (max pairwise cosine
     // ≈ 0.51), so semantic dups must be PLANTED: for each vec_id < 50

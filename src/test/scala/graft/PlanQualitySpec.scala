@@ -127,4 +127,13 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(plan.contains("PushedFilters:") && plan.contains("l_shipdate"),
       s"dialect filters not pushed:\n$plan")
   }
+
+  test("per-lang top-k limits window groups before the shuffle") {
+    // rk <= 10 on a row_number window must plan as WindowGroupLimit:
+    // each map task keeps its local top-k per group pre-shuffle, so
+    // shuffle volume is k·partitions per group instead of the corpus
+    val plan = planOf("pipeline_topk_per_lang")
+    assert(plan.contains("WindowGroupLimit"),
+      s"expected WindowGroupLimit in:\n$plan")
+  }
 }
