@@ -39,7 +39,11 @@ object Bench {
     // round-5/6 pipeline operators — benched so a perf regression on
     // the newer surface is visible without a judge re-run
     "dedup_containment", "pipeline_pack_sequences", "pipeline_decontaminate",
-    "embed_outlier_filter", "events_window_hopping", "doc_chunk_tokens")
+    "embed_outlier_filter", "events_window_hopping", "doc_chunk_tokens",
+    // round-7 additions: semantic dedup (heaviest new op), bloom
+    // membership, sketch + exact stats, per-group top-k
+    "dedup_semantic", "dedup_bloom_filter", "stats_length_quantiles",
+    "stats_approx_distinct", "pipeline_topk_per_lang")
 
   val Reps = 5
 
