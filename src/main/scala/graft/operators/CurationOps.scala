@@ -200,14 +200,73 @@ object CurationOps {
       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
     FROM documents GROUP BY 1, 2"""
 
+  /** Documents per output shard (config knob at scale: shards sized
+    * so one shard ≈ one training file). */
+  val ShardSize = 100L
+
+  /** Deterministic global shuffle + fixed-size shard assignment — the
+    * last stage of a training-data pipeline: every document gets a
+    * pseudo-random but reproducible position (order by md5 of its id)
+    * and a shard id cutting that order into [[ShardSize]]-document
+    * files. Same two-phase global-rank shape as [[packSequences]]:
+    * range-partition by the shuffle key, count per partition (an
+    * O(partitions) driver collect), broadcast prefix offsets, then a
+    * partition-local running index — no single-task global sort, no
+    * window over the corpus. */
+  def shuffleShards(sp: SparkSession, dir: String): DataFrame = {
+    val docs = Engine.table(sp, dir, "documents")
+      .select(col("doc_id"),
+        md5(col("doc_id").cast("string").cast("binary")).as("shuf"))
+    val parts = sp.sparkContext.defaultParallelism
+    val sorted = docs
+      .repartitionByRange(parts, col("shuf"), col("doc_id"))
+      .sortWithinPartitions(col("shuf"), col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+      .cache()
+    val counts = sorted
+      .groupBy(col("pid")).agg(count(lit(1)).as("c"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+    val offsets: Map[Int, Long] = counts.map { case (pid, _) =>
+      pid -> counts.collect { case (p2, c2) if p2 < pid => c2 }.sum
+    }.toMap
+    val bc = sp.sparkContext.broadcast(offsets)
+    import sp.implicits._
+    sorted.select(col("doc_id"), col("pid"))
+      .as[(Long, Int)]
+      .mapPartitions { it =>
+        var curPid = -1
+        var rank = 0L
+        it.map { case (id, pid) =>
+          if (pid != curPid) { curPid = pid; rank = bc.value.getOrElse(pid, 0L) }
+          val r = rank
+          rank += 1
+          (id, r / ShardSize, r % ShardSize)
+        }
+      }
+      .toDF("doc_id", "shard_id", "pos_in_shard")
+  }
+
+  val shuffleShardsOracle: String = s"""
+    WITH r AS (
+      SELECT doc_id,
+        ROW_NUMBER() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1
+          AS rk
+      FROM documents)
+    SELECT doc_id, rk // $ShardSize AS shard_id,
+      rk % $ShardSize AS pos_in_shard
+    FROM r"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_decontaminate" -> (decontaminate _),
+    "pipeline_shuffle_shards" -> (shuffleShards _),
     "pipeline_pack_sequences" -> (packSequences _),
     "pipeline_split_stratified" -> (splitStratified _),
     "text_ngram_familiarity" -> (ngramFamiliarity _))
 
   val oracles: Map[String, String] = Map(
     "pipeline_decontaminate" -> decontaminateOracle,
+    "pipeline_shuffle_shards" -> shuffleShardsOracle,
     "pipeline_pack_sequences" -> packSequencesOracle,
     "pipeline_split_stratified" -> splitStratifiedOracle,
     "text_ngram_familiarity" -> ngramFamiliarityOracle)

@@ -67,6 +67,24 @@ object TextOps {
         / (LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1) AS stop_ratio
     FROM p"""
 
+  /** Canonical text normalization — the first pass of most curation
+    * pipelines: lowercase, collapse whitespace runs, trim. Row-local
+    * (no shuffle); `changed` flags rows the pass rewrote so the
+    * pipeline can measure normalization pressure per source. */
+  def normalize(sp: SparkSession, dir: String): DataFrame =
+    Engine.table(sp, dir, "documents")
+      .select(col("doc_id"),
+        trim(regexp_replace(lower(col("text")), "\\s+", " ")).as("norm_text"),
+        col("text"))
+      .select(col("doc_id"), col("norm_text"),
+        (col("norm_text") =!= col("text")).as("changed"))
+
+  val normalizeOracle: String = """
+    SELECT doc_id,
+      TRIM(REGEXP_REPLACE(LOWER(text), '\s+', ' ', 'g')) AS norm_text,
+      TRIM(REGEXP_REPLACE(LOWER(text), '\s+', ' ', 'g')) <> text AS changed
+    FROM documents"""
+
   /** Top-10 documents per language by token count — the "keep the
     * best k per stratum" selection every curation pipeline ends with.
     * Ranking keys are pure integers (token count desc, doc_id) so
@@ -382,6 +400,7 @@ object TextOps {
     "text_redact_pii" -> (redactPii _),
     "pipeline_sample_per_lang" -> (samplePerLang _),
     "pipeline_topk_per_lang" -> (topkPerLang _),
+    "text_normalize" -> (normalize _),
     "pipeline_token_budget" -> (tokenBudget _),
     "pipeline_quality_filter" -> (qualityFilterPipeline _),
     "text_token_stats" -> (tokenStats _),
@@ -395,6 +414,7 @@ object TextOps {
     "text_redact_pii" -> redactPiiOracle,
     "pipeline_sample_per_lang" -> samplePerLangOracle,
     "pipeline_topk_per_lang" -> topkPerLangOracle,
+    "text_normalize" -> normalizeOracle,
     "pipeline_token_budget" -> tokenBudgetOracle,
     "pipeline_quality_filter" -> qualityFilterPipelineOracle,
     "text_token_stats" -> tokenStatsOracle,
