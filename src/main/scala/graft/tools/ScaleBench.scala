@@ -30,51 +30,61 @@ import org.apache.spark.sql.functions._
   * SCALEBENCH.json. */
 object ScaleBench {
 
-  val Copies = 10
+  val DefaultCopies = 10
   val Ops: Seq[String] = Seq(
     "dedup_minhash_lsh", "dedup_containment", "dedup_cluster",
     "pipeline_pack_sequences", "events_sessionize",
     "sim_neardup_lsh", "sim_ann_ivf", "dedup_semantic")
 
-  private def caesar(c: Column, shift: Int): Column = {
-    val lower = "abcdefghijklmnopqrstuvwxyz"
-    val upper = lower.toUpperCase
-    def rot(s: String) = s.drop(shift % 26) + s.take(shift % 26)
-    translate(c, lower + upper, rot(lower) + rot(upper))
-  }
-
-  /** Build the 10× corpus (idempotent: skipped if the directory
-    * already holds all three tables). */
-  def derive(spark: SparkSession, baseDir: String, outDir: String): Unit = {
+  /** Build the N× corpus (idempotent: skipped if the directory
+    * already holds all three tables). The perturbations are exact at
+    * ANY copy count:
+    *  - documents: every word of copy i > 0 gets the suffix `⁅i⁆` —
+    *    a bijection on word shingles, so within-copy Jaccard /
+    *    containment / MinHash dup structure is EXACTLY preserved
+    *    while cross-copy shingle sets are fully disjoint (a Caesar
+    *    shift would collide at copies ≥ 26).
+    *  - embeddings: copy i multiplies each dimension d by the sign of
+    *    hash(d, i) — within-copy dot products are bit-preserved
+    *    (s_d² = 1), cross-copy dots become sign-noise at random-
+    *    background level (a rotation would collide at copies ≥ 64).
+    *  - events: event_id and user_id shifted (N× users, same
+    *    per-user timeline density; raw nanos `ts` kept as int64). */
+  def derive(spark: SparkSession, baseDir: String, outDir: String,
+      copies: Int): Unit = {
     val done = Seq("documents", "embeddings", "events").forall(t =>
       java.nio.file.Files.exists(java.nio.file.Paths.get(s"$outDir/$t.parquet")))
     if (done) return
     new java.io.File(outDir).mkdirs()
     val Off = 10_000_000L
 
-    def tenfold(name: String, copy: (DataFrame, Int) => DataFrame): Unit = {
+    def nfold(name: String, copy: (DataFrame, Int) => DataFrame): Unit = {
       val base = name match {
         // raw read keeps events.ts as int64 nanos; the derived file is
         // plain INT64, which Engine.table converts identically
         case "events" => spark.read.parquet(s"$baseDir/events.parquet")
         case _ => spark.read.parquet(s"$baseDir/$name.parquet")
       }
-      (0 until Copies).map(i => copy(base, i))
+      (0 until copies).map(i => copy(base, i))
         .reduce(_ unionByName _)
         .write.mode("overwrite").parquet(s"$outDir/$name.parquet")
     }
 
-    tenfold("documents", (df, i) => df.select(
+    nfold("documents", (df, i) => df.select(
       (col("doc_id") + i * Off).as("doc_id"),
-      caesar(col("text"), i).as("text"),
+      (if (i == 0) col("text")
+       else regexp_replace(col("text"), "(\\S+)", "$1⁅" + i + "⁆"))
+        .as("text"),
       col("lang"), col("source"), col("n_chars")))
-    tenfold("embeddings", (df, i) => df.select(
+    nfold("embeddings", (df, i) => df.select(
       (col("vec_id") + i * Off).as("vec_id"),
       (if (i == 0) col("embedding")
-       else concat(slice(col("embedding"), i + 1, 64 - i),
-         slice(col("embedding"), 1, i))).as("embedding"),
+       else zip_with(col("embedding"),
+         sequence(lit(0), lit(63)),
+         (x, d) => when(pmod(xxhash64(d, lit(i)), lit(2)) === 0, x)
+           .otherwise(-x))).as("embedding"),
       col("label")))
-    tenfold("events", (df, i) => df.select(
+    nfold("events", (df, i) => df.select(
       (col("event_id") + i * Off).as("event_id"),
       col("ts"),
       (col("user_id") + i * Off).as("user_id"),
@@ -100,8 +110,10 @@ object ScaleBench {
     val baseDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val scratch = args.lift(1).getOrElse("/tmp/graft_scale/sf1")
     val outPath = args.lift(2).getOrElse("SCALEBENCH.json")
+    val copies = args.lift(3).map(_.toInt).getOrElse(DefaultCopies)
+    val reps = args.lift(4).map(_.toInt).getOrElse(3)
     val spark = Engine.session("graft-scalebench")
-    derive(spark, baseDir, scratch)
+    derive(spark, baseDir, scratch, copies)
 
     val rows = Seq("documents", "embeddings", "events").map { t =>
       t -> (Engine.table(spark, baseDir, t).count(),
@@ -112,21 +124,21 @@ object ScaleBench {
 
     val results = Ops.map { op =>
       runOnce(spark, op, baseDir) // warm-up at base
-      val base = median((1 to 3).map(_ => runOnce(spark, op, baseDir)))
-      runOnce(spark, op, scratch) // warm-up at 10x
-      val x10 = median((1 to 3).map(_ => runOnce(spark, op, scratch)))
-      val ratio = x10 / base
+      val base = median((1 to reps).map(_ => runOnce(spark, op, baseDir)))
+      runOnce(spark, op, scratch) // warm-up at Nx
+      val xN = median((1 to reps).map(_ => runOnce(spark, op, scratch)))
+      val ratio = xN / base
       System.err.println(
-        f"[scalebench] $op%-26s base $base%7.2f s   10x $x10%7.2f s   ratio $ratio%5.2f")
-      (op, base, x10, ratio)
+        f"[scalebench] $op%-26s base $base%7.2f s   ${copies}x $xN%7.2f s   ratio $ratio%5.2f")
+      (op, base, xN, ratio)
     }
 
     def fmt(d: Double) = f"$d%.4f"
-    val json = s"""{"copies":$Copies,"base":"$baseDir","rows":{""" +
+    val json = s"""{"copies":$copies,"reps":$reps,"base":"$baseDir","rows":{""" +
       rows.map { case (t, (b, x)) => s""""$t":[$b,$x]""" }.mkString(",") +
       s"""},"ops":{""" +
       results.map { case (op, b, x, r) =>
-        s""""$op":{"base_s":${fmt(b)},"x10_s":${fmt(x)},"ratio":${fmt(r)}}"""
+        s""""$op":{"base_s":${fmt(b)},"x${copies}_s":${fmt(x)},"ratio":${fmt(r)}}"""
       }.mkString(",") + "}}"
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), json)
     println(json)
