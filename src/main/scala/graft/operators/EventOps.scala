@@ -176,8 +176,45 @@ object EventOps {
       ON c.user_id = p.user_id
      AND abs(epoch_ms(c.ts) - epoch_ms(p.ts)) <= 900000"""
 
+  /** Two-step funnel: per user with at least one click, did a
+    * purchase land within one hour of the FIRST click, and how many.
+    * The funnel predicate is a range, but the plan is a pure
+    * equi-join: aggregate first-click per user (one shuffle), equi-
+    * join purchases on user_id, apply the window as a post-filter —
+    * the inequality never becomes a join condition, so no theta/
+    * cartesian shape at any scale. */
+  def funnel(sp: SparkSession, dir: String): DataFrame = {
+    val ev = Engine.table(sp, dir, "events")
+    val firstClick = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("first_click"))
+    val conv = ev.filter(col("event_type") === "purchase")
+      .join(firstClick, "user_id")
+      .filter(col("ts") >= col("first_click") &&
+        col("ts") <= col("first_click") + expr("INTERVAL 1 HOUR"))
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n_conversions"))
+    firstClick.join(conv, Seq("user_id"), "left")
+      .select(col("user_id"),
+        coalesce(col("n_conversions"), lit(0L)).as("n_conversions"),
+        (coalesce(col("n_conversions"), lit(0L)) > 0).as("converted"))
+  }
+
+  val funnelOracle: String = """
+    WITH c AS (
+      SELECT user_id, MIN(ts) AS fc FROM events
+      WHERE event_type = 'click' GROUP BY user_id),
+    p AS (
+      SELECT c.user_id, CAST(COUNT(*) AS BIGINT) AS n
+      FROM c JOIN events e ON e.user_id = c.user_id
+        AND e.event_type = 'purchase'
+        AND e.ts >= c.fc AND e.ts <= c.fc + INTERVAL 1 HOUR
+      GROUP BY c.user_id)
+    SELECT c.user_id, COALESCE(p.n, 0) AS n_conversions,
+      COALESCE(p.n, 0) > 0 AS converted
+    FROM c LEFT JOIN p USING (user_id)"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_window_agg" -> (windowAgg _),
+    "events_funnel" -> (funnel _),
     "events_window_hopping" -> (windowHopping _),
     "events_sessionize" -> (sessionize _),
     "events_asof_join" -> (asofJoin _),
@@ -185,6 +222,7 @@ object EventOps {
 
   val oracles: Map[String, String] = Map(
     "events_window_agg" -> windowAggOracle,
+    "events_funnel" -> funnelOracle,
     "events_window_hopping" -> windowHoppingOracle,
     "events_sessionize" -> sessionizeOracle,
     "events_asof_join" -> asofJoinOracle,

@@ -67,6 +67,26 @@ object TextOps {
         / (LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1) AS stop_ratio
     FROM p"""
 
+  /** Corpus document-frequency table: how many documents contain each
+    * token at least once, thresholded at df ≥ 5 (the inverted-index
+    * statistic behind stopword discovery, boilerplate detection, and
+    * IDF weighting). Scale shape: `array_distinct` dedups tokens
+    * ROW-LOCALLY before the explode, so the shuffle carries distinct
+    * (doc, token) pairs — bounded by vocabulary × docs, never raw
+    * token occurrences; the df filter prunes the long tail at the
+    * aggregate. Integer counts → exactly oracled. */
+  def tokenDf(sp: SparkSession, dir: String): DataFrame =
+    Engine.table(sp, dir, "documents")
+      .select(explode(array_distinct(split(col("text"), " "))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 5)
+
+  val tokenDfOracle: String = """
+    SELECT token, CAST(COUNT(*) AS BIGINT) AS df
+    FROM (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+          FROM documents)
+    GROUP BY token HAVING COUNT(*) >= 5"""
+
   /** Canonical text normalization — the first pass of most curation
     * pipelines: lowercase, collapse whitespace runs, trim. Row-local
     * (no shuffle); `changed` flags rows the pass rewrote so the
@@ -401,6 +421,7 @@ object TextOps {
     "pipeline_sample_per_lang" -> (samplePerLang _),
     "pipeline_topk_per_lang" -> (topkPerLang _),
     "text_normalize" -> (normalize _),
+    "text_token_df" -> (tokenDf _),
     "pipeline_token_budget" -> (tokenBudget _),
     "pipeline_quality_filter" -> (qualityFilterPipeline _),
     "text_token_stats" -> (tokenStats _),
@@ -415,6 +436,7 @@ object TextOps {
     "pipeline_sample_per_lang" -> samplePerLangOracle,
     "pipeline_topk_per_lang" -> topkPerLangOracle,
     "text_normalize" -> normalizeOracle,
+    "text_token_df" -> tokenDfOracle,
     "pipeline_token_budget" -> tokenBudgetOracle,
     "pipeline_quality_filter" -> qualityFilterPipelineOracle,
     "text_token_stats" -> tokenStatsOracle,
