@@ -43,7 +43,9 @@ object Bench {
     // round-7 additions: semantic dedup (heaviest new op), bloom
     // membership, sketch + exact stats, per-group top-k
     "dedup_semantic", "dedup_bloom_filter", "stats_length_quantiles",
-    "stats_approx_distinct", "pipeline_topk_per_lang")
+    "stats_approx_distinct", "pipeline_topk_per_lang",
+    "text_token_df", "events_funnel", "text_normalize",
+    "pipeline_shuffle_shards")
 
   val Reps = 5
 
