@@ -341,6 +341,67 @@ object StreamOps {
       }
   }
 
+  /** Streaming two-step funnel: per user, the running count of
+    * purchases landing within one hour of the FIRST click seen —
+    * stateful twin of EventOps.funnel for the continuous regime
+    * (live conversion dashboards). State is two numbers per user
+    * (first-click ms, conversion count) and is TTL-bounded exactly
+    * like [[asofEnrich]]: event-time timeout drops users idle past
+    * `ttlMillis`. Rows within a micro-batch are processed in event-
+    * time order; across batches the first-click floor only ratchets
+    * down as earlier clicks arrive (same bounded-disorder caveat as
+    * the other stateful ops — the watermark bounds how late). Emits
+    * one UPDATED summary row per user per batch with activity, so a
+    * single-batch replay yields exactly the batch funnel. */
+  final case class FunnelRow(user_id: Long, ts: java.sql.Timestamp,
+      is_purchase: Boolean) {
+    def ts_ms: Long = ts.getTime
+  }
+  final case class FunnelState(firstClickMs: Long, n: Long)
+  final case class FunnelOut(user_id: Long, n_conversions: Long,
+      converted: Boolean)
+  private val FunnelWindowMs = 3600L * 1000
+
+  def funnel(spark: SparkSession, events: DataFrame,
+      ttlMillis: Long = 24L * 3600 * 1000): Dataset[FunnelOut] = {
+    import spark.implicits._
+    events
+      .filter(col("event_type").isin("purchase", "click"))
+      .withWatermark("ts", "1 hour")
+      .select(col("user_id"), col("ts"),
+        (col("event_type") === "purchase").as("is_purchase"))
+      .as[FunnelRow]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelOut](
+        OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[FunnelRow], state: GroupState[FunnelState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            // clicks before purchases at equal ts: a purchase at the
+            // first click's own timestamp counts (ts >= fc)
+            val sorted = rows.toSeq.sortBy(r => (r.ts_ms, r.is_purchase))
+            var s = state.getOption.getOrElse(FunnelState(Long.MaxValue, 0L))
+            for (r <- sorted) {
+              if (!r.is_purchase) {
+                if (r.ts_ms < s.firstClickMs) s = s.copy(firstClickMs = r.ts_ms)
+              } else if (r.ts_ms >= s.firstClickMs &&
+                  r.ts_ms <= s.firstClickMs + FunnelWindowMs)
+                s = s.copy(n = s.n + 1)
+            }
+            if (s.firstClickMs == Long.MaxValue) {
+              // purchases-only so far: nothing to report, keep no state
+              Iterator.empty
+            } else {
+              state.update(s)
+              val lastMs = sorted.map(_.ts_ms).max
+              state.setTimeoutTimestamp(
+                math.max(lastMs, state.getCurrentWatermarkMs()) + ttlMillis)
+              Iterator.single(FunnelOut(user, s.n, s.n > 0))
+            }
+          }
+      }
+  }
+
   // --------------------------------------- correctness registration
 
   /** Batch-equivalence twin for the driver's oracle gate: runs the
@@ -408,10 +469,22 @@ object StreamOps {
     spark.table("docs_dedup_stream_sink").select(col("text_hash"))
   }
 
+  /** Streaming funnel replay twin: update-mode memory sink — one
+    * updated summary per user per batch, so the single replay batch
+    * leaves exactly one final row per user (= the batch funnel). */
+  def funnelReplay(spark: SparkSession, dir: String): DataFrame = {
+    val q = funnel(spark, readEvents(spark, dir)).toDF.writeStream
+      .outputMode("update").format("memory")
+      .queryName("events_funnel_stream_sink").start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table("events_funnel_stream_sink")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_interval_stream" -> (intervalJoinReplay _),
     "events_window_stream" -> (windowAggReplay _),
     "events_asof_stream" -> (asofEnrichReplay _),
+    "events_funnel_stream" -> (funnelReplay _),
     "docs_dedup_stream" -> (dedupExactReplay _))
 
   /** Oracles: the interval join shares the batch range-join SQL
@@ -422,6 +495,7 @@ object StreamOps {
   val oracles: Map[String, String] = Map(
     "events_interval_stream" -> graft.operators.EventOps.rangeJoinOracle,
     "events_asof_stream" -> graft.operators.EventOps.asofJoinOracle,
+    "events_funnel_stream" -> graft.operators.EventOps.funnelOracle,
     "events_window_stream" -> """
       SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_ts,
         event_type, COUNT(*) AS n

@@ -187,6 +187,14 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming funnel matches the batch funnel on full replay") {
+    val got = StreamOps.funnelReplay(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    val batch = EventOps.funnel(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(got == batch)
+  }
+
   test("streaming as-of enrichment matches batch as-of join") {
     val events = StreamOps.readEvents(spark, sf)
     val q = StreamOps.asofEnrich(spark, events).writeStream
