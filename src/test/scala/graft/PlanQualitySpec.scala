@@ -128,6 +128,23 @@ class PlanQualitySpec extends AnyFunSuite {
       s"dialect filters not pushed:\n$plan")
   }
 
+  test("funnel's range predicate never becomes a join condition") {
+    // first-click window is applied as a post-filter on the user_id
+    // equi-join — a theta/nested-loop shape here would be corpus²
+    val plan = planOf("events_funnel")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"funnel fell back to a non-equi join:\n$plan")
+  }
+
+  test("token document-frequency aggregates partially before the shuffle") {
+    // row-local array_distinct + partial count: the shuffle must carry
+    // (token, partial df), never raw token occurrences
+    val plan = planOf("text_token_df")
+    assert(plan.contains("partial_count") || plan.contains("partial"),
+      s"expected map-side partial aggregation in:\n$plan")
+  }
+
   test("per-lang top-k limits window groups before the shuffle") {
     // rk <= 10 on a row_number window must plan as WindowGroupLimit:
     // each map task keeps its local top-k per group pre-shuffle, so
