@@ -63,6 +63,65 @@ object RollingMinHash {
   }
 }
 
+/** Winnowing fingerprint selection (Schleimer et al., SIGMOD'03 —
+  * the MOSS algorithm): Karp-Rabin rolling hashes over w-byte
+  * windows, sampled by keeping the minimum of every t consecutive
+  * window hashes (rightmost minimum on ties). GUARANTEE: any
+  * substring of length ≥ w + t − 1 shared byte-identically by two
+  * texts contributes at least one fingerprint selected at the same
+  * position inside the shared span in BOTH texts — the property
+  * `dedup_substring`'s recall gate and planted-span spec pin. Used
+  * by the operator (executor-side) and the quality gates
+  * (driver-side recompute) so the two can never drift. */
+object Winnowing {
+  val Window = 50 // bytes per hashed window
+  val Block = 32  // windows per winnowing block; guarantee = 50+32-1 = 81
+
+  /** (hash, byte offset) of the selected fingerprints, consecutive
+    * duplicates collapsed. Texts shorter than one window yield none;
+    * texts with fewer than `t` windows yield their single global min. */
+  def fingerprints(bytes: Array[Byte], w: Int = Window,
+      t: Int = Block): Array[(Long, Int)] = {
+    val n = bytes.length
+    if (n < w) return Array.empty
+    val m = n - w + 1
+    val hs = new Array[Long](m)
+    var pow = 1L
+    var i = 1
+    while (i < w) { pow *= RollingMinHash.B; i += 1 }
+    var h = 0L
+    i = 0
+    while (i < w) { h = h * RollingMinHash.B + (bytes(i) & 0xffL); i += 1 }
+    hs(0) = h
+    i = w
+    while (i < n) {
+      h = (h - (bytes(i - w) & 0xffL) * pow) * RollingMinHash.B +
+        (bytes(i) & 0xffL)
+      hs(i - w + 1) = h
+      i += 1
+    }
+    if (m <= t) {
+      var best = 0
+      var j = 1
+      while (j < m) { if (hs(j) <= hs(best)) best = j; j += 1 }
+      return Array((hs(best), best))
+    }
+    // O(m·t) window-min scan: t is a small constant (32); a monotone
+    // deque would be O(m) but adds no value at this t
+    val out = Array.newBuilder[(Long, Int)]
+    var last = -1
+    var j = 0
+    while (j + t <= m) {
+      var best = j
+      var k = j + 1
+      while (k < j + t) { if (hs(k) <= hs(best)) best = k; k += 1 }
+      if (best != last) { out += ((hs(best), best)); last = best }
+      j += 1
+    }
+    out.result()
+  }
+}
+
 /** Column-level entry points for graft's custom expressions. */
 object functions {
   private def toCol(e: Expression): Column = GraftShim.column(e)

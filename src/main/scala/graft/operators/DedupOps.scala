@@ -414,6 +414,64 @@ object DedupOps {
       .filter(col("hamming") <= 3)
   }
 
+  // ------------------------------------------ exact-substring dedup
+
+  /** A winnowed fingerprint shared by more than this many documents is
+    * boilerplate (header/license spans); pairing its df² members is
+    * O(df²) for no curation value — dropped like the containment op's
+    * hot shingles, and handled by a boilerplate pass instead. */
+  val FpDfCap = 16
+
+  /** Exact-substring (span) deduplication — the dedup flavor n-gram
+    * Jaccard and MinHash miss: two long documents sharing one long
+    * verbatim span (quotes, mirrored passages) have low global
+    * similarity but must still be caught (Lee et al. 2022,
+    * arXiv:2107.06499 make the training-data case). Winnowing
+    * (functions.Winnowing, SIGMOD'03) samples each document's 50-byte
+    * window hashes down to ~1 per 32 windows with the guarantee that
+    * any byte-identical shared span ≥ 81 bytes yields a co-selected
+    * fingerprint in both documents; docs sharing a fingerprint become
+    * candidates, and each candidate match carries its 50-byte window
+    * CONTENT so verification is a binary equality in the join
+    * condition — every emitted pair provably shares ≥1 verbatim
+    * 50-byte window (precision 1.0 by construction; recall 1.0 for
+    * spans ≥ 81 bytes by the winnowing theorem, gated + spec'd with
+    * planted spans since the testdata corpus shares no spans).
+    *
+    * Scale shape: fingerprint volume is ~|text|/32 rows per doc; the
+    * only shuffle is the fingerprint-key self-join, bounded by the
+    * df cap; no all-pairs product. */
+  def substringDedup(sp: SparkSession, dir: String): DataFrame =
+    substringDedupFrom(sp, Engine.table(sp, dir, "documents"))
+
+  def substringDedupFrom(sp: SparkSession, docsIn: DataFrame): DataFrame = {
+    import sp.implicits._
+    val fps = docsIn.select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (id, text) =>
+          val b = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          graft.functions.Winnowing.fingerprints(b).iterator.map {
+            case (fp, off) =>
+              val end = math.min(off + graft.functions.Winnowing.Window, b.length)
+              (id, fp, off, java.util.Arrays.copyOfRange(b, off, end))
+          }
+        }
+      }
+      .toDF("doc_id", "fp", "off", "win")
+    val hot = fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > FpDfCap).select(col("fp"))
+    val cool = fps.join(hot, Seq("fp"), "left_anti")
+    cool.as("x").join(cool.as("y"),
+        col("x.fp") === col("y.fp") &&
+          col("x.doc_id") < col("y.doc_id") &&
+          col("x.win") === col("y.win")) // exact: the span bytes match
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared_windows"),
+        min(col("x.off")).as("first_off_a"),
+        min(col("y.off")).as("first_off_b"))
+  }
+
   // --------------------------------------- Bloom-filter cross-corpus
 
   /** Reference corpus for cross-corpus membership: one source split
@@ -473,6 +531,7 @@ object DedupOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> (exact _),
     "dedup_bloom_filter" -> (bloomFilterDedup _),
+    "dedup_substring" -> (substringDedup _),
     "dedup_ngram_jaccard" -> (ngramJaccard _),
     "dedup_containment" -> (containment _),
     "dedup_minhash_lsh" -> (minhashLsh _),

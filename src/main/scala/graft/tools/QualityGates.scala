@@ -137,6 +137,33 @@ object QualityGates {
       "fp_rate_headroom", 1.0 - bfFpr, 1.0 - 3 * DedupOps.BloomFpp,
       bfFlagged.size, bfMember.size)
 
+    // ---- dedup_substring vs a driver-side exact recompute on a
+    // bounded sample: every pair of the first 40 docs sharing ANY
+    // 81-byte substring must be reported (the winnowing guarantee);
+    // precision needs no gate — window bytes are equality-compared
+    // in the join itself
+    val subSample = Engine.table(sp, dir, "documents")
+      .filter(col("doc_id") < 40).select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1).getBytes("UTF-8")))
+    val winSets: Map[Long, Set[String]] = subSample.map { case (id, b) =>
+      id -> (if (b.length < 81) Set.empty[String]
+        else (0 to b.length - 81)
+          .map(i => new String(b, i, 81, "ISO-8859-1")).toSet)
+    }.toMap
+    val subExact = (for {
+      (ia, _) <- subSample; (ib, _) <- subSample
+      if ia < ib && (winSets(ia) & winSets(ib)).nonEmpty
+    } yield (ia, ib)).toSet
+    val subGot = DedupOps.substringDedup(sp, dir)
+      .filter(col("doc_a") < 40 && col("doc_b") < 40)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    gates += Gate("dedup_substring", "driver_exact_recompute",
+      "span_pair_recall",
+      if (subExact.isEmpty) 1.0
+      else (subGot & subExact).size.toDouble / subExact.size, 1.0,
+      subGot.size, subExact.size)
+
     // ---- stats_approx_distinct (HLL++, rsd 0.02) vs exact
     // COUNT(DISTINCT text) per source: gate worst-group accuracy
     val hll = StatsOps.approxDistinct(sp, dir)
