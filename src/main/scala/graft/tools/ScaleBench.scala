@@ -34,7 +34,8 @@ object ScaleBench {
   val Ops: Seq[String] = Seq(
     "dedup_minhash_lsh", "dedup_containment", "dedup_cluster",
     "pipeline_pack_sequences", "events_sessionize",
-    "sim_neardup_lsh", "sim_ann_ivf", "dedup_semantic")
+    "sim_neardup_lsh", "sim_ann_ivf", "dedup_semantic",
+    "dedup_substring")
 
   /** Build the N× corpus (idempotent: skipped if the directory
     * already holds all three tables). The perturbations are exact at
