@@ -212,9 +212,54 @@ object EventOps {
       COALESCE(p.n, 0) > 0 AS converted
     FROM c LEFT JOIN p USING (user_id)"""
 
+  /** Hourly cohort retention: users grouped by the hour of their
+    * first event; per cohort, how many came back exactly 1 hour and
+    * exactly 24 hours later. Pure integer arithmetic (distinct
+    * activity hours, 0/1 flags, counts) → exactly oracled. Scale
+    * shape: two hash aggregations (first-event per user, distinct
+    * (user, hour)) + one equi-join on user_id — no window over raw
+    * events, no theta join. */
+  def retention(sp: SparkSession, dir: String): DataFrame = {
+    val ev = Engine.table(sp, dir, "events")
+    val firstH = ev.groupBy(col("user_id"))
+      .agg(date_trunc("hour", min(col("ts"))).as("cohort"))
+    val acts = ev.select(col("user_id"), date_trunc("hour", col("ts")).as("h"))
+      .distinct()
+    val flags = acts.join(firstH, "user_id")
+      .groupBy(col("user_id"), col("cohort"))
+      .agg(
+        max(when(col("h") === col("cohort") + expr("INTERVAL 1 HOUR"), 1)
+          .otherwise(0)).as("r1"),
+        max(when(col("h") === col("cohort") + expr("INTERVAL 24 HOURS"), 1)
+          .otherwise(0)).as("r24"))
+    flags.groupBy(col("cohort"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("r1")).as("n_retained_1h"),
+        sum(col("r24")).as("n_retained_24h"))
+      .select(unix_timestamp(col("cohort")).as("cohort_ts"),
+        col("n_users"), col("n_retained_1h"), col("n_retained_24h"))
+  }
+
+  val retentionOracle: String = """
+    WITH f AS (
+      SELECT user_id, date_trunc('hour', MIN(ts)) AS cohort
+      FROM events GROUP BY user_id),
+    a AS (SELECT DISTINCT user_id, date_trunc('hour', ts) AS h FROM events),
+    fl AS (
+      SELECT f.user_id, f.cohort,
+        MAX(CASE WHEN a.h = f.cohort + INTERVAL 1 HOUR THEN 1 ELSE 0 END) AS r1,
+        MAX(CASE WHEN a.h = f.cohort + INTERVAL 24 HOUR THEN 1 ELSE 0 END) AS r24
+      FROM f JOIN a USING (user_id) GROUP BY f.user_id, f.cohort)
+    SELECT CAST(epoch(cohort) AS BIGINT) AS cohort_ts,
+      CAST(COUNT(*) AS BIGINT) AS n_users,
+      CAST(SUM(r1) AS BIGINT) AS n_retained_1h,
+      CAST(SUM(r24) AS BIGINT) AS n_retained_24h
+    FROM fl GROUP BY cohort"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_window_agg" -> (windowAgg _),
     "events_funnel" -> (funnel _),
+    "events_retention" -> (retention _),
     "events_window_hopping" -> (windowHopping _),
     "events_sessionize" -> (sessionize _),
     "events_asof_join" -> (asofJoin _),
@@ -223,6 +268,7 @@ object EventOps {
   val oracles: Map[String, String] = Map(
     "events_window_agg" -> windowAggOracle,
     "events_funnel" -> funnelOracle,
+    "events_retention" -> retentionOracle,
     "events_window_hopping" -> windowHoppingOracle,
     "events_sessionize" -> sessionizeOracle,
     "events_asof_join" -> asofJoinOracle,
