@@ -256,10 +256,43 @@ object EventOps {
       CAST(SUM(r24) AS BIGINT) AS n_retained_24h
     FROM fl GROUP BY cohort"""
 
+  /** Hourly volume-spike detection: hours where an event type's count
+    * exceeds 2× its per-hour average. The threshold `c > 2·total/n`
+    * is decided as the INTEGER cross-product `c·n > 2·total` — no
+    * float division anywhere, so the cut is bit-portable and the op
+    * stays exactly oracled (a double mean would reintroduce the
+    * round-tie hazard the oracle rules ban). Two hash aggregations,
+    * then a per-type join AQE broadcasts (types are low-cardinality). */
+  def hourlySpikes(sp: SparkSession, dir: String): DataFrame = {
+    val hourly = Engine.table(sp, dir, "events")
+      .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+    val totals = hourly.groupBy(col("event_type"))
+      .agg(sum(col("c")).as("total"), count(lit(1)).as("n_hours"))
+    hourly.join(totals, "event_type")
+      .filter(col("c") * col("n_hours") > lit(2) * col("total"))
+      .select(unix_timestamp(col("h")).as("hour_ts"), col("event_type"),
+        col("c"), col("total"), col("n_hours"))
+  }
+
+  val hourlySpikesOracle: String = """
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS h, event_type, COUNT(*) AS c
+      FROM events GROUP BY 1, 2),
+    totals AS (
+      SELECT event_type, SUM(c) AS total, COUNT(*) AS n_hours
+      FROM hourly GROUP BY event_type)
+    SELECT CAST(epoch(h) AS BIGINT) AS hour_ts, hourly.event_type,
+      CAST(c AS BIGINT) AS c, CAST(total AS BIGINT) AS total,
+      CAST(n_hours AS BIGINT) AS n_hours
+    FROM hourly JOIN totals USING (event_type)
+    WHERE c * n_hours > 2 * total"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_window_agg" -> (windowAgg _),
     "events_funnel" -> (funnel _),
     "events_retention" -> (retention _),
+    "events_hourly_spikes" -> (hourlySpikes _),
     "events_window_hopping" -> (windowHopping _),
     "events_sessionize" -> (sessionize _),
     "events_asof_join" -> (asofJoin _),
@@ -269,6 +302,7 @@ object EventOps {
     "events_window_agg" -> windowAggOracle,
     "events_funnel" -> funnelOracle,
     "events_retention" -> retentionOracle,
+    "events_hourly_spikes" -> hourlySpikesOracle,
     "events_window_hopping" -> windowHoppingOracle,
     "events_sessionize" -> sessionizeOracle,
     "events_asof_join" -> asofJoinOracle,
