@@ -62,8 +62,14 @@ object ScaleBench {
     def nfold(name: String, copy: (DataFrame, Int) => DataFrame): Unit = {
       val base = name match {
         // raw read keeps events.ts as int64 nanos; the derived file is
-        // plain INT64, which Engine.table converts identically
-        case "events" => spark.read.parquet(s"$baseDir/events.parquet")
+        // plain INT64, which Engine.table converts identically. Needs
+        // the same legacy-nanos flag Engine.table guards (sessions not
+        // built by Engine.session reject TIMESTAMP(NANOS) otherwise)
+        case "events" =>
+          if (spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
+              .forall(_ != "true"))
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+          spark.read.parquet(s"$baseDir/events.parquet")
         case _ => spark.read.parquet(s"$baseDir/$name.parquet")
       }
       (0 until copies).map(i => copy(base, i))
