@@ -45,7 +45,8 @@ object Bench {
     "dedup_semantic", "dedup_bloom_filter", "stats_length_quantiles",
     "stats_approx_distinct", "pipeline_topk_per_lang",
     "text_token_df", "events_funnel", "text_normalize",
-    "pipeline_shuffle_shards", "dedup_substring")
+    "pipeline_shuffle_shards", "dedup_substring",
+    "events_retention", "events_hourly_spikes")
 
   val Reps = 5
 
