@@ -187,6 +187,25 @@ object TextOps {
     FROM s"""
   }
 
+  /** Language confusion matrix: declared `lang` column × predicted
+    * [[langId]] label with counts — the audit every pipeline runs on
+    * its language classifier before trusting per-language sampling
+    * decisions. One equi-join + one hash aggregation over a
+    * (langs × labels)-sized result; integer counts → exactly
+    * oracled by wrapping the lang-id oracle as a subquery. */
+  def langConfusion(sp: SparkSession, dir: String): DataFrame =
+    langId(sp, dir)
+      .join(Engine.table(sp, dir, "documents").select(col("doc_id"), col("lang")),
+        "doc_id")
+      .groupBy(col("lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n"))
+
+  val langConfusionOracle: String = s"""
+    SELECT d.lang, pred.pred_lang, CAST(COUNT(*) AS BIGINT) AS n
+    FROM ($langIdOracle) pred
+    JOIN documents d USING (doc_id)
+    GROUP BY d.lang, pred.pred_lang"""
+
   /** Winnowing-style document fingerprint: min polynomial rolling hash
     * over character k-grams (k=16), via the custom Catalyst expression
     * [[graft.functions.RollingMinHash]]. No SQL oracle (not
@@ -422,6 +441,7 @@ object TextOps {
     "pipeline_topk_per_lang" -> (topkPerLang _),
     "text_normalize" -> (normalize _),
     "text_token_df" -> (tokenDf _),
+    "text_lang_confusion" -> (langConfusion _),
     "pipeline_token_budget" -> (tokenBudget _),
     "pipeline_quality_filter" -> (qualityFilterPipeline _),
     "text_token_stats" -> (tokenStats _),
@@ -437,6 +457,7 @@ object TextOps {
     "pipeline_topk_per_lang" -> topkPerLangOracle,
     "text_normalize" -> normalizeOracle,
     "text_token_df" -> tokenDfOracle,
+    "text_lang_confusion" -> langConfusionOracle,
     "pipeline_token_budget" -> tokenBudgetOracle,
     "pipeline_quality_filter" -> qualityFilterPipelineOracle,
     "text_token_stats" -> tokenStatsOracle,
