@@ -288,11 +288,39 @@ object EventOps {
     FROM hourly JOIN totals USING (event_type)
     WHERE c * n_hours > 2 * total"""
 
+  /** Per-user activity profile — the feature-engineering aggregation
+    * behind user-level sampling/weighting decisions: event counts by
+    * type, distinct active hours, first/last active hour. One hash
+    * aggregation keyed on user_id; timestamps surface as the proven
+    * hour-epoch integers (second-precision epochs diverge between
+    * engines on nanos timestamps). */
+  def userStats(sp: SparkSession, dir: String): DataFrame =
+    Engine.table(sp, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        count(when(col("event_type") === "purchase", 1)).as("n_purchases"),
+        count(when(col("event_type") === "click", 1)).as("n_clicks"),
+        countDistinct(date_trunc("hour", col("ts"))).as("n_active_hours"),
+        unix_timestamp(date_trunc("hour", min(col("ts")))).as("first_hour_ts"),
+        unix_timestamp(date_trunc("hour", max(col("ts")))).as("last_hour_ts"))
+
+  val userStatsOracle: String = """
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+      CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT)
+        AS n_purchases,
+      CAST(COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT)
+        AS n_clicks,
+      CAST(COUNT(DISTINCT date_trunc('hour', ts)) AS BIGINT) AS n_active_hours,
+      CAST(epoch(date_trunc('hour', MIN(ts))) AS BIGINT) AS first_hour_ts,
+      CAST(epoch(date_trunc('hour', MAX(ts))) AS BIGINT) AS last_hour_ts
+    FROM events GROUP BY user_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_window_agg" -> (windowAgg _),
     "events_funnel" -> (funnel _),
     "events_retention" -> (retention _),
     "events_hourly_spikes" -> (hourlySpikes _),
+    "events_user_stats" -> (userStats _),
     "events_window_hopping" -> (windowHopping _),
     "events_sessionize" -> (sessionize _),
     "events_asof_join" -> (asofJoin _),
@@ -303,6 +331,7 @@ object EventOps {
     "events_funnel" -> funnelOracle,
     "events_retention" -> retentionOracle,
     "events_hourly_spikes" -> hourlySpikesOracle,
+    "events_user_stats" -> userStatsOracle,
     "events_window_hopping" -> windowHoppingOracle,
     "events_sessionize" -> sessionizeOracle,
     "events_asof_join" -> asofJoinOracle,
