@@ -96,11 +96,34 @@ object StatsOps {
         }: _*)
   }
 
+  /** Per-source corpus profile: document count, language spread, and
+    * length extremes/total — the one-pass summary a curation run
+    * prints per ingest source. Integer-only (totals, not means — a
+    * mean would need the exact-decimal division dance), one hash
+    * aggregation. */
+  def sourceProfile(sp: SparkSession, dir: String): DataFrame =
+    Engine.table(sp, dir, "documents")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(col("n_chars")).as("total_chars"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"))
+
+  val sourceProfileOracle: String = """
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+      CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+      MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+    FROM documents GROUP BY source"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stats_source_profile" -> (sourceProfile _),
     "stats_length_quantiles" -> (lengthQuantiles _),
     "stats_approx_distinct" -> (approxDistinct _),
     "stats_approx_quantiles" -> (approxQuantiles _))
 
   val oracles: Map[String, String] = Map(
+    "stats_source_profile" -> sourceProfileOracle,
     "stats_length_quantiles" -> lengthQuantilesOracle)
 }
