@@ -46,7 +46,8 @@ object Bench {
     "stats_approx_distinct", "pipeline_topk_per_lang",
     "text_token_df", "events_funnel", "text_normalize",
     "pipeline_shuffle_shards", "dedup_substring",
-    "events_retention", "events_hourly_spikes")
+    "events_retention", "events_hourly_spikes", "events_user_stats",
+    "text_lang_confusion", "stats_source_profile")
 
   val Reps = 5
 
