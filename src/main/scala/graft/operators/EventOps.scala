@@ -176,6 +176,15 @@ object EventOps {
       ON c.user_id = p.user_id
      AND abs(epoch_ms(c.ts) - epoch_ms(p.ts)) <= 900000"""
 
+  /** Stage window for the funnel ops (1 hour, in ms). The window
+    * predicate is evaluated on MILLISECOND epochs on BOTH engines:
+    * the raw timestamps are nanos that Spark sees µs-truncated
+    * (Engine.table) while DuckDB sees in full, so a comparison on raw
+    * timestamp values is a sub-µs tie hazard — ms flooring commutes
+    * with min() and is the proven shared precision (same discipline
+    * as sessionize/rangeJoin). */
+  val FunnelWindowMs = 3600000L
+
   /** Two-step funnel: per user with at least one click, did a
     * purchase land within one hour of the FIRST click, and how many.
     * The funnel predicate is a range, but the plan is a pure
@@ -186,11 +195,12 @@ object EventOps {
   def funnel(sp: SparkSession, dir: String): DataFrame = {
     val ev = Engine.table(sp, dir, "events")
     val firstClick = ev.filter(col("event_type") === "click")
-      .groupBy(col("user_id")).agg(min(col("ts")).as("first_click"))
+      .groupBy(col("user_id")).agg(min(unix_millis(col("ts"))).as("fc_ms"))
     val conv = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_millis(col("ts")).as("p_ms"))
       .join(firstClick, "user_id")
-      .filter(col("ts") >= col("first_click") &&
-        col("ts") <= col("first_click") + expr("INTERVAL 1 HOUR"))
+      .filter(col("p_ms") >= col("fc_ms") &&
+        col("p_ms") <= col("fc_ms") + lit(FunnelWindowMs))
       .groupBy(col("user_id")).agg(count(lit(1)).as("n_conversions"))
     firstClick.join(conv, Seq("user_id"), "left")
       .select(col("user_id"),
@@ -200,17 +210,79 @@ object EventOps {
 
   val funnelOracle: String = """
     WITH c AS (
-      SELECT user_id, MIN(ts) AS fc FROM events
+      SELECT user_id, MIN(epoch_ms(ts)) AS fc_ms FROM events
       WHERE event_type = 'click' GROUP BY user_id),
     p AS (
       SELECT c.user_id, CAST(COUNT(*) AS BIGINT) AS n
       FROM c JOIN events e ON e.user_id = c.user_id
         AND e.event_type = 'purchase'
-        AND e.ts >= c.fc AND e.ts <= c.fc + INTERVAL 1 HOUR
+        AND epoch_ms(e.ts) >= c.fc_ms
+        AND epoch_ms(e.ts) <= c.fc_ms + 3600000
       GROUP BY c.user_id)
     SELECT c.user_id, COALESCE(p.n, 0) AS n_conversions,
       COALESCE(p.n, 0) > 0 AS converted
     FROM c LEFT JOIN p USING (user_id)"""
+
+  /** k-step ORDERED funnel (k=3: click → view → purchase): per user
+    * with at least one click, the earliest view within one hour AFTER
+    * the first click, then every purchase within one hour after that
+    * qualifying view. Each stage is the same scale shape as the
+    * 2-step funnel — aggregate the previous stage's anchor per user
+    * (hash shuffle on user_id), equi-join the next event type on
+    * user_id, apply the stage window as a post-filter, re-aggregate —
+    * so the whole k-chain is k equi-joins and never a θ-join
+    * (PlanQualitySpec pins the plan exactly like it does for
+    * [[funnel]]). Window arithmetic is millisecond-epoch on both
+    * engines ([[FunnelWindowMs]]). */
+  def funnelK(sp: SparkSession, dir: String): DataFrame = {
+    val ev = Engine.table(sp, dir, "events")
+    val firstClick = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id")).agg(min(unix_millis(col("ts"))).as("fc_ms"))
+    // earliest view inside the first stage window: min() over the
+    // post-filtered equi-join — the "ordered" constraint is the filter
+    val firstView = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), unix_millis(col("ts")).as("v_ms"))
+      .join(firstClick, "user_id")
+      .filter(col("v_ms") >= col("fc_ms") &&
+        col("v_ms") <= col("fc_ms") + lit(FunnelWindowMs))
+      .groupBy(col("user_id")).agg(min(col("v_ms")).as("fv_ms"))
+    val conv = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_millis(col("ts")).as("p_ms"))
+      .join(firstView, "user_id")
+      .filter(col("p_ms") >= col("fv_ms") &&
+        col("p_ms") <= col("fv_ms") + lit(FunnelWindowMs))
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n_conversions"))
+    firstClick
+      .join(firstView, Seq("user_id"), "left")
+      .join(conv, Seq("user_id"), "left")
+      .select(col("user_id"),
+        col("fv_ms").isNotNull.as("reached_view"),
+        coalesce(col("n_conversions"), lit(0L)).as("n_conversions"),
+        (coalesce(col("n_conversions"), lit(0L)) > 0).as("converted"))
+  }
+
+  val funnelKOracle: String = """
+    WITH c AS (
+      SELECT user_id, MIN(epoch_ms(ts)) AS fc_ms FROM events
+      WHERE event_type = 'click' GROUP BY user_id),
+    v AS (
+      SELECT c.user_id, MIN(epoch_ms(e.ts)) AS fv_ms
+      FROM c JOIN events e ON e.user_id = c.user_id
+        AND e.event_type = 'view'
+        AND epoch_ms(e.ts) >= c.fc_ms
+        AND epoch_ms(e.ts) <= c.fc_ms + 3600000
+      GROUP BY c.user_id),
+    p AS (
+      SELECT v.user_id, CAST(COUNT(*) AS BIGINT) AS n
+      FROM v JOIN events e ON e.user_id = v.user_id
+        AND e.event_type = 'purchase'
+        AND epoch_ms(e.ts) >= v.fv_ms
+        AND epoch_ms(e.ts) <= v.fv_ms + 3600000
+      GROUP BY v.user_id)
+    SELECT c.user_id, v.user_id IS NOT NULL AS reached_view,
+      COALESCE(p.n, 0) AS n_conversions,
+      COALESCE(p.n, 0) > 0 AS converted
+    FROM c LEFT JOIN v USING (user_id) LEFT JOIN p USING (user_id)"""
 
   /** Hourly cohort retention: users grouped by the hour of their
     * first event; per cohort, how many came back exactly 1 hour and
@@ -318,6 +390,7 @@ object EventOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_window_agg" -> (windowAgg _),
     "events_funnel" -> (funnel _),
+    "events_funnel_k" -> (funnelK _),
     "events_retention" -> (retention _),
     "events_hourly_spikes" -> (hourlySpikes _),
     "events_user_stats" -> (userStats _),
@@ -329,6 +402,7 @@ object EventOps {
   val oracles: Map[String, String] = Map(
     "events_window_agg" -> windowAggOracle,
     "events_funnel" -> funnelOracle,
+    "events_funnel_k" -> funnelKOracle,
     "events_retention" -> retentionOracle,
     "events_hourly_spikes" -> hourlySpikesOracle,
     "events_user_stats" -> userStatsOracle,

@@ -137,6 +137,15 @@ class PlanQualitySpec extends AnyFunSuite {
       s"funnel fell back to a non-equi join:\n$plan")
   }
 
+  test("k-step funnel keeps every stage an equi-join") {
+    // three chained stages, each stage window a post-filter on a
+    // user_id equi-join — any θ shape here multiplies at scale
+    val plan = planOf("events_funnel_k")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"funnel_k fell back to a non-equi join:\n$plan")
+  }
+
   test("token document-frequency aggregates partially before the shuffle") {
     // row-local array_distinct + partial count: the shuffle must carry
     // (token, partial df), never raw token occurrences
