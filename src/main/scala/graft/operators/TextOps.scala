@@ -87,6 +87,69 @@ object TextOps {
           FROM documents)
     GROUP BY token HAVING COUNT(*) >= 5"""
 
+  /** Paragraph granularity for [[boilerplate]]: the synthetic corpus
+    * is newline-free, so a "paragraph" is a fixed run of [[ParaWords]]
+    * consecutive words (non-overlapping chunks — the same convention a
+    * real corpus would apply per \n\n-split block). */
+  val ParaWords = 5
+
+  /** A paragraph present in more than this many documents is
+    * boilerplate (headers, licenses, navigation chrome). */
+  val BoilerDfCap = 2
+
+  /** Boilerplate SPAN detection — the surfacing pass for what the
+    * substring-dedup fingerprint cap (DedupOps.FpDfCap) silently
+    * drops: split each document into paragraphs, hash them, count the
+    * corpus-wide document frequency per paragraph hash, and join the
+    * hot set back to flag per-document boilerplate load. Scale shape:
+    * the paragraph split is row-local (pre-partitioned by doc_id, so
+    * the per-doc distinct is exchange-free), the only shuffles are one
+    * hash aggregation on a 128-bit paragraph hash (32 B/row at 100 TB,
+    * same argument as exact dedup) and the df join back; the hot set
+    * is a df-thresholded fraction of the paragraph space, never
+    * broadcast by force. Integer counts + one exact int/int division →
+    * fully oracled. */
+  def boilerplate(sp: SparkSession, dir: String): DataFrame = {
+    val ws = split(col("text"), " ")
+    val paras = Engine.table(sp, dir, "documents")
+      .repartition(sp.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"), ws.as("ws"))
+      .select(col("doc_id"), explode(transform(
+        expr(s"sequence(1, (size(ws) + ${ParaWords - 1}) div $ParaWords)"),
+        i => concat_ws(" ",
+          slice(col("ws"), (i - 1) * ParaWords + 1, lit(ParaWords))))).as("para"))
+      // set semantics per document (a paragraph repeated within one
+      // doc counts once toward df); hash first so the distinct and
+      // every later shuffle carry 16 bytes, not the paragraph text
+      .select(col("doc_id"), md5(col("para").cast("binary")).as("ph"))
+      .distinct()
+    val df = paras.groupBy(col("ph")).agg(count(lit(1)).as("df"))
+    paras.join(df, "ph")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_paras"),
+        sum(when(col("df") > BoilerDfCap, 1L).otherwise(0L))
+          .as("n_boilerplate"))
+      .withColumn("boiler_frac",
+        col("n_boilerplate").cast("double") / col("n_paras"))
+  }
+
+  val boilerplateOracle: String = s"""
+    WITH words AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    paras AS (
+      SELECT DISTINCT doc_id,
+        array_to_string(ws[(i-1)*$ParaWords+1 : i*$ParaWords], ' ') AS para
+      FROM words,
+        unnest(range(1, (len(ws) + ${ParaWords - 1}) // $ParaWords + 1)) AS t(i)),
+    df AS (SELECT para, COUNT(*) AS df FROM paras GROUP BY para)
+    SELECT p.doc_id, CAST(COUNT(*) AS BIGINT) AS n_paras,
+      CAST(SUM(CASE WHEN d.df > $BoilerDfCap THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_boilerplate,
+      CAST(SUM(CASE WHEN d.df > $BoilerDfCap THEN 1 ELSE 0 END) AS DOUBLE)
+        / COUNT(*) AS boiler_frac
+    FROM paras p JOIN df d USING (para)
+    GROUP BY p.doc_id"""
+
   /** Canonical text normalization — the first pass of most curation
     * pipelines: lowercase, collapse whitespace runs, trim. Row-local
     * (no shuffle); `changed` flags rows the pass rewrote so the
@@ -441,6 +504,7 @@ object TextOps {
     "pipeline_topk_per_lang" -> (topkPerLang _),
     "text_normalize" -> (normalize _),
     "text_token_df" -> (tokenDf _),
+    "text_boilerplate" -> (boilerplate _),
     "text_lang_confusion" -> (langConfusion _),
     "pipeline_token_budget" -> (tokenBudget _),
     "pipeline_quality_filter" -> (qualityFilterPipeline _),
@@ -457,6 +521,7 @@ object TextOps {
     "pipeline_topk_per_lang" -> topkPerLangOracle,
     "text_normalize" -> normalizeOracle,
     "text_token_df" -> tokenDfOracle,
+    "text_boilerplate" -> boilerplateOracle,
     "text_lang_confusion" -> langConfusionOracle,
     "pipeline_token_budget" -> tokenBudgetOracle,
     "pipeline_quality_filter" -> qualityFilterPipelineOracle,
