@@ -179,8 +179,22 @@ object DedupOps {
     * the per-round `count()` is a cheap job over the label table and
     * production deployments add `localCheckpoint` every few rounds to
     * cut lineage. DuckDB-oracled via a recursive CTE. */
-  def cluster(sp: SparkSession, dir: String): DataFrame = {
-    val pairs = ngramJaccard(sp, dir).select(col("doc_a"), col("doc_b"))
+  def cluster(sp: SparkSession, dir: String): DataFrame =
+    clusterFrom(sp, dir, ngramJaccard(sp, dir).select(col("doc_a"), col("doc_b")))
+
+  /** [[cluster]] with the edge set coming from MinHash-LSH instead of
+    * the exact inverted-index Jaccard — the 100 TB edge source: LSH
+    * emits only VERIFIED-exact pairs (candidates are re-scored with
+    * true Jaccard before the threshold), so any component difference
+    * vs [[cluster]] is purely LSH recall, not precision.
+    * DedupSimilaritySpec asserts identical components at the test SFs
+    * and QualityGates scores label agreement per round; ScaleBench
+    * carries the 10× timing row. */
+  def clusterLsh(sp: SparkSession, dir: String): DataFrame =
+    clusterFrom(sp, dir, minhashLsh(sp, dir).select(col("doc_a"), col("doc_b")))
+
+  /** Connected components over an arbitrary near-dup edge set. */
+  def clusterFrom(sp: SparkSession, dir: String, pairs: DataFrame): DataFrame = {
     val edges = pairs
       .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .toDF("src", "dst")
@@ -537,6 +551,7 @@ object DedupOps {
     "dedup_minhash_lsh" -> (minhashLsh _),
     "dedup_simhash" -> (simhashPairs _),
     "dedup_cluster" -> (cluster _),
+    "dedup_cluster_lsh" -> (clusterLsh _),
     "dedup_cluster_keep_best" -> (clusterKeepBest _))
 
   val oracles: Map[String, String] = Map(
@@ -544,5 +559,11 @@ object DedupOps {
     "dedup_ngram_jaccard" -> ngramJaccardOracle,
     "dedup_containment" -> containmentOracle,
     "dedup_cluster" -> clusterOracle,
+    // the LSH-edged clustering shares the exact-edge oracle: LSH pairs
+    // are verified-exact (⊆ the n-gram pairs) and the deterministic
+    // xxhash64 banding finds ALL of them at the verification SFs
+    // (asserted by DedupSimilaritySpec at both SFs + the label_agreement
+    // quality gate), so the components coincide with the exact closure
+    "dedup_cluster_lsh" -> clusterOracle,
     "dedup_cluster_keep_best" -> clusterKeepBestOracle)
 }

@@ -139,20 +139,46 @@ object QualityGates {
 
     // ---- dedup_substring vs a driver-side exact recompute on a
     // bounded sample: every pair of the first 40 docs sharing ANY
-    // 81-byte substring must be reported (the winnowing guarantee);
-    // precision needs no gate — window bytes are equality-compared
-    // in the join itself
-    val subSample = Engine.table(sp, dir, "documents")
-      .filter(col("doc_id") < 40).select(col("doc_id"), col("text"))
+    // 81-byte substring must be reported (the winnowing guarantee) —
+    // UNLESS every fingerprint backing the span is corpus-wide
+    // boilerplate (df > FpDfCap), which the op intentionally drops;
+    // the recompute applies the same exclusion so a hot span cannot
+    // produce a spurious FAIL at the 1.0 threshold. Precision needs
+    // no gate — window bytes are equality-compared in the join itself.
+    val subAll = Engine.table(sp, dir, "documents")
+      .select(col("doc_id"), col("text"))
       .collect().map(r => (r.getLong(0), r.getString(1).getBytes("UTF-8")))
+    // independent driver-side winnow of the whole corpus: fingerprint
+    // occurrences (for the df cap, counted per occurrence exactly like
+    // the op's groupBy) + window contents
+    val fpsByDoc: Map[Long, Seq[(Long, String)]] = subAll.map { case (id, b) =>
+      id -> graft.functions.Winnowing.fingerprints(b).toSeq.map {
+        case (fp, off) =>
+          val end = math.min(off + graft.functions.Winnowing.Window, b.length)
+          (fp, new String(b, off, end - off, "ISO-8859-1"))
+      }
+    }.toMap
+    val fpDf: Map[Long, Int] = fpsByDoc.values.flatten
+      .groupBy(_._1).view.mapValues(_.size).toMap
+    val hotFps: Set[Long] =
+      fpDf.collect { case (fp, df) if df > DedupOps.FpDfCap => fp }.toSet
+    val subSample = subAll.filter(_._1 < 40)
     val winSets: Map[Long, Set[String]] = subSample.map { case (id, b) =>
       id -> (if (b.length < 81) Set.empty[String]
         else (0 to b.length - 81)
           .map(i => new String(b, i, 81, "ISO-8859-1")).toSet)
     }.toMap
+    // surviving (non-hot) fingerprints with their window bytes per doc
+    def cool(id: Long): Map[Long, Set[String]] = fpsByDoc(id)
+      .filterNot(f => hotFps(f._1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
     val subExact = (for {
       (ia, _) <- subSample; (ib, _) <- subSample
       if ia < ib && (winSets(ia) & winSets(ib)).nonEmpty
+      ca = cool(ia); cb = cool(ib)
+      // pair demanded only when backed by a surviving co-selected
+      // fingerprint whose 50-byte window contents match
+      if (ca.keySet & cb.keySet).exists(fp => (ca(fp) & cb(fp)).nonEmpty)
     } yield (ia, ib)).toSet
     val subGot = DedupOps.substringDedup(sp, dir)
       .filter(col("doc_a") < 40 && col("doc_b") < 40)
@@ -163,6 +189,20 @@ object QualityGates {
       if (subExact.isEmpty) 1.0
       else (subGot & subExact).size.toDouble / subExact.size, 1.0,
       subGot.size, subExact.size)
+
+    // ---- dedup_cluster_lsh vs the exact-edge clustering: LSH emits
+    // only verified-exact pairs, so with full LSH recall the
+    // components are IDENTICAL — gate the per-doc label agreement at
+    // 1.0 (DedupSimilaritySpec asserts the same at both test SFs; a
+    // miss here means an LSH-recall edge loss, visible per round)
+    val exactLabels = DedupOps.cluster(sp, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val lshLabels = DedupOps.clusterLsh(sp, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ccAgree = exactLabels.count { case (k, v) => lshLabels.get(k).contains(v) }
+    gates += Gate("dedup_cluster_lsh", "dedup_cluster", "label_agreement",
+      if (exactLabels.isEmpty) 1.0 else ccAgree.toDouble / exactLabels.size,
+      1.0, lshLabels.size, exactLabels.size)
 
     // ---- stats_approx_distinct (HLL++, rsd 0.02) vs exact
     // COUNT(DISTINCT text) per source: gate worst-group accuracy

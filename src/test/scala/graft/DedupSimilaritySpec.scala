@@ -79,6 +79,22 @@ class DedupSimilaritySpec extends AnyFunSuite {
     labels.foreach { case (d, c) => assert(c <= d) }
   }
 
+  test("LSH-edged clustering yields the exact clustering's components at both test SFs") {
+    // the 100 TB edge source: minhashLsh emits verified-exact pairs,
+    // so with full LSH recall the connected components are identical
+    // to the exact n-gram closure — asserted per doc at sf0.001 AND
+    // sf0.01 (the driver's verification SF, where dedup_cluster_lsh
+    // shares dedup_cluster's recursive-CTE oracle)
+    for (d <- Seq(sf, "/root/testdata/sf0.01")) {
+      val exact = DedupOps.cluster(spark, d)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val lsh = DedupOps.clusterLsh(spark, d)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(lsh == exact, s"LSH-edged components diverge at $d: " +
+        s"${exact.count { case (k, v) => !lsh.get(k).contains(v) }} docs differ")
+    }
+  }
+
   test("PQ encoding compresses with bounded codes and sub-baseline reconstruction error") {
     val enc = SimilarityOps.pqEncode(spark, sf).collect()
     // every code addresses a real centroid
