@@ -350,9 +350,16 @@ object StreamOps {
     * `ttlMillis`. Rows within a micro-batch are processed in event-
     * time order; across batches the first-click floor only ratchets
     * down as earlier clicks arrive (same bounded-disorder caveat as
-    * the other stateful ops — the watermark bounds how late). Emits
-    * one UPDATED summary row per user per batch with activity, so a
-    * single-batch replay yields exactly the batch funnel. */
+    * the other stateful ops — the watermark bounds how late). Note
+    * that the CONVERSION COUNT is best-effort under cross-batch
+    * disorder: when a later batch delivers an earlier click, purchases
+    * already counted against the old (later) first click are retained
+    * and purchases from earlier batches falling inside the new window
+    * are not recounted — the count can diverge from the batch twin
+    * until the watermark closes the disorder window. Single-batch
+    * replay (the registered oracle twin) is unaffected: it emits one
+    * UPDATED summary row per user per batch with activity, so the
+    * replay yields exactly the batch funnel. */
   final case class FunnelRow(user_id: Long, ts: java.sql.Timestamp,
       is_purchase: Boolean) {
     def ts_ms: Long = ts.getTime
@@ -469,6 +476,65 @@ object StreamOps {
     spark.table("docs_dedup_stream_sink").select(col("text_hash"))
   }
 
+  /** Streaming sessionization replay twin. Sessions closed by an
+    * IN-batch 30-minute gap are emitted during the batch; each user's
+    * tail session closes only via event-time TIMEOUT, which fires once
+    * the watermark passes last_event + gap. The replay makes every
+    * real session watermark-CLOSED deterministically by appending two
+    * far-future sentinel events in separate follow-up micro-batches:
+    * batch 0 processes the real corpus (watermark 0 — nothing late),
+    * batch 1's sentinel advances the watermark past every real
+    * timeout, and batch 2's second sentinel makes that watermark the
+    * EVICTION watermark of a data batch, firing all tail-session
+    * timeouts without relying on no-data micro-batch scheduling. The
+    * result is the complete batch sessionize output and shares its
+    * oracle SQL projected to the integer columns (user_id,
+    * session_start_ms, n_events) — session_value is a float sum whose
+    * accumulation order differs between the state store and a batch
+    * shuffle, the same exclusion as [[windowAggReplay]]. */
+  def sessionizeReplay(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val work = Files.createTempDirectory("graft_sess_replay")
+    Files.copy(Paths.get(s"$dir/events.parquet"),
+      work.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // same reader shape as readEvents, minus the glob (sentinel files
+    // land beside the copied corpus)
+    val events = spark.readStream.schema(rawSchema)
+      .option("pathGlobFilter", "*.parquet")
+      .parquet(work.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val q = sessionize(spark, events).toDF.writeStream
+      .outputMode("append").format("memory")
+      .queryName("events_sessionize_stream_sink").start()
+    try {
+      q.processAllAvailable() // batch 0: the real corpus, watermark 0
+      val maxNanos = spark.read.parquet(s"$dir/events.parquet")
+        .agg(max(col("ts"))).collect()(0).getLong(0)
+      def sentinel(i: Int): Unit = {
+        import spark.implicits._
+        // +i years (in nanos), negative user_id — filtered from output.
+        // Staged OUTSIDE the monitored directory, then moved in as one
+        // atomic rename, so the running poller never sees a half write.
+        val row = (-(1000L + i), maxNanos + i * 365L * 24 * 3600 * 1000000000L,
+          -1L, "sentinel", 0.0, null.asInstanceOf[String])
+        val stage = Files.createTempDirectory(s"graft_sess_stage$i")
+        Seq(row).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+          .coalesce(1).write.mode("overwrite").parquet(stage.toString)
+        val part = Files.list(stage).filter(_.toString.endsWith(".parquet"))
+          .findFirst().get()
+        Files.move(part, work.resolve(s"zz_sentinel$i.parquet"),
+          StandardCopyOption.REPLACE_EXISTING)
+        q.processAllAvailable()
+      }
+      sentinel(1) // watermark := sentinel1 - delay (past all real data)
+      sentinel(2) // a DATA batch under that watermark: tail sessions fire
+    } finally q.stop()
+    spark.table("events_sessionize_stream_sink")
+      .filter(col("user_id") >= 0)
+      .select(col("user_id"), col("session_start_ms"), col("n_events"))
+  }
+
   /** Streaming funnel replay twin: update-mode memory sink — one
     * updated summary per user per batch, so the single replay batch
     * leaves exactly one final row per user (= the batch funnel). */
@@ -485,6 +551,7 @@ object StreamOps {
     "events_window_stream" -> (windowAggReplay _),
     "events_asof_stream" -> (asofEnrichReplay _),
     "events_funnel_stream" -> (funnelReplay _),
+    "events_sessionize_stream" -> (sessionizeReplay _),
     "docs_dedup_stream" -> (dedupExactReplay _))
 
   /** Oracles: the interval join shares the batch range-join SQL
@@ -501,6 +568,26 @@ object StreamOps {
         event_type, COUNT(*) AS n
       FROM events
       GROUP BY date_trunc('hour', ts), event_type""",
+    // the batch sessionize SQL projected to its integer columns
+    // ((user_id, session_start_ms) is a unique key: a user's sessions
+    // are >30 min apart, so no two share a start)
+    "events_sessionize_stream" -> """
+      WITH flagged AS (
+        SELECT user_id, ts,
+          CASE WHEN lag(ts) OVER w IS NULL
+            OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000
+            THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+      ), numbered AS (
+        SELECT user_id, ts,
+          SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        FROM flagged
+      )
+      SELECT user_id, epoch_ms(MIN(ts)) AS session_start_ms,
+        COUNT(*) AS n_events
+      FROM numbered GROUP BY user_id, session_seq""",
     "docs_dedup_stream" ->
       "SELECT DISTINCT md5(text) AS text_hash FROM documents")
 }

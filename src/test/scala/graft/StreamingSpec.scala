@@ -147,6 +147,20 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sessionize replay with watermark sentinels closes every session (= batch)") {
+    // the registered oracle twin: sentinel batches push the watermark
+    // past every real tail session, so the emitted set is the COMPLETE
+    // batch sessionization, not a subset
+    val got = StreamOps.sessionizeReplay(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = EventOps.sessionize(spark, sf)
+      .selectExpr("user_id", "session_start_ms", "n_events").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == batch,
+      s"replay ${got.size} sessions vs batch ${batch.size}; " +
+        s"missing=${(batch -- got).take(3)} extra=${(got -- batch).take(3)}")
+  }
+
   test("as-of enrichment state expires for idle users after the TTL") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.functions.{col, timestamp_millis}
