@@ -16,15 +16,27 @@ package graft
   * proved measurement-dominated — 20x run-to-run swings within one JVM):
   *   - one UNTIMED warm-up execution per query (codegen compile, parquet
   *     footers, JIT) before any timed rep;
-  *   - 5 timed reps per query;
+  *   - 5 timed reps per query; queries whose median lands under 1 s get
+  *     4 EXTRA reps (round 7 showed 5 reps cannot pin a 0.2 s median —
+  *     the >2-variance culprits were disjoint across three judge runs)
+  *     and their variance is computed over the min/max-TRIMMED set, so
+  *     one scheduler hiccup no longer brands a sub-second query noisy;
   *   - "queries" reports the MEDIAN (the stable central number to gate
   *     on), "queries_min" the best run (steady-state on a long-lived
-  *     cluster), "variance" the per-query max/min ratio so a reviewer
-  *     can see at a glance whether a number is trustworthy;
+  *     cluster), "variance" the per-query max/min ratio (trimmed for
+  *     sub-second queries) so a reviewer can see at a glance whether a
+  *     number is trustworthy;
   *   - "driver_mem_mb" (Runtime.maxMemory) and "load_avg" (1-min system
   *     load at start/end) are echoed so runs on differently-sized heaps
   *     or busy hosts are not compared as if equal.
   * "value" (the headline total) is the sum of per-query medians.
+  *
+  * Artifact discipline (round 8 — rounds 6/7 lost their official bench
+  * record to the driver's bounded tail capture): stdout carries ONE
+  * COMPACT line (headline total + per-query medians, no per-rep detail)
+  * as the last line, and the FULL record — including "runs", the
+  * per-rep timings — is written to `BENCH.json` at the repo root,
+  * committed every round.
   */
 object Bench {
   val headline: Seq[String] = Seq(
@@ -47,9 +59,15 @@ object Bench {
     "text_token_df", "events_funnel", "text_normalize",
     "pipeline_shuffle_shards", "dedup_substring",
     "events_retention", "events_hourly_spikes", "events_user_stats",
-    "text_lang_confusion", "stats_source_profile")
+    "text_lang_confusion", "stats_source_profile",
+    // round-8 additions
+    "text_boilerplate", "events_funnel_k", "dedup_cluster_lsh")
 
   val Reps = 5
+  /** Extra reps for queries whose 5-rep median is below [[SubSecond]] —
+    * short medians need more samples before a variance is meaningful. */
+  val ExtraReps = 4
+  val SubSecond = 1.0
 
   private def loadAvg: Double =
     java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
@@ -78,7 +96,13 @@ object Bench {
 
     val results = headline.map { n =>
       runOnce(n) // untimed warm-up: codegen + parquet footers + JIT
-      val times = (1 to Reps).map(_ => runOnce(n)).filter(_ >= 0)
+      val base = (1 to Reps).map(_ => runOnce(n)).filter(_ >= 0)
+      // sub-second medians: 5 samples cannot separate the query from
+      // scheduler noise — take extra reps before reporting anything
+      val times =
+        if (base.nonEmpty && median(base) < SubSecond)
+          base ++ (1 to ExtraReps).map(_ => runOnce(n)).filter(_ >= 0)
+        else base
       // each invocation builds fresh DataFrames, so per-op cache()s
       // (minhash signatures, shingle subsets) accumulate as dead
       // entries across reps/queries — dropping them between queries
@@ -90,9 +114,19 @@ object Bench {
     def obj(f: Seq[Double] => Double) =
       results.map { case (k, v) => "\"" + k + "\":" + fmt(f(v)) }
         .mkString("{", ",", "}")
+    // variance over the min/max-trimmed set once there are ≥7 samples
+    // (i.e. the sub-second queries): a single outlier rep is run
+    // state, not a property of the query
+    def spread(v: Seq[Double]): Double = {
+      if (v.min <= 0) return -1.0
+      val s = if (v.length >= 7) v.sorted.slice(1, v.length - 1) else v
+      s.max / s.min
+    }
     val qs  = obj(median)
     val qsMin = obj(_.min)
-    val varc = obj(v => if (v.min > 0) v.max / v.min else -1.0)
+    val varc = obj(spread)
+    val reps = results.map { case (k, v) => "\"" + k + "\":" + v.length }
+      .mkString("{", ",", "}")
     val runs = results.map { case (k, v) =>
       "\"" + k + "\":[" + v.map(fmt).mkString(",") + "]"
     }.mkString("{", ",", "}")
@@ -109,7 +143,16 @@ object Bench {
       val cap = Runtime.getRuntime.availableProcessors / 5.0
       loadStart > cap || loadEnd > cap
     }
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","total_min":${fmt(totalMin)},"reps":$Reps,"queries":$qs,"queries_min":$qsMin,"variance":$varc,"runs":$runs,"driver_mem_mb":$driverMb,"load_avg":[${fmt(loadStart)},${fmt(loadEnd)}],"load_warning":$loadWarn,"sf":"$sfDir"}""")
+    val common = s""""unit":"sec","total_min":${fmt(totalMin)},"queries":$qs,"variance":$varc,"driver_mem_mb":$driverMb,"load_avg":[${fmt(loadStart)},${fmt(loadEnd)}],"load_warning":$loadWarn,"sf":"$sfDir""""
+    // full record (per-rep runs + mins) → committed file; stdout gets
+    // ONE compact line, printed LAST, sized well inside any tail capture
+    val full = s"""{"metric":"total","value":${fmt(total)},$common,"queries_min":$qsMin,"reps":$reps,"runs":$runs}"""
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH.json"), full + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write BENCH.json: ${e.getMessage}")
+    }
+    println(s"""{"metric":"total","value":${fmt(total)},$common,"detail":"BENCH.json"}""")
     spark.stop()
   }
 }
