@@ -33,9 +33,19 @@ object ScaleBench {
   val DefaultCopies = 10
   val Ops: Seq[String] = Seq(
     "dedup_minhash_lsh", "dedup_containment", "dedup_cluster",
+    "dedup_cluster_lsh",
     "pipeline_pack_sequences", "events_sessionize",
     "sim_neardup_lsh", "sim_ann_ivf", "dedup_semantic",
     "dedup_substring")
+
+  /** ANN ops re-scored for recall@5 at the big corpus: the round-7 PQ
+    * shortlist regression (recall 0.64 → 0.48 before the ∝-corpus fix)
+    * showed ANN recall can decay silently with corpus growth while the
+    * oracle-SF gates stay green. Thresholds follow the QualityGates
+    * ladder per op (bucketed-candidate methods trade recall for
+    * scale differently). */
+  val RecallOps: Seq[(String, Double)] = Seq(
+    ("sim_ann_lsh", 0.2), ("sim_ann_ivf", 0.3), ("sim_ann_pq", 0.55))
 
   /** Build the N× corpus (idempotent: skipped if the directory
     * already holds all three tables). The perturbations are exact at
@@ -77,12 +87,21 @@ object ScaleBench {
         .write.mode("overwrite").parquet(s"$outDir/$name.parquet")
     }
 
-    nfold("documents", (df, i) => df.select(
-      (col("doc_id") + i * Off).as("doc_id"),
-      (if (i == 0) col("text")
-       else regexp_replace(col("text"), "(\\S+)", "$1⁅" + i + "⁆"))
-        .as("text"),
-      col("lang"), col("source"), col("n_chars")))
+    nfold("documents", (df, i) => {
+      val text =
+        if (i == 0) col("text")
+        else regexp_replace(col("text"), "(\\S+)", "$1⁅" + i + "⁆")
+      df.select(
+        (col("doc_id") + i * Off).as("doc_id"),
+        text.as("text"),
+        col("lang"), col("source"),
+        // the perturbation grows every word: recompute n_chars so the
+        // derived corpus keeps the n_chars = length(text) invariant
+        // (any n_chars-consuming op added to Ops would otherwise run
+        // on silently inconsistent data)
+        (if (i == 0) col("n_chars") else length(text).cast("long"))
+          .as("n_chars"))
+    })
     nfold("embeddings", (df, i) => df.select(
       (col("vec_id") + i * Off).as("vec_id"),
       (if (i == 0) col("embedding")
@@ -140,12 +159,32 @@ object ScaleBench {
       (op, base, xN, ratio)
     }
 
+    // recall@5 at the big corpus vs brute force over the same queries
+    // (query ids < 10 live in copy 0, unperturbed). Driver-side sets
+    // are 10 queries × 5 neighbors — measurement, not a data path.
+    def pairs(name: String, d: String): Set[(Long, Long)] =
+      SparkEntry.queries(name)(spark, d).select("query_id", "neighbor_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bf = pairs("sim_knn_bruteforce", scratch)
+    val recalls = RecallOps.map { case (op, th) =>
+      val r = if (bf.isEmpty) 1.0
+        else (pairs(op, scratch) & bf).size.toDouble / bf.size
+      spark.sharedState.cacheManager.clearCache()
+      System.err.println(
+        f"[scalebench] $op%-26s recall@5 $r%.3f >= $th%.2f " +
+          (if (r + 1e-12 >= th) "PASS" else "FAIL"))
+      (op, r, th)
+    }
+
     def fmt(d: Double) = f"$d%.4f"
     val json = s"""{"copies":$copies,"reps":$reps,"base":"$baseDir","rows":{""" +
       rows.map { case (t, (b, x)) => s""""$t":[$b,$x]""" }.mkString(",") +
       s"""},"ops":{""" +
       results.map { case (op, b, x, r) =>
         s""""$op":{"base_s":${fmt(b)},"x${copies}_s":${fmt(x)},"ratio":${fmt(r)}}"""
+      }.mkString(",") + s"""},"recall_at_5":{""" +
+      recalls.map { case (op, r, th) =>
+        s""""$op":{"recall":${fmt(r)},"threshold":${fmt(th)},"pass":${r + 1e-12 >= th}}"""
       }.mkString(",") + "}}"
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), json)
     println(json)

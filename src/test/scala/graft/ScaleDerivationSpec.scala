@@ -43,6 +43,15 @@ class ScaleDerivationSpec extends AnyFunSuite {
     assert(straddle.isEmpty, s"cross-copy pairs: ${straddle.take(3)}")
   }
 
+  test("derived documents keep the n_chars = length(text) invariant") {
+    // the per-word perturbation suffix grows every word, so copies
+    // must RECOMPUTE n_chars — an op consuming n_chars added to
+    // ScaleBench.Ops later would otherwise run on inconsistent data
+    val bad = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("n_chars") =!= length(col("text")).cast("long")).count()
+    assert(bad == 0, s"$bad derived docs with stale n_chars")
+  }
+
   test("sign-flip copies preserve within-copy cosines bit-exactly, cross-copy at background") {
     val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
       .select(col("vec_id"),
