@@ -61,7 +61,8 @@ object Bench {
     "events_retention", "events_hourly_spikes", "events_user_stats",
     "text_lang_confusion", "stats_source_profile",
     // round-8 additions
-    "text_boilerplate", "events_funnel_k", "dedup_cluster_lsh")
+    "text_boilerplate", "text_boilerplate_strip", "events_funnel_k",
+    "dedup_cluster_lsh")
 
   val Reps = 5
   /** Extra reps for queries whose 5-rep median is below [[SubSecond]] —

@@ -195,9 +195,14 @@ object DedupOps {
 
   /** Connected components over an arbitrary near-dup edge set. */
   def clusterFrom(sp: SparkSession, dir: String, pairs: DataFrame): DataFrame = {
+    // symmetrize via explode, NOT union-with-swap: a union references
+    // the pairs plan twice, so the first materialization of the edge
+    // cache would execute the (expensive — LSH) edge pipeline twice
     val edges = pairs
-      .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      .toDF("src", "dst")
+      .select(explode(array(
+        struct(col("doc_a").as("src"), col("doc_b").as("dst")),
+        struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .cache()
     var labels = Engine.table(sp, dir, "documents")
       .select(col("doc_id"), col("doc_id").as("canonical_id"))

@@ -150,6 +150,70 @@ object TextOps {
     FROM paras p JOIN df d USING (para)
     GROUP BY p.doc_id"""
 
+  /** Boilerplate REMOVAL — the action [[boilerplate]] measures: drop
+    * every paragraph whose corpus-wide document frequency exceeds
+    * [[BoilerDfCap]] and reconstruct the cleaned text from the
+    * surviving paragraphs in document order. Same scale shape as the
+    * detector (the df aggregate carries 16-byte hashes; the hot set is
+    * joined as a left-anti, never force-broadcast); the reconstruction
+    * is one groupBy(doc_id) whose collect_list is bounded by document
+    * size — the same per-doc bound every row-local text op already
+    * carries. Deterministic order via array_sort on (idx, para) →
+    * exact ordered-string_agg oracle. Docs whose every paragraph is
+    * boilerplate keep an empty clean_text rather than vanishing. */
+  def boilerplateStrip(sp: SparkSession, dir: String): DataFrame = {
+    val ws = split(col("text"), " ")
+    val occ = Engine.table(sp, dir, "documents")
+      .repartition(sp.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"), ws.as("ws"))
+      .select(col("doc_id"), posexplode(transform(
+        expr(s"sequence(1, (size(ws) + ${ParaWords - 1}) div $ParaWords)"),
+        i => concat_ws(" ",
+          slice(col("ws"), (i - 1) * ParaWords + 1, lit(ParaWords))))))
+      .toDF("doc_id", "idx", "para")
+      .withColumn("ph", md5(col("para").cast("binary")))
+    // df is per-DOCUMENT (set semantics), same definition as the
+    // detector — hash-only shuffle
+    val hot = occ.select(col("doc_id"), col("ph")).distinct()
+      .groupBy(col("ph")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > BoilerDfCap).select(col("ph"))
+    val kept = occ.join(hot, Seq("ph"), "left_anti")
+    val totals = occ.groupBy(col("doc_id")).agg(count(lit(1)).as("n_total"))
+    val cleaned = kept.groupBy(col("doc_id")).agg(
+      count(lit(1)).as("n_kept"),
+      array_join(transform(
+        array_sort(collect_list(struct(col("idx"), col("para")))),
+        x => x("para")), " ").as("clean_text"))
+    totals.join(cleaned, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_total") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+  }
+
+  val boilerplateStripOracle: String = s"""
+    WITH words AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    occ AS (
+      SELECT doc_id, i AS idx,
+        array_to_string(ws[(i-1)*$ParaWords+1 : i*$ParaWords], ' ') AS para
+      FROM words,
+        unnest(range(1, (len(ws) + ${ParaWords - 1}) // $ParaWords + 1)) AS t(i)),
+    df AS (
+      SELECT para, COUNT(*) AS df
+      FROM (SELECT DISTINCT doc_id, para FROM occ) GROUP BY para),
+    hot AS (SELECT para FROM df WHERE df > $BoilerDfCap),
+    kept AS (SELECT o.* FROM occ o WHERE o.para NOT IN (SELECT para FROM hot)),
+    cleaned AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+        string_agg(para, ' ' ORDER BY idx) AS clean_text
+      FROM kept GROUP BY doc_id),
+    totals AS (SELECT doc_id, COUNT(*) AS n_total FROM occ GROUP BY doc_id)
+    SELECT t.doc_id, COALESCE(c.clean_text, '') AS clean_text,
+      COALESCE(c.n_kept, 0) AS n_kept,
+      CAST(t.n_total - COALESCE(c.n_kept, 0) AS BIGINT) AS n_removed
+    FROM totals t LEFT JOIN cleaned c USING (doc_id)"""
+
   /** Canonical text normalization — the first pass of most curation
     * pipelines: lowercase, collapse whitespace runs, trim. Row-local
     * (no shuffle); `changed` flags rows the pass rewrote so the
@@ -505,6 +569,7 @@ object TextOps {
     "text_normalize" -> (normalize _),
     "text_token_df" -> (tokenDf _),
     "text_boilerplate" -> (boilerplate _),
+    "text_boilerplate_strip" -> (boilerplateStrip _),
     "text_lang_confusion" -> (langConfusion _),
     "pipeline_token_budget" -> (tokenBudget _),
     "pipeline_quality_filter" -> (qualityFilterPipeline _),
@@ -522,6 +587,7 @@ object TextOps {
     "text_normalize" -> normalizeOracle,
     "text_token_df" -> tokenDfOracle,
     "text_boilerplate" -> boilerplateOracle,
+    "text_boilerplate_strip" -> boilerplateStripOracle,
     "text_lang_confusion" -> langConfusionOracle,
     "pipeline_token_budget" -> tokenBudgetOracle,
     "pipeline_quality_filter" -> qualityFilterPipelineOracle,

@@ -10,6 +10,24 @@ import org.scalatest.funsuite.AnyFunSuite
 class CurationSpec extends AnyFunSuite {
   import TestSession._
 
+  test("boilerplate strip is consistent with the detector and conserves paragraphs") {
+    import graft.operators.TextOps
+    val det = TextOps.boilerplate(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap // doc_id -> n_boilerplate (distinct)
+    val strip = TextOps.boilerplateStrip(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(strip.map(_._1).toSet == det.keySet)
+    strip.foreach { case (id, clean, kept, removed) =>
+      // a doc loses occurrences iff the detector flagged boilerplate
+      // in it (occurrence count >= distinct count; zero iff zero)
+      assert((removed > 0) == (det(id) > 0), s"doc $id: removed=$removed det=${det(id)}")
+      assert(removed >= det(id), s"doc $id: occurrences $removed < distinct ${det(id)}")
+      // cleaned text word count matches the surviving paragraphs
+      if (kept == 0) assert(clean.isEmpty)
+      else assert(clean.split(" ").length <= kept * TextOps.ParaWords)
+    }
+  }
+
   test("sequence packing conserves tokens and fills bins contiguously") {
     val packed = CurationOps.packSequences(spark, sf).cache()
     try {
