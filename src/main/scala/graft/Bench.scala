@@ -62,7 +62,7 @@ object Bench {
     "text_lang_confusion", "stats_source_profile",
     // round-8 additions
     "text_boilerplate", "text_boilerplate_strip", "events_funnel_k",
-    "dedup_cluster_lsh")
+    "events_transitions", "dedup_cluster_lsh")
 
   val Reps = 5
   /** Extra reps for queries whose 5-rep median is below [[SubSecond]] —

@@ -387,6 +387,45 @@ object EventOps {
       CAST(epoch(date_trunc('hour', MAX(ts))) AS BIGINT) AS last_hour_ts
     FROM events GROUP BY user_id"""
 
+  /** Event-type transition matrix: for each per-user consecutive
+    * event pair, count (prev_type → type) and the row-conditional
+    * probability — the Markov-chain view of user behavior (what
+    * follows a click?). Ordering is (ms-epoch, event_id): the ms
+    * truncation is the shared engine precision and event_id breaks
+    * ms ties deterministically on both sides. Scale shape: one hash
+    * exchange on user_id for the lag window (partition-local after
+    * that), then an aggregation whose result is at most |types|²
+    * rows — the window over THAT for row totals is driver-trivial.
+    * p is an exact-int ÷ exact-int double division — bit-portable
+    * (IEEE correctly-rounded on both engines). */
+  def transitions(sp: SparkSession, dir: String): DataFrame = {
+    val ev = Engine.table(sp, dir, "events")
+      .select(col("user_id"), unix_millis(col("ts")).as("ms"),
+        col("event_id"), col("event_type"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ms"), col("event_id"))
+    ev.withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p", col("n").cast("double") /
+        sum(col("n")).over(Window.partitionBy(col("prev_type"))))
+  }
+
+  val transitionsOracle: String = """
+    WITH seq AS (
+      SELECT user_id, event_type,
+        lag(event_type) OVER (PARTITION BY user_id
+          ORDER BY epoch_ms(ts), event_id) AS prev_type
+      FROM events),
+    m AS (
+      SELECT prev_type, event_type, CAST(COUNT(*) AS BIGINT) AS n
+      FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+    SELECT prev_type, event_type, n,
+      CAST(n AS DOUBLE) /
+        CAST(SUM(n) OVER (PARTITION BY prev_type) AS DOUBLE) AS p
+    FROM m"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_window_agg" -> (windowAgg _),
     "events_funnel" -> (funnel _),
@@ -394,6 +433,7 @@ object EventOps {
     "events_retention" -> (retention _),
     "events_hourly_spikes" -> (hourlySpikes _),
     "events_user_stats" -> (userStats _),
+    "events_transitions" -> (transitions _),
     "events_window_hopping" -> (windowHopping _),
     "events_sessionize" -> (sessionize _),
     "events_asof_join" -> (asofJoin _),
@@ -406,6 +446,7 @@ object EventOps {
     "events_retention" -> retentionOracle,
     "events_hourly_spikes" -> hourlySpikesOracle,
     "events_user_stats" -> userStatsOracle,
+    "events_transitions" -> transitionsOracle,
     "events_window_hopping" -> windowHoppingOracle,
     "events_sessionize" -> sessionizeOracle,
     "events_asof_join" -> asofJoinOracle,

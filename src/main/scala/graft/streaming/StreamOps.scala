@@ -535,6 +535,82 @@ object StreamOps {
       .select(col("user_id"), col("session_start_ms"), col("n_events"))
   }
 
+  /** Streaming k-step ORDERED funnel (click → view → purchase), the
+    * stateful twin of EventOps.funnelK: three numbers of state per
+    * user (first-click ms, first qualifying view ms, conversion
+    * count), TTL'd by event-time timeout like [[funnel]]. Rows within
+    * a micro-batch are processed in (event-time, stage) order with
+    * clicks before views before purchases at equal ms — so inside one
+    * batch the first click IS the global minimum by the time any view
+    * is judged, and the first qualifying view is final by the time any
+    * purchase is judged: a single-batch replay reproduces the batch
+    * funnelK exactly. Across batches the anchors only ratchet down as
+    * earlier events arrive, and (same caveat as [[funnel]], bounded by
+    * the watermark) conversions already counted against a stale anchor
+    * are retained — best-effort under cross-batch disorder. */
+  final case class FunnelKRow(user_id: Long, ts: java.sql.Timestamp,
+      stage: Int) {
+    def ts_ms: Long = ts.getTime
+  }
+  final case class FunnelKState(fcMs: Long, fvMs: Long, n: Long)
+  final case class FunnelKOut(user_id: Long, reached_view: Boolean,
+      n_conversions: Long, converted: Boolean)
+
+  def funnelK(spark: SparkSession, events: DataFrame,
+      ttlMillis: Long = 24L * 3600 * 1000): Dataset[FunnelKOut] = {
+    import spark.implicits._
+    events
+      .filter(col("event_type").isin("click", "view", "purchase"))
+      .withWatermark("ts", "1 hour")
+      .select(col("user_id"), col("ts"),
+        when(col("event_type") === "click", 0)
+          .when(col("event_type") === "view", 1)
+          .otherwise(2).as("stage"))
+      .as[FunnelKRow]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelKState, FunnelKOut](
+        OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[FunnelKRow], state: GroupState[FunnelKState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val sorted = rows.toSeq.sortBy(r => (r.ts_ms, r.stage))
+            var s = state.getOption.getOrElse(
+              FunnelKState(Long.MaxValue, Long.MaxValue, 0L))
+            for (r <- sorted) r.stage match {
+              case 0 =>
+                if (r.ts_ms < s.fcMs) s = s.copy(fcMs = r.ts_ms)
+              case 1 =>
+                // stage window vs the CURRENT first click; min view wins
+                if (r.ts_ms >= s.fcMs && r.ts_ms <= s.fcMs + FunnelWindowMs &&
+                    r.ts_ms < s.fvMs) s = s.copy(fvMs = r.ts_ms)
+              case _ =>
+                if (s.fvMs != Long.MaxValue && r.ts_ms >= s.fvMs &&
+                    r.ts_ms <= s.fvMs + FunnelWindowMs) s = s.copy(n = s.n + 1)
+            }
+            if (s.fcMs == Long.MaxValue) Iterator.empty
+            else {
+              state.update(s)
+              val lastMs = sorted.map(_.ts_ms).max
+              state.setTimeoutTimestamp(
+                math.max(lastMs, state.getCurrentWatermarkMs()) + ttlMillis)
+              Iterator.single(FunnelKOut(user, s.fvMs != Long.MaxValue,
+                s.n, s.n > 0))
+            }
+          }
+      }
+  }
+
+  /** k-funnel replay twin: update-mode memory sink, one final row per
+    * user after the single replay batch (= the batch funnelK, whose
+    * oracle SQL it shares). */
+  def funnelKReplay(spark: SparkSession, dir: String): DataFrame = {
+    val q = funnelK(spark, readEvents(spark, dir)).toDF.writeStream
+      .outputMode("update").format("memory")
+      .queryName("events_funnel_k_stream_sink").start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table("events_funnel_k_stream_sink")
+  }
+
   /** Streaming funnel replay twin: update-mode memory sink — one
     * updated summary per user per batch, so the single replay batch
     * leaves exactly one final row per user (= the batch funnel). */
@@ -551,6 +627,7 @@ object StreamOps {
     "events_window_stream" -> (windowAggReplay _),
     "events_asof_stream" -> (asofEnrichReplay _),
     "events_funnel_stream" -> (funnelReplay _),
+    "events_funnel_k_stream" -> (funnelKReplay _),
     "events_sessionize_stream" -> (sessionizeReplay _),
     "docs_dedup_stream" -> (dedupExactReplay _))
 
@@ -563,6 +640,7 @@ object StreamOps {
     "events_interval_stream" -> graft.operators.EventOps.rangeJoinOracle,
     "events_asof_stream" -> graft.operators.EventOps.asofJoinOracle,
     "events_funnel_stream" -> graft.operators.EventOps.funnelOracle,
+    "events_funnel_k_stream" -> graft.operators.EventOps.funnelKOracle,
     "events_window_stream" -> """
       SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_ts,
         event_type, COUNT(*) AS n

@@ -147,6 +147,16 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming k-funnel matches the batch k-funnel on full replay") {
+    val got = StreamOps.funnelKReplay(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2), r.getBoolean(3))).toSet
+    val batch = EventOps.funnelK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2), r.getBoolean(3))).toSet
+    assert(got == batch,
+      s"replay ${got.size} users vs batch ${batch.size}; " +
+        s"missing=${(batch -- got).take(3)} extra=${(got -- batch).take(3)}")
+  }
+
   test("sessionize replay with watermark sentinels closes every session (= batch)") {
     // the registered oracle twin: sentinel batches push the watermark
     // past every real tail session, so the emitted set is the COMPLETE
