@@ -53,21 +53,33 @@ object Engine {
 
   /** Read one table from a scale-factor directory.
     *
-    * `events.ts` is TIMESTAMP(NANOS) parquet, which Spark's reader
-    * rejects; read it as raw nanos (legacy flag) and convert to a
-    * microsecond TimestampType with integer `div` (floor — matching
-    * DuckDB's truncation of ns towards earlier time). */
+    * `events.ts` has shipped as either TIMESTAMP(NANOS) or
+    * TIMESTAMP(MICROS) parquet across testdata generations — branch on
+    * the footer type so both load to the same microsecond
+    * TimestampType:
+    *  - NANOS: Spark's reader rejects it; read as raw nanos (legacy
+    *    flag) and convert with integer `div` (floor — matching
+    *    DuckDB's truncation of ns towards earlier time);
+    *  - MICROS without UTC adjustment arrives as TIMESTAMP_NTZ; the
+    *    session timezone is pinned to UTC, so a cast to TimestampType
+    *    is epoch-identical (no wall-clock shift). */
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
+      import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+      import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
       // idempotent guard for sessions not built by Engine.session
       // (constant value — benign under concurrency)
       if (spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
           .forall(_ != "true"))
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts",
-          org.apache.spark.sql.functions.timestamp_micros(
-            org.apache.spark.sql.functions.expr("ts div 1000")))
+      val raw = spark.read.parquet(s"$dir/$name.parquet")
+      raw.schema("ts").dataType match {
+        case LongType =>
+          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case TimestampNTZType =>
+          raw.withColumn("ts", col("ts").cast(TimestampType))
+        case _ => raw
+      }
     } else {
       spark.read.parquet(s"$dir/$name.parquet")
     }

@@ -25,13 +25,28 @@ object StreamOps {
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
-  /** Unbounded events stream from a directory of parquet files. */
+  /** Unbounded events stream from a directory of parquet files.
+    * The corpus has shipped as either TIMESTAMP(NANOS) or
+    * TIMESTAMP(MICROS) parquet across testdata generations (see
+    * Engine.table); probe the footer once and declare the matching
+    * file-source schema — both normalize to µs TimestampType. */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream.schema(rawSchema)
-      .option("pathGlobFilter", "events.parquet") // file source wants a dir
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val tsType = spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType
+    if (tsType == LongType)
+      spark.readStream.schema(rawSchema)
+        .option("pathGlobFilter", "events.parquet") // file source wants a dir
+        .parquet(dir)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else {
+      val sch = StructType(rawSchema.map(f =>
+        if (f.name == "ts") f.copy(dataType = TimestampNTZType) else f))
+      spark.readStream.schema(sch)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir)
+        // session timezone is pinned to UTC → epoch-identical cast
+        .withColumn("ts", col("ts").cast(TimestampType))
+    }
   }
 
   private val docSchema = StructType(Seq(
@@ -493,11 +508,23 @@ object StreamOps {
     * accumulation order differs between the state store and a batch
     * shuffle, the same exclusion as [[windowAggReplay]]. */
   def sessionizeReplay(spark: SparkSession, dir: String): DataFrame = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import java.nio.file.{Files, StandardCopyOption}
     val work = Files.createTempDirectory("graft_sess_replay")
-    Files.copy(Paths.get(s"$dir/events.parquet"),
-      work.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // normalize the corpus copy to the raw int64-nanos layout
+    // regardless of which parquet generation shipped (nanos or µs —
+    // see Engine.table): the sentinel files written below then always
+    // share the monitored directory's schema
+    locally {
+      val stage = Files.createTempDirectory("graft_sess_corpus")
+      graft.Engine.table(spark, dir, "events")
+        .withColumn("ts", expr("unix_micros(ts) * 1000"))
+        .coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val part = Files.list(stage).filter(_.toString.endsWith(".parquet"))
+        .findFirst().get()
+      Files.move(part, work.resolve("aa_corpus.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
     // same reader shape as readEvents, minus the glob (sentinel files
     // land beside the copied corpus)
     val events = spark.readStream.schema(rawSchema)
@@ -509,8 +536,8 @@ object StreamOps {
       .queryName("events_sessionize_stream_sink").start()
     try {
       q.processAllAvailable() // batch 0: the real corpus, watermark 0
-      val maxNanos = spark.read.parquet(s"$dir/events.parquet")
-        .agg(max(col("ts"))).collect()(0).getLong(0)
+      val maxNanos = graft.Engine.table(spark, dir, "events")
+        .agg(max(expr("unix_micros(ts) * 1000"))).collect()(0).getLong(0)
       def sentinel(i: Int): Unit = {
         import spark.implicits._
         // +i years (in nanos), negative user_id — filtered from output.
