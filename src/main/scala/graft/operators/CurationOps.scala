@@ -257,7 +257,65 @@ object CurationOps {
       rk % $ShardSize AS pos_in_shard
     FROM r"""
 
+  /** Target mixture weights per language, in per-mille — the
+    * training-recipe knob (the classic "40% English, 20% Chinese, …"
+    * data card). Integer so every derived quantity stays exact. */
+  val MixWeights: Seq[(String, Long)] = Seq(
+    "en" -> 400L, "zh" -> 200L, "de" -> 150L, "fr" -> 150L, "es" -> 100L)
+
+  /** Knuth multiplicative hash constants for the sampling decision —
+    * plain integer arithmetic both engines compute bit-identically
+    * (no engine-specific hash function in the cut). */
+  val MixHashMul = 2654435761L
+  val MixHashMod = 4294967296L // 2^32
+
+  /** Weighted source-mixture sampling: downsample each language class
+    * so the output follows [[MixWeights]] as closely as the corpus
+    * allows — the recipe-mixing pass before training. The budget is
+    * the largest total no class can't fill (min over classes of
+    * n/w); each class then keeps a hash-thresholded subset of ≈ w·B
+    * docs. The keep decision is a pure per-row predicate
+    * (hash(doc_id) < class threshold), so after one tiny per-class
+    * count aggregate the op is a map-side filter — no shuffle of the
+    * corpus, no per-class sort, trivially parallel at 100 TB.
+    * All arithmetic is integer (div = floor division on both
+    * engines) → exact DuckDB oracle. At ≳2³¹ rows per class the
+    * threshold product take·2³² needs 128-bit — move the two div
+    * lines to DECIMAL(38,0) on both engines (same exactness
+    * argument); int64 is fine at every test SF. */
+  def mixSources(sp: SparkSession, dir: String): DataFrame = {
+    val docs = Engine.table(sp, dir, "documents")
+    val w = sp.createDataFrame(MixWeights).toDF("lang", "wt")
+    val cnt = docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      .join(broadcast(w), "lang")
+    val budget = cnt.agg(min(expr("n * 1000 div wt")).as("bud"))
+    val thr = cnt.crossJoin(broadcast(budget))
+      .withColumn("thr", expr(s"(wt * bud div 1000) * $MixHashMod div n"))
+      .select(col("lang"), col("thr"))
+    docs.join(broadcast(thr), "lang")
+      .filter((col("doc_id") * MixHashMul) % MixHashMod < col("thr"))
+      .select(col("doc_id"), col("lang"), col("source"))
+  }
+
+  val mixSourcesOracle: String = {
+    val values = MixWeights
+      .map { case (l, wt) => s"('$l', $wt)" }.mkString(", ")
+    s"""
+    WITH w(lang, wt) AS (VALUES $values),
+    cnt AS (
+      SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n, MAX(w.wt) AS wt
+      FROM documents d JOIN w ON d.lang = w.lang GROUP BY d.lang),
+    b AS (SELECT MIN(n * 1000 // wt) AS bud FROM cnt),
+    f AS (
+      SELECT lang, ((wt * bud // 1000) * $MixHashMod) // n AS thr
+      FROM cnt CROSS JOIN b)
+    SELECT d.doc_id, d.lang, d.source
+    FROM documents d JOIN f ON d.lang = f.lang
+    WHERE (d.doc_id * $MixHashMul) % $MixHashMod < f.thr"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_mix_sources" -> (mixSources _),
     "pipeline_decontaminate" -> (decontaminate _),
     "pipeline_shuffle_shards" -> (shuffleShards _),
     "pipeline_pack_sequences" -> (packSequences _),
@@ -265,6 +323,7 @@ object CurationOps {
     "text_ngram_familiarity" -> (ngramFamiliarity _))
 
   val oracles: Map[String, String] = Map(
+    "pipeline_mix_sources" -> mixSourcesOracle,
     "pipeline_decontaminate" -> decontaminateOracle,
     "pipeline_shuffle_shards" -> shuffleShardsOracle,
     "pipeline_pack_sequences" -> packSequencesOracle,

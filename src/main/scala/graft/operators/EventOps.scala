@@ -426,7 +426,48 @@ object EventOps {
         CAST(SUM(n) OVER (PARTITION BY prev_type) AS DOUBLE) AS p
     FROM m"""
 
+  /** Trailing 1-hour moving average of `value` per user — the sliding
+    * feature-engineering staple (per-entity rolling rate/mean feeding
+    * a model or an anomaly rule). One row per event: how many events
+    * and what mean value this user produced in the hour up to and
+    * including it.
+    *
+    * A RANGE frame over the ms epoch, not ROWS: simultaneous events
+    * are frame-peers on both engines, so ties cannot reorder results.
+    * The frame sum uses [[Exact.dsumOver]] (exact scaled-integer /
+    * decimal accumulation) and the mean is one exact-sum ÷ exact-count
+    * double division — bit-portable (IEEE correctly-rounded on both
+    * engines). Both engines evaluate the frame at the shared ms
+    * precision (unix_millis / epoch_ms).
+    *
+    * Scale shape: one hash exchange on user_id, then the window runs
+    * partition-local; frame width is bounded by one user's events per
+    * hour, so no per-row state explosion. */
+  def movingAvg(sp: SparkSession, dir: String): DataFrame = {
+    val ev = Engine.table(sp, dir, "events")
+      .select(col("event_id"), col("user_id"),
+        unix_millis(col("ts")).as("ts_ms"), col("value"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"))
+      .rangeBetween(-3600000L, 0L)
+    ev.withColumn("n_win", count(lit(1)).over(w))
+      .withColumn("sum_win", Exact.dsumOver(col("value"), w))
+      .withColumn("avg_win", col("sum_win") / col("n_win"))
+      .select(col("event_id"), col("user_id"), col("ts_ms"),
+        col("n_win"), col("sum_win"), col("avg_win"))
+  }
+
+  val movingAvgOracle: String = """
+    SELECT event_id, user_id, CAST(epoch_ms(ts) AS BIGINT) AS ts_ms,
+      COUNT(*) OVER w AS n_win,
+      CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sum_win,
+      CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE)
+        / COUNT(*) OVER w AS avg_win
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY CAST(epoch_ms(ts) AS BIGINT)
+      RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW)"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_moving_avg" -> (movingAvg _),
     "events_window_agg" -> (windowAgg _),
     "events_funnel" -> (funnel _),
     "events_funnel_k" -> (funnelK _),
@@ -440,6 +481,7 @@ object EventOps {
     "events_range_join" -> (rangeJoin _))
 
   val oracles: Map[String, String] = Map(
+    "events_moving_avg" -> movingAvgOracle,
     "events_window_agg" -> windowAggOracle,
     "events_funnel" -> funnelOracle,
     "events_funnel_k" -> funnelKOracle,

@@ -33,6 +33,12 @@ object Exact {
     if (mode == "decimal") sum(c.cast(D)).cast("double")
     else sum(rint(c * 1e6).cast("long")) / 1e6
 
+  /** Windowed form of [[dsum]] (an aggregate must take `.over` BEFORE
+    * the rescaling division, so dsum itself can't be windowed). */
+  def dsumOver(c: Column, w: org.apache.spark.sql.expressions.WindowSpec): Column =
+    if (mode == "decimal") sum(c.cast(D)).over(w).cast("double")
+    else sum(rint(c * 1e6).cast("long")).over(w) / 1e6
+
   /** Matching DuckDB oracle fragment (always the decimal form — both
     * modes produce exactly its values). */
   def sqlDsum(expr: String): String =

@@ -28,6 +28,35 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("mixture sampling respects weights, never oversamples, and is a corpus subset") {
+    import graft.Engine
+    val docs = Engine.table(spark, sf, "documents")
+    val byLang = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val out = CurationOps.mixSources(spark, sf).collect()
+    val outIds = out.map(_.getLong(0)).toSet
+    val allIds = docs.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(outIds.subsetOf(allIds))
+    // the binding class (min n/w) keeps ~all of its docs; every class's
+    // take is within the hash-thresholding tolerance of its target w·B
+    val weights = CurationOps.MixWeights.toMap
+    val budget = weights.map { case (l, w) => byLang(l) * 1000L / w }.min
+    val outByLang = out.groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    for ((l, w) <- weights) {
+      val target = w * budget / 1000L
+      val got = outByLang.getOrElse(l, 0).toLong
+      assert(got <= byLang(l), s"$l oversampled: $got > ${byLang(l)}")
+      // hash thresholding is Bernoulli around the target fraction:
+      // allow 4·sqrt tolerance plus a small-count floor
+      val tol = math.max(6L, 4 * math.round(math.sqrt(target.toDouble)))
+      assert(math.abs(got - target) <= tol,
+        s"$l: got $got, target $target (n=${byLang(l)}, B=$budget)")
+    }
+    // deterministic: a second run is byte-identical
+    val again = CurationOps.mixSources(spark, sf).collect().map(_.getLong(0)).toSet
+    assert(again == outIds)
+  }
+
   test("sequence packing conserves tokens and fills bins contiguously") {
     val packed = CurationOps.packSequences(spark, sf).cache()
     try {
