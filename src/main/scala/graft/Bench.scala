@@ -62,7 +62,8 @@ object Bench {
     "text_lang_confusion", "stats_source_profile",
     // round-8 additions
     "text_boilerplate", "text_boilerplate_strip", "events_funnel_k",
-    "events_transitions", "dedup_cluster_lsh")
+    "events_transitions", "dedup_cluster_lsh",
+    "events_moving_avg", "pipeline_mix_sources", "sim_ann_ivf_pq")
 
   val Reps = 5
   /** Extra reps for queries whose 5-rep median is below [[SubSecond]] —

@@ -31,6 +31,58 @@ object SimilarityOps {
   private def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
+  /** Deterministic driver-side Lloyd on a bounded sample: seeds = the
+    * first min(k, |sample|) points (callers pass the sample in id-hash
+    * order), fixed sweep count, empty clusters keep their previous
+    * center. A local loop costs microseconds where an MLlib fit
+    * schedules ~15 distributed jobs (init rounds + iterations) just to
+    * sweep a sub-10k sample — measured 8 such fits at ~19 s of pure
+    * scheduler overhead in the PQ codebook path. Returns ≤ k centers
+    * (short samples yield fewer); callers needing exactly k pad. */
+  private def localLloyd(sample: Array[Array[Double]], k: Int,
+      iters: Int): Array[Array[Double]] = {
+    val dim = sample.head.length
+    var c = sample.take(k).map(_.clone)
+    for (_ <- 1 to iters) {
+      val sums = Array.fill(c.length)(new Array[Double](dim))
+      val cnts = new Array[Long](c.length)
+      for (p <- sample) {
+        var best = 0; var bestD = Double.MaxValue
+        var j = 0
+        while (j < c.length) {
+          var d = 0.0; var i = 0
+          while (i < dim) { val t = p(i) - c(j)(i); d += t * t; i += 1 }
+          if (d < bestD) { bestD = d; best = j }
+          j += 1
+        }
+        var i = 0
+        while (i < dim) { sums(best)(i) += p(i); i += 1 }
+        cnts(best) += 1
+      }
+      c = c.indices.map { j =>
+        if (cnts(j) == 0) c(j)
+        else sums(j).map(_ / cnts(j))
+      }.toArray
+    }
+    c
+  }
+
+  /** Bounded (≤10k) training sample in deterministic id-hash order —
+    * the shared quantizer-training posture (see [[semanticDedupFrom]]):
+    * k-means needs O(k·10³) points, never the corpus. */
+  private def lloydSample(sp: SparkSession, all: DataFrame,
+      modKnob: String, fallbackK: Int): Array[Array[Double]] = {
+    import sp.implicits._
+    val sampleMod = sp.conf.getOption(modKnob).map(_.toInt).getOrElse(4)
+    val hashSample = all
+      .filter(pmod(xxhash64(col("vec_id")), lit(sampleMod)) === 0)
+      .select(xxhash64(col("vec_id")).as("ord"), col("v"))
+      .orderBy(col("ord")).limit(10000)
+      .select("v").as[Seq[Double]].collect().map(_.toArray)
+    if (hashSample.nonEmpty) hashSample
+    else all.select("v").as[Seq[Double]].limit(fallbackK).collect().map(_.toArray)
+  }
+
   /** Brute-force cosine top-k (k=5) for query vectors vec_id < 10.
     * Deterministic tie-break on neighbor id. */
   def knnBruteForce(sp: SparkSession, dir: String): DataFrame = {
@@ -174,35 +226,58 @@ object SimilarityOps {
     * path: train on a sample, assignment is one map pass, probing
     * touches nProbe/k of the data. No SQL oracle (quantizer is
     * iterative); recall vs brute force asserted in the spec. */
-  def annIvf(sp: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    val all = vecs(sp, dir).withColumn("fv", array_to_vector(col("v")))
-    // IVF scaling law: lists ∝ √N, probes a fixed fraction of lists —
-    // with FIXED k the quantizer coarsens as the corpus grows and
-    // recall decays silently (measured 0.70 → 0.54 at 10× rows with
-    // k=16/nProbe=4; the same decay mode as the PQ fixed-shortlist
-    // regression). Floored at (16, 4) so behavior at the oracle SFs is
-    // unchanged; the probed fraction stays ~¼ of the corpus at every
-    // scale while the finer quantization keeps candidates local. The
-    // count() is one cheap aggregate job (a table stat at 100 TB).
+  /** IVF routing shared by [[annIvf]] and [[annIvfPq]]: trains the
+    * coarse quantizer and routes queries to their nProbe nearest
+    * lists. Returns (corpus list assignment, query probes, corpus
+    * size).
+    *
+    * IVF scaling law: lists ∝ √N, probes a fixed fraction of lists —
+    * with FIXED k the quantizer coarsens as the corpus grows and
+    * recall decays silently (measured 0.70 → 0.54 at 10× rows with
+    * k=16/nProbe=4; the same decay mode as the PQ fixed-shortlist
+    * regression). Floored at (16, 4) so behavior at the oracle SFs is
+    * unchanged; the probed fraction stays ~¼ of the corpus at every
+    * scale while the finer quantization keeps candidates local. The
+    * count() is one cheap aggregate job (a table stat at 100 TB). */
+  private def ivfRouting(sp: SparkSession, dir: String)
+      : (DataFrame, DataFrame, Long) = {
+    import sp.implicits._
+    val all = vecs(sp, dir)
     val nVecs = all.count()
     val k = math.max(16, math.round(math.sqrt(nVecs.toDouble) / 3.0).toInt)
     val nProbe = math.max(4, (k + 2) / 3)
-    // train the coarse quantizer on a deterministic hash sample, not
-    // the full corpus — k-means is iterative (5 full passes at 100 TB
-    // otherwise). The modulus is a config knob; k-means needs only
-    // O(k·10³) points for k coarse centroids.
-    val sampleMod = sp.conf.getOption("graft.ivf.sampleMod").map(_.toInt).getOrElse(4)
-    val train = all.filter(pmod(xxhash64(col("vec_id")), lit(sampleMod)) === 0)
-    val model = new KMeans().setK(k).setSeed(7).setMaxIter(5)
-      .setFeaturesCol("fv").setPredictionCol("list_id").fit(train)
-    val assigned = model.transform(all)
-      .select(col("vec_id"), col("v"), col("nrm"), col("list_id"))
+    // train the coarse quantizer with driver-side Lloyd on a bounded
+    // hash sample — k-means needs O(k·10³) points, never the corpus,
+    // and the local loop replaces ~15 scheduled jobs per MLlib fit
+    // (at quantizer sizes beyond ~3k lists, raise the sample cap or
+    // train hierarchically — the 10k cap keeps ≥3 points per list up
+    // to k ≈ 3000, i.e. corpora to ~10⁸ vectors at the √N law).
+    val sample = lloydSample(sp, all, "graft.ivf.sampleMod", k)
+    val cents = localLloyd(sample, k, 5)
+    val bc = sp.sparkContext.broadcast(cents)
+    // assignment is one partition-local pass: k·dim flops per row
+    // against the broadcast centroids (the standard IVF build cost)
+    val assigned = all.select(col("vec_id"), col("v"), col("nrm"))
+      .as[(Long, Seq[Double], Double)]
+      .mapPartitions { it =>
+        val cs = bc.value
+        it.map { case (id, vSeq, nrm) =>
+          val v = vSeq.toArray
+          var best = 0; var bestD = Double.MaxValue
+          var j = 0
+          while (j < cs.length) {
+            var d = 0.0; var i = 0
+            while (i < v.length) { val t = v(i) - cs(j)(i); d += t * t; i += 1 }
+            if (d < bestD) { bestD = d; best = j }
+            j += 1
+          }
+          (id, vSeq, nrm, best)
+        }
+      }
+      .toDF("vec_id", "v", "nrm", "list_id")
     // centroid table is tiny (k rows) → literal DataFrame, broadcast
     val centroids = sp.createDataFrame(
-      model.clusterCenters.zipWithIndex.toSeq
-        .map { case (c, i) => (i, c.toArray) })
+      cents.zipWithIndex.toSeq.map { case (c, i) => (i, c) })
       .toDF("cid", "centroid")
     val q = vecs(sp, dir).filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
@@ -214,6 +289,11 @@ object SimilarityOps {
         Window.partitionBy(col("query_id")).orderBy(col("cdist"), col("cid"))))
       .filter(col("crank") <= nProbe)
       .select(col("query_id"), col("qv"), col("qn"), col("cid"))
+    (assigned, qProbes, nVecs)
+  }
+
+  def annIvf(sp: SparkSession, dir: String): DataFrame = {
+    val (assigned, qProbes, _) = ivfRouting(sp, dir)
     val scored = qProbes.join(assigned,
         col("list_id") === col("cid") && col("vec_id") =!= col("query_id"))
       .withColumn("cosine", dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
@@ -298,42 +378,8 @@ object SimilarityOps {
     // would schedule 5 distributed jobs just to iterate a 500-point
     // sample. Deterministic: sample by id hash, seeds = first k in
     // hash order.
-    val sampleMod =
-      sp.conf.getOption("graft.ivf.sampleMod").map(_.toInt).getOrElse(4)
-    val hashSample = all
-      .filter(pmod(xxhash64(col("vec_id")), lit(sampleMod)) === 0)
-      .select(xxhash64(col("vec_id")).as("ord"), col("v"))
-      .orderBy(col("ord")).limit(10000)
-      .select("v").as[Seq[Double]].collect().map(_.toArray)
-    val sample = // tiny corpora can hash-filter to nothing
-      if (hashSample.nonEmpty) hashSample
-      else all.select("v").as[Seq[Double]].limit(k).collect().map(_.toArray)
-    val cents: Array[Array[Double]] = {
-      val dim = sample.head.length
-      var c = sample.take(k).map(_.clone)
-      for (_ <- 1 to 5) {
-        val sums = Array.fill(c.length)(new Array[Double](dim))
-        val cnts = new Array[Long](c.length)
-        for (p <- sample) {
-          var best = 0; var bestD = Double.MaxValue
-          var j = 0
-          while (j < c.length) {
-            var d = 0.0; var i = 0
-            while (i < dim) { val t = p(i) - c(j)(i); d += t * t; i += 1 }
-            if (d < bestD) { bestD = d; best = j }
-            j += 1
-          }
-          var i = 0
-          while (i < dim) { sums(best)(i) += p(i); i += 1 }
-          cnts(best) += 1
-        }
-        c = c.indices.map { j =>
-          if (cnts(j) == 0) c(j)
-          else sums(j).map(_ / cnts(j))
-        }.toArray
-      }
-      c
-    }
+    val sample = lloydSample(sp, all, "graft.ivf.sampleMod", k)
+    val cents = localLloyd(sample, k, 5)
     val assigned = all.select(col("vec_id"), col("v"), col("nrm"))
       .as[(Long, Seq[Double], Double)]
       .mapPartitions { it =>
@@ -468,55 +514,72 @@ object SimilarityOps {
     * codebook training never reads the full corpus). Returns
     * books(m)(k) = centroid array of subspace m. */
   private def pqCodebooks(sp: SparkSession, dir: String): Array[Array[Array[Double]]] = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    val sampleMod = sp.conf.getOption("graft.pq.sampleMod").map(_.toInt).getOrElse(4)
-    val train = vecs(sp, dir)
-      .filter(pmod(xxhash64(col("vec_id")), lit(sampleMod)) === 0)
-      .cache()
-    val books = (0 until PqM).map { m =>
-      val sub = train.select(array_to_vector(
-        slice(col("v"), m * PqSub + 1, PqSub)).as("fv"))
-      val centers = new KMeans().setK(PqK).setSeed(7 + m).setMaxIter(5)
-        .setFeaturesCol("fv").fit(sub)
-        .clusterCenters.map(_.toArray)
-      // a tiny sample can yield < K distinct centers; pad by repeating
-      // the last one (ties resolve to the first index — deterministic)
+    // ONE bounded sample collect feeds all M subspace codebooks —
+    // the prior shape (8 sequential MLlib fits over the same sample)
+    // spent ~19 s of pure job-scheduling overhead at any SF
+    val sample = lloydSample(sp, vecs(sp, dir), "graft.pq.sampleMod", PqK)
+    (0 until PqM).map { m =>
+      val sub = sample.map(v =>
+        java.util.Arrays.copyOfRange(v, m * PqSub, (m + 1) * PqSub))
+      val centers = localLloyd(sub, PqK, 5)
+      // a tiny sample can yield < K centers; pad by repeating the
+      // last one (ties resolve to the first index — deterministic)
       if (centers.length < PqK)
         centers ++ Array.fill(PqK - centers.length)(centers.last)
       else centers
     }.toArray
-    train.unpersist()
-    books
   }
-
-  /** Squared distance from subvector m of `v` to a literal centroid. */
-  private def subDist(v: Column, m: Int, c: Array[Double]): Column =
-    (0 until PqSub).map { i =>
-      val d = element_at(v, m * PqSub + i + 1) - lit(c(i))
-      d * d
-    }.reduce(_ + _)
 
   /** PQ encoding: each 64-d float vector becomes PqM 4-bit codes
     * (nearest centroid per subspace) — 8 codes instead of 256 raw
     * bytes, the standard embedding-storage compression. Output carries
     * the per-vector squared reconstruction error; codes are
     * deterministic (seeded codebooks, hash-sampled training).
+    *
+    * The argmin runs as a partition-local loop over the broadcast
+    * codebooks, not an expression tree: the literal form (M×K×dim ≈
+    * 1024 nodes) forced a multi-second codegen compile PER ENCLOSING
+    * STAGE — every consumer (annPq, annIvfPq) re-compiled it inside
+    * its own wholestage context. Ties resolve to the first index and
+    * accumulation order matches the old left-fold, so codes and
+    * errors are unchanged.
+    *
     * Approximate by construction → spec-verified (reconstruction error
     * beats the global-mean baseline; codes bounded), no SQL oracle. */
   private def pqEncodeRaw(sp: SparkSession, dir: String,
       books: Array[Array[Array[Double]]]): DataFrame = {
-    var df = vecs(sp, dir)
-    for (m <- 0 until PqM) {
-      df = df.withColumn(s"ds_$m",
-        array((0 until PqK).map(k => subDist(col("v"), m, books(m)(k))): _*))
-    }
-    val codes = array((0 until PqM).map { m =>
-      (array_position(col(s"ds_$m"), array_min(col(s"ds_$m"))) - 1).cast("int")
-    }: _*)
-    val err2 = (0 until PqM).map(m => array_min(col(s"ds_$m"))).reduce(_ + _)
-    df.select(col("vec_id"), codes.as("codes"),
-      round(err2, 6).as("recon_err2"))
+    import sp.implicits._
+    val bc = sp.sparkContext.broadcast(books)
+    vecs(sp, dir).select(col("vec_id"), col("v"))
+      .as[(Long, Seq[Double])]
+      .mapPartitions { it =>
+        val bks = bc.value
+        it.map { case (id, vSeq) =>
+          val v = vSeq.toArray
+          val codes = new Array[Int](PqM)
+          var err = 0.0
+          var m = 0
+          while (m < PqM) {
+            val book = bks(m)
+            var best = 0; var bestD = Double.MaxValue
+            var c = 0
+            while (c < book.length) {
+              var d = 0.0; var i = 0
+              while (i < PqSub) {
+                val t = v(m * PqSub + i) - book(c)(i); d += t * t; i += 1
+              }
+              if (d < bestD) { bestD = d; best = c }
+              c += 1
+            }
+            codes(m) = best
+            err += bestD
+            m += 1
+          }
+          (id, codes.toSeq, err)
+        }
+      }
+      .toDF("vec_id", "codes", "err2")
+      .select(col("vec_id"), col("codes"), round(col("err2"), 6).as("recon_err2"))
   }
 
   def pqEncode(sp: SparkSession, dir: String): DataFrame =
@@ -557,24 +620,30 @@ object SimilarityOps {
     math.max(PqShortlistMin, math.ceil(n * frac).toInt)
   }
 
-  def annPq(sp: SparkSession, dir: String): DataFrame = {
-    val books = pqCodebooks(sp, dir)
-    val shortlistN = pqShortlist(sp, vecs(sp, dir).count())
-    val enc = pqEncodeRaw(sp, dir, books)
-      .select(col("vec_id"), posexplode(col("codes")).as(Seq("m", "code")))
+  /** Per-(query, subspace, centroid) dot table for ADC scoring: the
+    * query stays in float space; each corpus vector's ADC score is a
+    * sum of M table lookups. Tiny (|q| × M × K rows) → broadcast. */
+  private def pqQTable(q: DataFrame,
+      books: Array[Array[Array[Double]]]): DataFrame = {
+    val sp = q.sparkSession
     // tiny literal codebook relation: (m, k, centroid, ||c||²)
     val bookRows = for (m <- 0 until PqM; k <- 0 until PqK)
       yield (m, k, books(m)(k).toSeq, books(m)(k).map(x => x * x).sum)
     val bookDf = sp.createDataFrame(bookRows).toDF("m", "k", "centroid", "cn2")
-    val q = vecs(sp, dir).filter(col("vec_id") < 10)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
-    // per (query, subspace, centroid): dot of the query subvector
-    val qTable = q.crossJoin(broadcast(bookDf))
+    q.crossJoin(broadcast(bookDf))
       .withColumn("qdot", (0 until PqSub).map(i =>
         element_at(col("qv"), col("m") * PqSub + i + 1) *
           element_at(col("centroid"), i + 1)).reduce(_ + _))
       .select(col("query_id"), col("qn"), col("m"), col("k"),
         col("qdot"), col("cn2"))
+  }
+
+  /** ADC-score PQ codes against a broadcast query table, shortlist the
+    * top `shortlistN` per query by approximate cosine. `enc` is the
+    * exploded (vec_id, m, code) relation — pre-filtered to a candidate
+    * pool by the caller when a coarse index is in play. */
+  private def adcShortlist(enc: DataFrame, qTable: DataFrame,
+      shortlistN: Int): DataFrame = {
     val adcScored = enc.join(broadcast(qTable),
         enc("m") === qTable("m") && enc("code") === qTable("k") &&
           col("vec_id") =!= col("query_id"))
@@ -583,12 +652,17 @@ object SimilarityOps {
       .withColumn("adc_cosine", col("adc") / (col("qn") * sqrt(col("rnorm2"))))
     val wAdc = Window.partitionBy(col("query_id"))
       .orderBy(col("adc_cosine").desc, col("vec_id"))
-    val shortlist = adcScored
+    adcScored
       .withColumn("arank", row_number().over(wAdc))
       .filter(col("arank") <= shortlistN)
       .select(col("query_id"), col("vec_id"))
-    // exact re-rank over the bounded shortlist (raw vectors fetched
-    // only for shortlist members)
+  }
+
+  /** Exact cosine re-rank of a (query_id, vec_id) shortlist → top-5.
+    * Raw vectors are fetched only for shortlist members (bounded:
+    * shortlist × queries rows). */
+  private def exactRerank(sp: SparkSession, dir: String, q: DataFrame,
+      shortlist: DataFrame): DataFrame = {
     val rescored = shortlist
       .join(vecs(sp, dir), "vec_id")
       .join(q.select(col("query_id"), col("qv"), col("qn")), "query_id")
@@ -599,6 +673,70 @@ object SimilarityOps {
       .filter(col("rank") <= 5)
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         col("rank"), round(col("cosine"), 4).as("cosine_r"))
+  }
+
+  def annPq(sp: SparkSession, dir: String): DataFrame = {
+    val books = pqCodebooks(sp, dir)
+    val shortlistN = pqShortlist(sp, vecs(sp, dir).count())
+    val enc = pqEncodeRaw(sp, dir, books)
+      .select(col("vec_id"), posexplode(col("codes")).as(Seq("m", "code")))
+    val q = vecs(sp, dir).filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val shortlist = adcShortlist(enc, pqQTable(q, books), shortlistN)
+    exactRerank(sp, dir, q, shortlist)
+  }
+
+  /** IVF + PQ-ADC composed — the FAISS-IVFPQ production shape for
+    * billion-vector corpora: the coarse quantizer routes each query to
+    * nProbe inverted lists (a ~¼-corpus candidate pool, sublinear per
+    * list), PQ codes are ADC-scored ONLY inside the probed lists
+    * (8 table lookups per candidate instead of 64 floats), and the
+    * ADC shortlist gets one exact re-rank. Composition of
+    * [[ivfRouting]] (lists ∝ √N) and [[adcShortlist]] (shortlist ∝
+    * corpus) — both capacity laws scale with the corpus, so recall
+    * holds at 10×/100× (ScaleBench-gated like the other ANN ops).
+    * Codes encode the RAW vectors (shared codebooks with [[annPq]]),
+    * not per-list residuals: one global codebook broadcast, no
+    * per-list training pass — the residual refinement is not worth a
+    * second k-means sweep at this code budget. Approximate →
+    * recall-gated (QualityGates + ScaleBench), no SQL oracle. */
+  def annIvfPq(sp: SparkSession, dir: String): DataFrame = {
+    val (assigned, qProbes, nVecs) = ivfRouting(sp, dir)
+    val books = pqCodebooks(sp, dir)
+    val shortlistN = pqShortlist(sp, nVecs)
+    // candidate pool: corpus vectors in the probed lists only — the
+    // self-pair is dropped in adcShortlist's join condition
+    val cand = qProbes.select(col("query_id").as("cand_query_id"), col("cid"))
+      .join(assigned.select(col("vec_id"), col("list_id")),
+        col("list_id") === col("cid"))
+      .select(col("cand_query_id"), col("vec_id"))
+    val enc = pqEncodeRaw(sp, dir, books)
+      .select(col("vec_id"), posexplode(col("codes")).as(Seq("m", "code")))
+    // restrict the exploded codes to the pool: equi-join on
+    // (query, vec) — at 100 TB this is the inverted-list read; here it
+    // shuffles on vec_id, both sides pre-shrunk
+    val candEnc = cand.join(enc, "vec_id")
+      .select(col("cand_query_id"), col("vec_id"), col("m"), col("code"))
+    val q = qProbes.select(col("query_id"), col("qv"), col("qn")).distinct()
+    val qTable = pqQTable(q, books)
+    val qTableB = broadcast(qTable)
+    // same shape as [[adcShortlist]] with the pool's query pinned into
+    // the lookup join: per (query, vec) candidate, M code lookups
+    val adcScored = candEnc.join(qTableB,
+        candEnc("cand_query_id") === qTable("query_id") &&
+          candEnc("m") === qTable("m") &&
+          candEnc("code") === qTable("k") &&
+          candEnc("vec_id") =!= qTable("query_id"))
+      .groupBy(col("query_id"), col("vec_id"), col("qn"))
+      .agg(sum(col("qdot")).as("adc"), sum(col("cn2")).as("rnorm2"))
+      .withColumn("adc_cosine", col("adc") / (col("qn") * sqrt(col("rnorm2"))))
+    val wAdc = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_cosine").desc, col("vec_id"))
+    val shortlist = adcScored
+      .withColumn("arank", row_number().over(wAdc))
+      .filter(col("arank") <= shortlistN)
+      .select(col("query_id"), col("vec_id"))
+    exactRerank(sp, dir, q, shortlist)
   }
 
   /** kNN label classification: for each query vector (a fixed-SIZE id
@@ -776,6 +914,7 @@ object SimilarityOps {
     "sim_ann_ivf" -> (annIvf _),
     "sim_pq_encode" -> (pqEncode _),
     "sim_ann_pq" -> (annPq _),
+    "sim_ann_ivf_pq" -> (annIvfPq _),
     "sim_embedding_neardup" -> ((s, d) => embeddingNearDup(s, d)),
     "sim_neardup_lsh" -> (embeddingNearDupLsh _),
     "dedup_semantic" -> (semanticDedup _))

@@ -79,6 +79,9 @@ object QualityGates {
     annRecall("sim_ann_lsh", SimilarityOps.annLsh(sp, dir), 0.2)
     annRecall("sim_ann_ivf", SimilarityOps.annIvf(sp, dir), 0.3)
     annRecall("sim_ann_pq", SimilarityOps.annPq(sp, dir), 0.55)
+    // composed IVF+PQ: bounded above by IVF's pool recall — the PQ
+    // stage can only lose candidates the probed lists contain
+    annRecall("sim_ann_ivf_pq", SimilarityOps.annIvfPq(sp, dir), 0.25)
 
     // ---- sim_neardup_lsh vs the exact all-pairs cosine twin
     gates ++= recallPrecision("sim_neardup_lsh", "sim_embedding_neardup",

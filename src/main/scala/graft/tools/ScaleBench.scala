@@ -35,7 +35,7 @@ object ScaleBench {
     "dedup_minhash_lsh", "dedup_containment", "dedup_cluster",
     "dedup_cluster_lsh",
     "pipeline_pack_sequences", "events_sessionize",
-    "sim_neardup_lsh", "sim_ann_ivf", "dedup_semantic",
+    "sim_neardup_lsh", "sim_ann_ivf", "sim_ann_ivf_pq", "dedup_semantic",
     "dedup_substring")
 
   /** ANN ops re-scored for recall@5 at the big corpus: the round-7 PQ
@@ -48,7 +48,8 @@ object ScaleBench {
     * merely not-collapse. Measured on the deterministic derived
     * corpus: LSH 0.90, IVF 0.88, PQ 0.94. */
   val RecallOps: Seq[(String, Double)] = Seq(
-    ("sim_ann_lsh", 0.8), ("sim_ann_ivf", 0.8), ("sim_ann_pq", 0.8))
+    ("sim_ann_lsh", 0.8), ("sim_ann_ivf", 0.8), ("sim_ann_pq", 0.8),
+    ("sim_ann_ivf_pq", 0.8))
 
   /** Build the N× corpus (idempotent: skipped if the directory
     * already holds all three tables). The perturbations are exact at
@@ -74,10 +75,12 @@ object ScaleBench {
 
     def nfold(name: String, copy: (DataFrame, Int) => DataFrame): Unit = {
       val base = name match {
-        // raw read keeps events.ts as int64 nanos; the derived file is
-        // plain INT64, which Engine.table converts identically. Needs
-        // the same legacy-nanos flag Engine.table guards (sessions not
-        // built by Engine.session reject TIMESTAMP(NANOS) otherwise)
+        // raw read keeps events.ts in its on-disk form (int64 nanos →
+        // derived plain INT64, or µs timestamp → derived µs
+        // timestamp); Engine.table normalizes either at read time.
+        // The legacy-nanos flag is needed for the nanos generation and
+        // harmless for µs (sessions not built by Engine.session
+        // reject TIMESTAMP(NANOS) otherwise)
         case "events" =>
           if (spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
               .forall(_ != "true"))

@@ -65,6 +65,25 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.3, s"IVF recall $recall too low (${ivf.size} vs ${bf.size})")
   }
 
+  test("IVF+PQ composed ANN recall vs brute-force top-5") {
+    val bf = SimilarityOps.knnBruteForce(spark, sf)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivfpq = SimilarityOps.annIvfPq(spark, sf)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (ivfpq & bf).size.toDouble / bf.size
+    // bounded above by IVF's pool recall (gate 0.3): the PQ stage can
+    // only lose candidates the probed lists already contain
+    assert(recall >= 0.25, s"IVF+PQ recall $recall too low (${ivfpq.size} vs ${bf.size})")
+    // every result is ranked 1..5 per query with no duplicates
+    val rows = SimilarityOps.annIvfPq(spark, sf).collect()
+    rows.groupBy(_.getLong(0)).foreach { case (q, rs) =>
+      assert(rs.map(_.getInt(2)).sorted.sameElements(1 to rs.length), s"ranks for $q")
+      assert(rs.map(_.getLong(1)).distinct.length == rs.length, s"dup neighbors for $q")
+    }
+  }
+
   test("dedup_cluster labels are transitive fixpoints of the near-dup graph") {
     val labels = DedupOps.cluster(spark, sf)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
