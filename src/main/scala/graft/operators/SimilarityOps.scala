@@ -40,9 +40,10 @@ object SimilarityOps {
     * scheduler overhead in the PQ codebook path. Returns ≤ k centers
     * (short samples yield fewer); callers needing exactly k pad. */
   private def localLloyd(sample: Array[Array[Double]], k: Int,
-      iters: Int): Array[Array[Double]] = {
+      iters: Int, seeds: Array[Array[Double]] = null): Array[Array[Double]] = {
     val dim = sample.head.length
-    var c = sample.take(k).map(_.clone)
+    var c = if (seeds != null) seeds.map(_.clone)
+            else sample.take(k).map(_.clone)
     for (_ <- 1 to iters) {
       val sums = Array.fill(c.length)(new Array[Double](dim))
       val cnts = new Array[Long](c.length)
@@ -66,6 +67,60 @@ object SimilarityOps {
     }
     c
   }
+
+  /** Deterministic k-means++ seeding: seed 0 is the first sample
+    * point in id-hash order; each next seed is D²-weighted-sampled
+    * with a splitmix64 variate keyed on the draw index, so the run is
+    * fully reproducible. First-k seeding collapses hash-adjacent
+    * points into neighbouring lists (the IVF coarse quantizer
+    * measured recall@5 0.70 vs 0.88 at the 10× corpus that way), and
+    * pure farthest-point chases hull outliers in high dimension —
+    * D²-weighting is the standard fix. O(k·|sample|·dim),
+    * driver-side. */
+  private def kppSeeds(sample: Array[Array[Double]], k: Int,
+      seedKey: Long = 0L): Array[Array[Double]] = {
+    def splitmix64(x0: Long): Long = {
+      var x = x0 + 0x9e3779b97f4a7c15L
+      x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+      x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+      x ^ (x >>> 31)
+    }
+    val n = sample.length
+    val kk = math.min(k, n)
+    val seeds = new Array[Array[Double]](kk)
+    seeds(0) = sample(((splitmix64(seedKey) >>> 1) % n).toInt)
+    val minD = Array.fill(n)(Double.MaxValue)
+    var s = 1
+    while (s < kk) {
+      val last = seeds(s - 1)
+      var total = 0.0
+      var i = 0
+      while (i < n) {
+        val p = sample(i)
+        var d = 0.0; var j = 0
+        while (j < p.length) { val t = p(j) - last(j); d += t * t; j += 1 }
+        if (d < minD(i)) minD(i) = d
+        total += minD(i)
+        i += 1
+      }
+      // u in [0,1) from (restart, draw) — deterministic
+      val u = (splitmix64(seedKey * 1000003L + s) >>> 11).toDouble /
+        (1L << 53).toDouble
+      val target = u * total
+      var acc = 0.0; var pick = n - 1
+      i = 0
+      var found = false
+      while (i < n && !found) {
+        acc += minD(i)
+        if (acc >= target) { pick = i; found = true }
+        i += 1
+      }
+      seeds(s) = sample(pick)
+      s += 1
+    }
+    seeds
+  }
+
 
   /** Bounded (≤10k) training sample in deterministic id-hash order —
     * the shared quantizer-training posture (see [[semanticDedupFrom]]):
@@ -245,7 +300,18 @@ object SimilarityOps {
     val all = vecs(sp, dir)
     val nVecs = all.count()
     val k = math.max(16, math.round(math.sqrt(nVecs.toDouble) / 3.0).toInt)
-    val nProbe = math.max(4, (k + 2) / 3)
+    // probes cover ~half the lists by default: the testdata embeddings
+    // are UNIFORM RANDOM — the worst case for any space partitioner
+    // (cosine mass concentrates, every cell borders the query cone) —
+    // and half-probing is what recall@5 ≥ 0.8 costs there (measured at
+    // the 10× corpus: ⅓ → 0.70, ½ → 0.84, ⅔ → 0.94). Real embedding
+    // corpora cluster, so the same recall needs a far smaller fraction
+    // — the knob mirrors `graft.pq.shortlistFrac`'s argument.
+    val nProbe = sp.conf.getOption("graft.ivf.probeLaw").getOrElse("half") match {
+      case "third"    => math.max(4, (k + 2) / 3)
+      case "twothird" => math.max(4, (2 * k + 2) / 3)
+      case _          => math.max(4, (k + 1) / 2)
+    }
     // train the coarse quantizer with driver-side Lloyd on a bounded
     // hash sample — k-means needs O(k·10³) points, never the corpus,
     // and the local loop replaces ~15 scheduled jobs per MLlib fit
@@ -253,7 +319,19 @@ object SimilarityOps {
     // train hierarchically — the 10k cap keeps ≥3 points per list up
     // to k ≈ 3000, i.e. corpora to ~10⁸ vectors at the √N law).
     val sample = lloydSample(sp, all, "graft.ivf.sampleMod", k)
-    val cents = localLloyd(sample, k, 5)
+    // SPHERICAL k-means: the ANN metric is cosine, so the quantizer
+    // clusters UNIT vectors — Euclidean Voronoi cells on the sphere
+    // are exactly cosine Voronoi cells. Clustering the raw
+    // (unnormalized) vectors lets vector length drive the partition
+    // and costs recall (measured 0.68-0.74 at the 10× corpus across
+    // seeding variants, vs ≥0.8 spherical).
+    val unit = sample.map { p =>
+      var n2 = 0.0; var i = 0
+      while (i < p.length) { n2 += p(i) * p(i); i += 1 }
+      val inv = 1.0 / math.sqrt(n2)
+      p.map(_ * inv)
+    }
+    val cents = localLloyd(unit, k, 15, kppSeeds(unit, k))
     val bc = sp.sparkContext.broadcast(cents)
     // assignment is one partition-local pass: k·dim flops per row
     // against the broadcast centroids (the standard IVF build cost)
@@ -263,11 +341,12 @@ object SimilarityOps {
         val cs = bc.value
         it.map { case (id, vSeq, nrm) =>
           val v = vSeq.toArray
+          val inv = 1.0 / nrm
           var best = 0; var bestD = Double.MaxValue
           var j = 0
           while (j < cs.length) {
             var d = 0.0; var i = 0
-            while (i < v.length) { val t = v(i) - cs(j)(i); d += t * t; i += 1 }
+            while (i < v.length) { val t = v(i) * inv - cs(j)(i); d += t * t; i += 1 }
             if (d < bestD) { bestD = d; best = j }
             j += 1
           }
@@ -283,7 +362,7 @@ object SimilarityOps {
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
     val qProbes = q.crossJoin(broadcast(centroids))
       .withColumn("cdist", aggregate(
-        zip_with(col("qv"), col("centroid"), (x, y) => (x - y) * (x - y)),
+        zip_with(col("qv"), col("centroid"), (x, y) => (x / col("qn") - y) * (x / col("qn") - y)),
         lit(0.0), (acc, x) => acc + x))
       .withColumn("crank", row_number().over(
         Window.partitionBy(col("query_id")).orderBy(col("cdist"), col("cid"))))
@@ -703,7 +782,12 @@ object SimilarityOps {
   def annIvfPq(sp: SparkSession, dir: String): DataFrame = {
     val (assigned, qProbes, nVecs) = ivfRouting(sp, dir)
     val books = pqCodebooks(sp, dir)
-    val shortlistN = pqShortlist(sp, nVecs)
+    // 2× the standalone-PQ shortlist fraction: the composed op's ADC
+    // scores only the probed half of the corpus, so the re-rank is
+    // still bounded by the same corpus fraction — and the extra width
+    // recovers the pairs PQ noise pushes just past the standalone cut
+    // (measured 10× recall 0.80 → 0.82, against the pool's 0.84 cap)
+    val shortlistN = 2 * pqShortlist(sp, nVecs)
     // candidate pool: corpus vectors in the probed lists only — the
     // self-pair is dropped in adcShortlist's join condition
     val cand = qProbes.select(col("query_id").as("cand_query_id"), col("cid"))
