@@ -466,7 +466,71 @@ object EventOps {
     WINDOW w AS (PARTITION BY user_id ORDER BY CAST(epoch_ms(ts) AS BIGINT)
       RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW)"""
 
+  /** Recency window for [[attribution]] (30 min, ms). */
+  val AttributionWindowMs = 1800000L
+
+  /** Last-touch attribution: each purchase credited to the most recent
+    * click/view by the same user at-or-before it within
+    * [[AttributionWindowMs]], else "none". Same scale shape as
+    * [[asofJoin]]: union the touch and purchase streams, ONE hash
+    * exchange on user_id, a running last() over the per-user timeline
+    * — the at-or-before predicate never becomes a join condition (no
+    * θ-join at any scale). The recency cut is applied AFTER picking
+    * the latest touch, which is equivalent (any other touch is older
+    * still) and keeps the frame a plain unbounded→current run. Ties
+    * break on (tag, event_id): touches sort before purchases at the
+    * same millisecond — at-or-before is inclusive — and the highest
+    * event_id wins among same-ms touches, mirrored by the oracle's
+    * ORDER BY t_ms DESC, event_id DESC. All time comparisons at the
+    * shared ms precision (see [[FunnelWindowMs]]). */
+  def attribution(sp: SparkSession, dir: String): DataFrame = {
+    val ev = Engine.table(sp, dir, "events")
+    val touches = ev.filter(col("event_type").isin("click", "view"))
+      .select(col("user_id"), unix_millis(col("ts")).as("ts_ms"),
+        lit(0).as("tag"), col("event_id"),
+        col("event_id").as("t_id"), col("event_type").as("t_type"),
+        unix_millis(col("ts")).as("t_ms"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_millis(col("ts")).as("ts_ms"),
+        lit(1).as("tag"), col("event_id"),
+        lit(null).cast("long").as("t_id"),
+        lit(null).cast("string").as("t_type"),
+        lit(null).cast("long").as("t_ms"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_ms"), col("tag"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val inWindow = col("lt_ms") >= col("ts_ms") - lit(AttributionWindowMs)
+    touches.unionByName(purchases)
+      .withColumn("lt_id", last(col("t_id"), ignoreNulls = true).over(w))
+      .withColumn("lt_type", last(col("t_type"), ignoreNulls = true).over(w))
+      .withColumn("lt_ms", last(col("t_ms"), ignoreNulls = true).over(w))
+      .filter(col("tag") === 1)
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        when(inWindow, col("lt_type")).otherwise(lit("none")).as("touch_type"),
+        when(inWindow, col("lt_id")).as("touch_id"))
+  }
+
+  val attributionOracle: String = """
+    WITH t AS (
+      SELECT user_id, event_id, event_type,
+        CAST(epoch_ms(ts) AS BIGINT) AS t_ms
+      FROM events WHERE event_type IN ('click', 'view')),
+    p AS (
+      SELECT user_id, event_id, CAST(epoch_ms(ts) AS BIGINT) AS p_ms
+      FROM events WHERE event_type = 'purchase'),
+    j AS (
+      SELECT p.event_id AS purchase_id, t.event_id AS touch_id,
+        t.event_type AS touch_type,
+        ROW_NUMBER() OVER (PARTITION BY p.event_id
+          ORDER BY t.t_ms DESC, t.event_id DESC) AS rn
+      FROM p JOIN t ON t.user_id = p.user_id
+        AND t.t_ms <= p.p_ms AND t.t_ms >= p.p_ms - 1800000)
+    SELECT p.event_id AS purchase_id, p.user_id,
+      COALESCE(j.touch_type, 'none') AS touch_type, j.touch_id
+    FROM p LEFT JOIN j ON j.purchase_id = p.event_id AND j.rn = 1"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_attribution" -> (attribution _),
     "events_moving_avg" -> (movingAvg _),
     "events_window_agg" -> (windowAgg _),
     "events_funnel" -> (funnel _),
@@ -481,6 +545,7 @@ object EventOps {
     "events_range_join" -> (rangeJoin _))
 
   val oracles: Map[String, String] = Map(
+    "events_attribution" -> attributionOracle,
     "events_moving_avg" -> movingAvgOracle,
     "events_window_agg" -> windowAggOracle,
     "events_funnel" -> funnelOracle,

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Engine
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal column plumbing: media as opaque `binary` columns with
@@ -141,14 +141,101 @@ object MultimodalOps {
       .toDF("doc_id", "byte_len", "entropy_bits")
   }
 
+  /** Deterministic dimensions encoded in the synthesized headers —
+    * chosen coprime so (width, height) walks the full grid as doc_id
+    * grows; both fit u16 so every container can carry them. */
+  private def dimsOf(docId: Long): (Int, Int) =
+    ((16 + docId % 1009).toInt, (16 + (docId * 7) % 1013).toInt)
+
+  /** A VALID image container header for doc_id (format rotates
+    * png/gif/bmp): the stand-in for reading real blobs off storage.
+    * Only the pixel data is absent — every header field is laid out
+    * exactly per spec (PNG IHDR big-endian, GIF89a logical screen
+    * little-endian u16, BMP BITMAPINFOHEADER little-endian i32), so a
+    * real header parser must get endianness and offsets right. */
+  private def synthHeader(docId: Long): Array[Byte] = {
+    import java.nio.{ByteBuffer, ByteOrder}
+    val (w, h) = dimsOf(docId)
+    (docId % 3) match {
+      case 0 => // PNG signature + IHDR chunk (len, type, 13-byte data, CRC)
+        val b = ByteBuffer.allocate(33)
+        b.put(Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte))
+        b.putInt(13).put("IHDR".getBytes("US-ASCII"))
+        b.putInt(w).putInt(h)
+        // bit depth 8, truecolor, deflate, adaptive filter, no interlace
+        b.put(8.toByte).put(2.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+        b.putInt(0) // CRC slot (not validated by the dims parse)
+        b.array()
+      case 1 => // GIF89a header + logical screen descriptor
+        val b = ByteBuffer.allocate(13).order(ByteOrder.LITTLE_ENDIAN)
+        b.put("GIF89a".getBytes("US-ASCII"))
+        b.putShort(w.toShort).putShort(h.toShort)
+        b.put(0xF7.toByte).put(0.toByte).put(0.toByte) // GCT flags, bg, aspect
+        b.array()
+      case _ => // BMP file header + BITMAPINFOHEADER
+        val b = ByteBuffer.allocate(54).order(ByteOrder.LITTLE_ENDIAN)
+        b.put('B'.toByte).put('M'.toByte)
+        b.putInt(54).putShort(0.toShort).putShort(0.toShort).putInt(54)
+        b.putInt(40).putInt(w).putInt(h)
+        b.putShort(1.toShort).putShort(24.toShort) // planes, bpp
+        b.putInt(0).putInt(0).putInt(2835).putInt(2835).putInt(0).putInt(0)
+        b.array()
+    }
+  }
+
+  /** REAL container-header parsing — PNG IHDR (big-endian u32), GIF
+    * logical screen (little-endian u16), BMP BITMAPINFOHEADER
+    * (little-endian i32). Only the blob SYNTHESIS is a stand-in for
+    * reading real files; the parse is the genuine article: declarative
+    * byte-slice expressions (hex + conv) that whole-stage-codegen and
+    * dispatch per row on the MAGIC BYTES, never on how the blob was
+    * made. The oracle independently recomputes the dims each header
+    * encodes from doc_id alone, so any offset or endianness mistake in
+    * the parser hash-mismatches. Scale: header synthesis+parse is
+    * partition-local projection work — no shuffle at all. */
+  def imageDims(sp: SparkSession, dir: String): DataFrame = {
+    import sp.implicits._
+    val blobs = Engine.table(sp, dir, "documents")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(it => it.map(id => (id, synthHeader(id))))
+      .toDF("doc_id", "blob")
+    val hx = upper(hex(col("blob")))
+    // byte positions are 1-based; hex has two chars per byte
+    def be(pos: Int, nBytes: Int): Column =
+      conv(substring(hx, (pos - 1) * 2 + 1, nBytes * 2), 16, 10).cast("int")
+    def le(pos: Int, nBytes: Int): Column =
+      conv(concat((0 until nBytes).reverse.map(i =>
+        substring(hx, (pos - 1 + i) * 2 + 1, 2)): _*), 16, 10).cast("int")
+    val isPng = substring(hx, 1, 16) === "89504E470D0A1A0A"
+    val isGif = substring(hx, 1, 12) === "474946383961"
+    val isBmp = substring(hx, 1, 4) === "424D"
+    blobs.select(col("doc_id"),
+      when(isPng, "png").when(isGif, "gif").when(isBmp, "bmp")
+        .otherwise("unknown").as("fmt"),
+      when(isPng, be(17, 4)).when(isGif, le(7, 2)).when(isBmp, le(19, 4))
+        .as("width"),
+      when(isPng, be(21, 4)).when(isGif, le(9, 2)).when(isBmp, le(23, 4))
+        .as("height"))
+  }
+
+  val imageDimsOracle: String = """
+    SELECT doc_id,
+      CASE CAST(doc_id % 3 AS INT)
+        WHEN 0 THEN 'png' WHEN 1 THEN 'gif' ELSE 'bmp' END AS fmt,
+      CAST(16 + doc_id % 1009 AS INT) AS width,
+      CAST(16 + (doc_id * 7) % 1013 AS INT) AS height
+    FROM documents"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "media_decode" -> (mediaDecode _),
     "media_frame_sample" -> (frameSample _),
     "media_sniff_type" -> (sniffType _),
-    "media_byte_entropy" -> (byteEntropy _))
+    "media_byte_entropy" -> (byteEntropy _),
+    "media_image_dims" -> (imageDims _))
 
   val oracles: Map[String, String] = Map(
     "media_decode" -> mediaDecodeOracle,
     "media_frame_sample" -> frameSampleOracle,
-    "media_sniff_type" -> sniffTypeOracle)
+    "media_sniff_type" -> sniffTypeOracle,
+    "media_image_dims" -> imageDimsOracle)
 }

@@ -117,13 +117,76 @@ object StatsOps {
       MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
     FROM documents GROUP BY source"""
 
+  /** Pearson correlation between event value and hour-of-day, per
+    * event type — the "is this metric seasonal?" profiling question.
+    * All five sufficient statistics are EXACT integer sums reduced in
+    * one partially-aggregated hash shuffle, and the correlation is ONE
+    * final double expression evaluated on identical exact inputs by
+    * both engines — the [[Exact]] discipline extended to second
+    * moments. Correlation is scale-invariant, so x is the SCALED
+    * integer rint(value·100) itself (2-decimal money values, same
+    * argument as Exact's long mode) — never descaled: that keeps
+    * every sum a 64-bit integer below 2⁵³, whose cast to double is
+    * EXACT on both engines. (Decimal sums here would be a last-ulp
+    * hazard: DuckDB casts decimal→double by int128→double then
+    * ÷10^scale — two roundings — while Spark's BigDecimal cast rounds
+    * once.) Magnitude bound: Σv² per group must stay under 2⁶³ —
+    * ~10¹³ rows/group at this value range — beyond which ANSI mode
+    * fails loudly rather than answering wrong, the documented Exact
+    * posture. Scale: map-side combine means the exchange carries six
+    * numbers per (group × partition); output is |event_type| rows. */
+  def valueCorr(sp: SparkSession, dir: String): DataFrame = {
+    val ev = Engine.table(sp, dir, "events")
+      .select(col("event_type"),
+        rint(col("value") * 100).cast("long").as("v"),
+        expr("(unix_millis(ts) div 3600000) % 24").as("h"))
+    ev.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("v")).cast("double").as("sx"),
+        sum(col("v") * col("v")).cast("double").as("sxx"),
+        sum(col("h")).cast("double").as("sy"),
+        sum(col("h") * col("h")).cast("double").as("syy"),
+        sum(col("v") * col("h")).cast("double").as("sxy"))
+      .select(col("event_type"), col("n"),
+        // degenerate groups (zero variance on either axis) → NULL on
+        // both engines; Spark's IEEE inf/NaN and DuckDB's NULL-on-
+        // division-by-zero would otherwise diverge
+        when((col("n") * col("sxx") - col("sx") * col("sx")) > 0 &&
+          (col("n") * col("syy") - col("sy") * col("sy")) > 0,
+          (col("n") * col("sxy") - col("sx") * col("sy")) /
+            sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
+              (col("n") * col("syy") - col("sy") * col("sy"))))
+          .as("corr_value_hour"))
+  }
+
+  val valueCorrOracle: String = """
+    WITH s AS (
+      SELECT event_type, COUNT(*) AS n,
+        CAST(CAST(SUM(v) AS BIGINT) AS DOUBLE) AS sx,
+        CAST(CAST(SUM(v * v) AS BIGINT) AS DOUBLE) AS sxx,
+        CAST(CAST(SUM(h) AS BIGINT) AS DOUBLE) AS sy,
+        CAST(CAST(SUM(h * h) AS BIGINT) AS DOUBLE) AS syy,
+        CAST(CAST(SUM(v * h) AS BIGINT) AS DOUBLE) AS sxy
+      FROM (SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS v,
+              (epoch_ms(ts) // 3600000) % 24 AS h
+            FROM events)
+      GROUP BY event_type)
+    SELECT event_type, n,
+      CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+        THEN (n * sxy - sx * sy)
+          / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+      END AS corr_value_hour
+    FROM s"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stats_source_profile" -> (sourceProfile _),
     "stats_length_quantiles" -> (lengthQuantiles _),
     "stats_approx_distinct" -> (approxDistinct _),
-    "stats_approx_quantiles" -> (approxQuantiles _))
+    "stats_approx_quantiles" -> (approxQuantiles _),
+    "stats_value_corr" -> (valueCorr _))
 
   val oracles: Map[String, String] = Map(
     "stats_source_profile" -> sourceProfileOracle,
-    "stats_length_quantiles" -> lengthQuantilesOracle)
+    "stats_length_quantiles" -> lengthQuantilesOracle,
+    "stats_value_corr" -> valueCorrOracle)
 }

@@ -30,4 +30,20 @@ class MultimodalSpec extends AnyFunSuite {
     assert(sniffed.nonEmpty)
     assert(sniffed.forall(_.getString(1) == "unknown"))
   }
+
+  test("header parse recovers the dims each container encodes") {
+    val rows = MultimodalOps.imageDims(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val expFmt = (id % 3) match {
+        case 0 => "png"; case 1 => "gif"; case _ => "bmp"
+      }
+      assert(r.getString(1) == expFmt, s"doc $id fmt")
+      assert(r.getInt(2) == 16 + (id % 1009).toInt, s"doc $id width")
+      assert(r.getInt(3) == 16 + ((id * 7) % 1013).toInt, s"doc $id height")
+    }
+    // all three container families must actually occur
+    assert(rows.map(_.getString(1)).distinct.sorted.toSeq == Seq("bmp", "gif", "png"))
+  }
 }

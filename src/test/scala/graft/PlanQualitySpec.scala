@@ -146,6 +146,18 @@ class PlanQualitySpec extends AnyFunSuite {
       s"funnel_k fell back to a non-equi join:\n$plan")
   }
 
+  test("attribution is a single-exchange window, never a range join") {
+    // the at-or-before recency predicate is applied after the running
+    // last() over the unioned per-user timeline — a join shape here
+    // (θ or otherwise) would pair touches × purchases at scale
+    val plan = planOf("events_attribution")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"),
+      s"attribution planned a join:\n$plan")
+    assert(plan.contains("Window"), s"expected a window pass in:\n$plan")
+  }
+
   test("token document-frequency aggregates partially before the shuffle") {
     // row-local array_distinct + partial count: the shuffle must carry
     // (token, partial df), never raw token occurrences

@@ -60,4 +60,26 @@ class StatsSpec extends AnyFunSuite {
       assert(dev <= 0.10, s"$lang: approx $a vs exact $e (dev $dev)")
     }
   }
+
+  test("value-hour correlation matches a driver-side naive Pearson") {
+    val got = StatsOps.valueCorr(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val raw = Engine.table(spark, sf, "events")
+      .selectExpr("event_type", "value", "(unix_millis(ts) div 3600000) % 24 AS h")
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+      .groupBy(_._1)
+    assert(got.keySet == raw.keySet)
+    for ((et, rows) <- raw) {
+      val n = rows.length.toDouble
+      val xs = rows.map(_._2); val ys = rows.map(_._3.toDouble)
+      val mx = xs.sum / n; val my = ys.sum / n
+      val num = xs.zip(ys).map { case (x, y) => (x - mx) * (y - my) }.sum
+      val den = math.sqrt(xs.map(x => (x - mx) * (x - mx)).sum *
+        ys.map(y => (y - my) * (y - my)).sum)
+      val want = num / den
+      val (gn, gc) = got(et)
+      assert(gn == rows.length, s"$et n")
+      assert(math.abs(gc - want) < 1e-9, s"$et corr $gc vs $want")
+    }
+  }
 }
