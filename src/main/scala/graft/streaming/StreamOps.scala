@@ -356,6 +356,86 @@ object StreamOps {
       }
   }
 
+  /** Streaming last-touch attribution — EventOps.attribution for the
+    * unbounded regime (live campaign dashboards). State per user is
+    * the LATEST touch (event_id, view?, ms): three numbers, dropped
+    * by event-time timeout past `ttlMillis` — a touch is creditable
+    * for only AttributionWindowMs, so any TTL ≥ window + watermark
+    * delay loses nothing. Rows within a micro-batch are processed in
+    * (ms, touch-before-purchase, event_id) order — the batch op's
+    * exact tie discipline; across batches a late-arriving touch
+    * cannot retro-credit purchases already emitted (append mode) —
+    * the same bounded-disorder caveat as [[funnel]]'s conversion
+    * count, bounded by the watermark. Single-batch replay sees
+    * watermark 0 (nothing late, no timeout) → output is exactly the
+    * batch op, sharing EventOps.attributionOracle. */
+  final case class TouchRow(user_id: Long, ts: java.sql.Timestamp,
+      is_touch: Boolean, is_view: Boolean, event_id: Long) {
+    def ts_ms: Long = ts.getTime
+  }
+  final case class TouchState(t_id: Long, is_view: Boolean, t_ms: Long)
+  final case class Attributed(purchase_id: Long, user_id: Long,
+      touch_type: String, touch_id: Option[Long])
+
+  def attributionStream(spark: SparkSession, events: DataFrame,
+      ttlMillis: Long = 24L * 3600 * 1000): Dataset[Attributed] = {
+    import spark.implicits._
+    val window = graft.operators.EventOps.AttributionWindowMs
+    events
+      .filter(col("event_type").isin("click", "view", "purchase"))
+      .withWatermark("ts", "1 hour")
+      .select(col("user_id"), col("ts"),
+        (col("event_type") =!= "purchase").as("is_touch"),
+        (col("event_type") === "view").as("is_view"),
+        col("event_id"))
+      .as[TouchRow]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[TouchState, Attributed](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[TouchRow], state: GroupState[TouchState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = rows.toSeq
+              .sortBy(r => (r.ts_ms, !r.is_touch, r.event_id))
+            val out = Seq.newBuilder[Attributed]
+            var last = state.getOption
+            for (r <- sorted) {
+              if (r.is_touch) {
+                last = Some(TouchState(r.event_id, r.is_view, r.ts_ms))
+              } else {
+                val credited = last.filter(_.t_ms >= r.ts_ms - window)
+                out += Attributed(r.event_id, user,
+                  credited.map(t => if (t.is_view) "view" else "click")
+                    .getOrElse("none"),
+                  credited.map(_.t_id))
+              }
+            }
+            last.foreach { t =>
+              state.update(t)
+              val lastMs = sorted.map(_.ts_ms).max
+              state.setTimeoutTimestamp(
+                math.max(lastMs, state.getCurrentWatermarkMs()) + ttlMillis)
+            }
+            out.result().iterator
+          }
+      }
+  }
+
+  /** Streaming attribution replay twin — one micro-batch, watermark
+    * 0: nothing is late and no timeout fires, so the output equals
+    * the batch op and shares its oracle. */
+  def attributionReplay(spark: SparkSession, dir: String): DataFrame = {
+    val q = attributionStream(spark, readEvents(spark, dir)).toDF.writeStream
+      .outputMode("append").format("memory")
+      .queryName("events_attribution_stream_sink").start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table("events_attribution_stream_sink")
+      .select(col("purchase_id"), col("user_id"), col("touch_type"),
+        col("touch_id"))
+  }
+
   /** Streaming two-step funnel: per user, the running count of
     * purchases landing within one hour of the FIRST click seen —
     * stateful twin of EventOps.funnel for the continuous regime
@@ -653,6 +733,7 @@ object StreamOps {
     "events_interval_stream" -> (intervalJoinReplay _),
     "events_window_stream" -> (windowAggReplay _),
     "events_asof_stream" -> (asofEnrichReplay _),
+    "events_attribution_stream" -> (attributionReplay _),
     "events_funnel_stream" -> (funnelReplay _),
     "events_funnel_k_stream" -> (funnelKReplay _),
     "events_sessionize_stream" -> (sessionizeReplay _),
@@ -666,6 +747,7 @@ object StreamOps {
   val oracles: Map[String, String] = Map(
     "events_interval_stream" -> graft.operators.EventOps.rangeJoinOracle,
     "events_asof_stream" -> graft.operators.EventOps.asofJoinOracle,
+    "events_attribution_stream" -> graft.operators.EventOps.attributionOracle,
     "events_funnel_stream" -> graft.operators.EventOps.funnelOracle,
     "events_funnel_k_stream" -> graft.operators.EventOps.funnelKOracle,
     "events_window_stream" -> """

@@ -219,6 +219,16 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == batch)
   }
 
+  test("streaming attribution matches batch attribution on full replay") {
+    val got = StreamOps.attributionReplay(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getString(2), Option(r.get(3))))).toMap
+    val batch = EventOps.attribution(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getString(2), Option(r.get(3))))).toMap
+    assert(got == batch)
+  }
+
   test("streaming as-of enrichment matches batch as-of join") {
     val events = StreamOps.readEvents(spark, sf)
     val q = StreamOps.asofEnrich(spark, events).writeStream
