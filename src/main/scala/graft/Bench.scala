@@ -64,7 +64,9 @@ object Bench {
     "text_boilerplate", "text_boilerplate_strip", "events_funnel_k",
     "events_transitions", "dedup_cluster_lsh",
     "events_moving_avg", "pipeline_mix_sources", "sim_ann_ivf_pq",
-    "events_attribution", "stats_value_corr", "media_image_dims")
+    "events_attribution", "stats_value_corr", "media_image_dims",
+    "events_json_extract", "stats_rollup_profile", "stats_lang_pivot",
+    "text_bpe_pairs")
 
   val Reps = 5
   /** Extra reps for queries whose 5-rep median is below [[SubSecond]] —

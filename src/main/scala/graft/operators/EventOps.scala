@@ -529,7 +529,44 @@ object EventOps {
       COALESCE(j.touch_type, 'none') AS touch_type, j.touch_id
     FROM p LEFT JOIN j ON j.purchase_id = p.event_id AND j.rn = 1"""
 
+  /** Semi-structured property extraction: parse the JSON `props`
+    * column with a TYPED schema (`from_json`, one parse per row, no
+    * per-key re-parse like repeated `get_json_object` calls would do)
+    * and profile the extracted field per event type. The pattern every
+    * event pipeline needs first: JSON stays opaque in storage, the
+    * parse happens row-local at scan time, and only the typed field
+    * reaches the aggregate — the shuffle carries six numbers per
+    * (event_type × partition), never the JSON text. Malformed or
+    * missing keys become NULL (from_json PERMISSIVE mode), counted
+    * separately from present values — both engines agree because
+    * DuckDB's json_extract also yields NULL there. Integer-only
+    * outputs → hash-exact. */
+  def jsonExtract(sp: SparkSession, dir: String): DataFrame =
+    Engine.table(sp, dir, "events")
+      .select(col("event_type"),
+        from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k BIGINT"))
+          .getField("k").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        count(col("k")).as("n_with_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"),
+        sum(col("k")).as("sum_k"))
+
+  val jsonExtractOracle: String = """
+    SELECT event_type,
+      CAST(COUNT(*) AS BIGINT) AS n_events,
+      CAST(COUNT(k) AS BIGINT) AS n_with_k,
+      MIN(k) AS min_k, MAX(k) AS max_k,
+      CAST(SUM(k) AS BIGINT) AS sum_k
+    FROM (SELECT event_type,
+            CAST(json_extract(props, '$.k') AS BIGINT) AS k
+          FROM events)
+    GROUP BY event_type"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_json_extract" -> (jsonExtract _),
     "events_attribution" -> (attribution _),
     "events_moving_avg" -> (movingAvg _),
     "events_window_agg" -> (windowAgg _),
@@ -545,6 +582,7 @@ object EventOps {
     "events_range_join" -> (rangeJoin _))
 
   val oracles: Map[String, String] = Map(
+    "events_json_extract" -> jsonExtractOracle,
     "events_attribution" -> attributionOracle,
     "events_moving_avg" -> movingAvgOracle,
     "events_window_agg" -> windowAggOracle,

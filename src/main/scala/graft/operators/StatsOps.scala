@@ -178,7 +178,66 @@ object StatsOps {
       END AS corr_value_hour
     FROM s"""
 
+  /** Hierarchical totals in ONE pass: GROUP BY ROLLUP(source, lang)
+    * computes the (source, lang) cells, per-source subtotals and the
+    * grand total together — Spark's Expand feeds all three grouping
+    * sets into a single hash aggregation, so the fact rows are read
+    * and shuffled once instead of three times (the naive UNION ALL of
+    * three GROUP BYs). The explicit grouping() marker columns
+    * distinguish a rolled-up NULL from a data NULL — without them the
+    * subtotal rows would be ambiguous the day a NULL source appears.
+    * Scale: output is |sources|·|langs| + |sources| + 1 rows; the
+    * Expand multiplies the MAP side by the number of grouping sets
+    * but partial aggregation collapses it before the exchange. */
+  def rollupProfile(sp: SparkSession, dir: String): DataFrame =
+    Engine.table(sp, dir, "documents")
+      .rollup(col("source"), col("lang"))
+      .agg(grouping(col("source")).cast("long").as("g_source"),
+        grouping(col("lang")).cast("long").as("g_lang"),
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"))
+      .select(col("source"), col("lang"), col("g_source"), col("g_lang"),
+        col("n_docs"), col("total_chars"))
+
+  val rollupProfileOracle: String = """
+    SELECT source, lang,
+      CAST(GROUPING(source) AS BIGINT) AS g_source,
+      CAST(GROUPING(lang) AS BIGINT) AS g_lang,
+      CAST(COUNT(*) AS BIGINT) AS n_docs,
+      CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents GROUP BY ROLLUP(source, lang)"""
+
+  private val PivotLangs = Seq("de", "en", "es", "fr", "zh")
+
+  /** Language × source contingency table as a PIVOT: one row per
+    * source, one column per (fixed, enumerated) language. The language
+    * list is pinned — never inferred from the data — so the schema is
+    * deterministic and the plan is a single hash aggregation (Spark's
+    * inferring pivot would run an extra distinct-values job and make
+    * the output schema data-dependent, both wrong at 100 TB). Missing
+    * cells are 0, not NULL (a count that observed nothing is zero).
+    * Scale: shuffle carries |langs| counters per (source × partition). */
+  def langPivot(sp: SparkSession, dir: String): DataFrame =
+    Engine.table(sp, dir, "documents")
+      .groupBy(col("source"))
+      .pivot("lang", PivotLangs)
+      .agg(count(lit(1)))
+      .select(col("source") +:
+        PivotLangs.map(l => coalesce(col(l), lit(0L)).as(l)): _*)
+
+  val langPivotOracle: String = {
+    val cells = PivotLangs.map(l =>
+      s"CAST(SUM(CASE WHEN lang='$l' THEN 1 ELSE 0 END) AS BIGINT) AS $l")
+      .mkString(",\n      ")
+    s"""
+    SELECT source,
+      $cells
+    FROM documents GROUP BY source"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stats_rollup_profile" -> (rollupProfile _),
+    "stats_lang_pivot" -> (langPivot _),
     "stats_source_profile" -> (sourceProfile _),
     "stats_length_quantiles" -> (lengthQuantiles _),
     "stats_approx_distinct" -> (approxDistinct _),
@@ -186,6 +245,8 @@ object StatsOps {
     "stats_value_corr" -> (valueCorr _))
 
   val oracles: Map[String, String] = Map(
+    "stats_rollup_profile" -> rollupProfileOracle,
+    "stats_lang_pivot" -> langPivotOracle,
     "stats_source_profile" -> sourceProfileOracle,
     "stats_length_quantiles" -> lengthQuantilesOracle,
     "stats_value_corr" -> valueCorrOracle)

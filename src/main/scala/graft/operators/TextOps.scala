@@ -357,6 +357,46 @@ object TextOps {
     FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
     GROUP BY token HAVING COUNT(*) >= 100"""
 
+  /** One BPE-training iteration: the adjacent-symbol pair counts that
+    * pick the next merge (Sennrich et al. 2016's inner loop,
+    * distributed). The crucial scale move is counting over the WORD
+    * FREQUENCY TABLE, not the corpus: explode tokens once, reduce to
+    * (word, freq) — vocabulary-sized, orders of magnitude smaller than
+    * the corpus — then expand each distinct word into its len-1
+    * adjacent pairs and weight by freq. At 100 TB the corpus-side
+    * explode is the only pass over the data; every later merge
+    * iteration would re-run only the vocabulary-sized expansion.
+    * Top-K is orderBy+limit → TakeOrderedAndProject (no global sort);
+    * the (n DESC, pair ASC) tie-break makes the cut deterministic on
+    * both engines. Character semantics: Spark substring/length and
+    * DuckDB substring/length both index CODE POINTS, so multibyte
+    * text pairs identically. */
+  def bpePairs(sp: SparkSession, dir: String): DataFrame = {
+    val wc = Engine.table(sp, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("f"))
+    wc.select(explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+        .as("pair"), col("f"))
+      .groupBy(col("pair"))
+      .agg(sum(col("f")).as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(50)
+  }
+
+  val bpePairsOracle: String = """
+    WITH wc AS (
+      SELECT w, COUNT(*) AS f
+      FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      WHERE length(w) >= 2 GROUP BY w),
+    pairs AS (
+      SELECT substring(w, CAST(i AS INT), 2) AS pair, f
+      FROM wc, unnest(range(1, length(w))) AS t(i))
+    SELECT pair, CAST(SUM(f) AS BIGINT) AS n
+    FROM pairs GROUP BY pair ORDER BY n DESC, pair LIMIT 50"""
+
   /** Composed preprocessing pipeline — the shape a training-data run
     * chains: quality gate (token count + stopword ratio) → language
     * filter → exact-dedup survivor set. One declarative plan; Catalyst
@@ -578,7 +618,8 @@ object TextOps {
     "text_lang_id" -> (langId _),
     "text_fingerprint" -> (fingerprint _),
     "text_token_histogram" -> (tokenHistogram _),
-    "text_token_bpe" -> (tokenBpe _))
+    "text_token_bpe" -> (tokenBpe _),
+    "text_bpe_pairs" -> (bpePairs _))
 
   val oracles: Map[String, String] = Map(
     "text_redact_pii" -> redactPiiOracle,
@@ -595,5 +636,6 @@ object TextOps {
     "text_quality_score" -> qualityScoreOracle,
     "text_lang_id" -> langIdOracle,
     "text_token_histogram" -> tokenHistogramOracle,
-    "text_token_bpe" -> tokenBpeOracle)
+    "text_token_bpe" -> tokenBpeOracle,
+    "text_bpe_pairs" -> bpePairsOracle)
 }
