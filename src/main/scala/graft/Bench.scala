@@ -66,7 +66,8 @@ object Bench {
     "events_moving_avg", "pipeline_mix_sources", "sim_ann_ivf_pq",
     "events_attribution", "stats_value_corr", "media_image_dims",
     "events_json_extract", "stats_rollup_profile", "stats_lang_pivot",
-    "text_bpe_pairs")
+    "text_bpe_pairs", "media_wav_meta", "orders_running_total",
+    "pipeline_curriculum")
 
   val Reps = 5
   /** Extra reps for queries whose 5-rep median is below [[SubSecond]] —

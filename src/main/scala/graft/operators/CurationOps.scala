@@ -314,7 +314,73 @@ object CurationOps {
     WHERE (d.doc_id * $MixHashMul) % $MixHashMod < f.thr"""
   }
 
+  /** Curriculum bucketing WITHOUT a global sort: assign each document
+    * to a length decile by exact thresholds, not NTILE. NTILE needs a
+    * total order over all rows (single-partition window at scale, and
+    * its tie-splitting is row-order-dependent — nondeterministic
+    * across engines); instead the value DISTRIBUTION is aggregated to
+    * (value, count) — one partial-agg shuffle sized by distinct
+    * values, not rows — the 9 cut points are taken from the cumulative
+    * distribution, and rows bucket themselves against the broadcast
+    * 1-row threshold table in a row-local pass. Rank arithmetic is
+    * pure integer ((tot·d + 9) div 10 = ceil) — no float rank on
+    * either engine. The single-partition cumulative window runs over
+    * the tiny distribution only (documented lengthQuantiles shape).
+    * Ties share a bucket (equal values are indistinguishable — the
+    * deterministic choice), so bucket populations are near-equal, not
+    * exactly n/10. */
+  def curriculum(sp: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Engine.table(sp, dir, "documents")
+    val counts = docs.groupBy(col("n_chars")).agg(count(lit(1)).as("c"))
+    val wCum = Window.orderBy(col("n_chars"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = counts.withColumn("cum", sum(col("c")).over(wCum))
+      .crossJoin(broadcast(counts.agg(sum(col("c")).as("tot"))))
+    val th = cum.agg(
+      min(when(col("cum") >= expr("(tot * 1 + 9) div 10"), col("n_chars"))).as("t1"),
+      (2 to 9).map(d =>
+        min(when(col("cum") >= expr(s"(tot * $d + 9) div 10"), col("n_chars")))
+          .as(s"t$d")): _*)
+    val bucket = (1 to 9)
+      .map(d => when(col("n_chars") > col(s"t$d"), 1).otherwise(0))
+      .reduce(_ + _) + lit(1)
+    docs.crossJoin(broadcast(th))
+      .select(col("doc_id"), col("n_chars"), bucket.as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"))
+  }
+
+  val curriculumOracle: String = {
+    val ths = (1 to 9).map(d =>
+      s"MIN(CASE WHEN cum >= (tot * $d + 9) // 10 THEN n_chars END) AS t$d")
+      .mkString(",\n        ")
+    val bucket = (1 to 9)
+      .map(d => s"(CASE WHEN n_chars > t$d THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""
+    WITH counts AS (
+      SELECT n_chars, COUNT(*) AS c FROM documents GROUP BY n_chars),
+    cum AS (
+      SELECT n_chars,
+        SUM(c) OVER (ORDER BY n_chars ROWS BETWEEN UNBOUNDED PRECEDING
+          AND CURRENT ROW) AS cum,
+        SUM(c) OVER () AS tot
+      FROM counts),
+    th AS (
+      SELECT $ths
+      FROM cum)
+    SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+    FROM (SELECT doc_id, n_chars, 1 + $bucket AS bucket
+          FROM documents CROSS JOIN th)
+    GROUP BY bucket"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_curriculum" -> (curriculum _),
     "pipeline_mix_sources" -> (mixSources _),
     "pipeline_decontaminate" -> (decontaminate _),
     "pipeline_shuffle_shards" -> (shuffleShards _),
@@ -323,6 +389,7 @@ object CurationOps {
     "text_ngram_familiarity" -> (ngramFamiliarity _))
 
   val oracles: Map[String, String] = Map(
+    "pipeline_curriculum" -> curriculumOracle,
     "pipeline_mix_sources" -> mixSourcesOracle,
     "pipeline_decontaminate" -> decontaminateOracle,
     "pipeline_shuffle_shards" -> shuffleShardsOracle,

@@ -226,7 +226,95 @@ object MultimodalOps {
       CAST(16 + (doc_id * 7) % 1013 AS INT) AS height
     FROM documents"""
 
+  /** Deterministic audio parameters encoded in the synthesized WAV
+    * headers — rates from the real standard ladder, moduli coprime so
+    * the parameter grid is walked fully. */
+  private val WavRates = Array(8000, 16000, 22050, 44100, 48000)
+  private def wavParamsOf(docId: Long): (Int, Int, Int, Long) = {
+    val channels = 1 + (docId % 2).toInt
+    val rate = WavRates(((docId % 5) + 5).toInt % 5)
+    val bits = 16 + 8 * ((docId % 3) % 2).toInt
+    val nSamples = 1000L + (docId * 13) % 99991L
+    (channels, rate, bits, nSamples)
+  }
+
+  /** A spec-valid 44-byte PCM WAV header (RIFF container, fmt chunk,
+    * data chunk header) for doc_id: canonical WAVEFORMAT layout —
+    * every derived field (byte rate, block align, chunk sizes) is
+    * computed exactly as an encoder would, so a parser that reads the
+    * wrong offset or endianness sees inconsistent values and fails the
+    * oracle. */
+  private def synthWavHeader(docId: Long): Array[Byte] = {
+    import java.nio.{ByteBuffer, ByteOrder}
+    val (channels, rate, bits, nSamples) = wavParamsOf(docId)
+    val blockAlign = channels * bits / 8
+    val dataSize = (nSamples * blockAlign).toInt
+    val b = ByteBuffer.allocate(44).order(ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+    b.put("WAVE".getBytes("US-ASCII"))
+    b.put("fmt ".getBytes("US-ASCII")).putInt(16)
+    b.putShort(1.toShort).putShort(channels.toShort) // PCM, channels
+    b.putInt(rate).putInt(rate * blockAlign)         // rate, byte rate
+    b.putShort(blockAlign.toShort).putShort(bits.toShort)
+    b.put("data".getBytes("US-ASCII")).putInt(dataSize)
+    b.array()
+  }
+
+  /** REAL WAV header parsing — the audio twin of [[imageDims]]:
+    * RIFF/WAVE magic sniff, then little-endian field reads at the
+    * canonical PCM offsets (channels u16@23, sample rate u32@25,
+    * bits u16@35, data size u32@41), sample count recovered from
+    * data size / block align and duration derived by integer
+    * division — all declarative hex-slice expressions inside
+    * whole-stage codegen, no UDF. The oracle recomputes every field
+    * from doc_id through the encoder's arithmetic, so parse offsets,
+    * endianness, and the div chain are all checked. Scale: row-local
+    * projection, no shuffle. */
+  def wavMeta(sp: SparkSession, dir: String): DataFrame = {
+    import sp.implicits._
+    val blobs = Engine.table(sp, dir, "documents")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(it => it.map(id => (id, synthWavHeader(id))))
+      .toDF("doc_id", "blob")
+    val hx = upper(hex(col("blob")))
+    def le(pos: Int, nBytes: Int): Column =
+      conv(concat((0 until nBytes).reverse.map(i =>
+        substring(hx, (pos - 1 + i) * 2 + 1, 2)): _*), 16, 10).cast("long")
+    val isWav = substring(hx, 1, 8) === "52494646" && // "RIFF"
+      substring(hx, 17, 8) === "57415645"             // "WAVE"
+    // integer division throughout (`div`, not `/` — Column `/` is
+    // DOUBLE division and its floor can disagree with the exact
+    // quotient's floor at the boundary)
+    blobs.select(col("doc_id"), isWav.as("ok"),
+        le(23, 2).as("ch"), le(25, 4).as("rate"), le(35, 2).as("bits"),
+        le(41, 4).as("ds"))
+      .select(col("doc_id"),
+        when(col("ok"), lit("wav")).otherwise(lit("unknown")).as("fmt"),
+        when(col("ok"), col("ch")).as("channels"),
+        when(col("ok"), col("rate")).as("sample_rate"),
+        when(col("ok"), col("bits")).as("bits"),
+        when(col("ok"), expr("ds div (ch * bits div 8)")).as("n_samples"),
+        when(col("ok"),
+          expr("(ds div (ch * bits div 8)) * 1000 div rate"))
+          .as("duration_ms"))
+  }
+
+  val wavMetaOracle: String = """
+    SELECT doc_id, 'wav' AS fmt,
+      CAST(1 + doc_id % 2 AS BIGINT) AS channels,
+      CAST(CASE doc_id % 5 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+        WHEN 2 THEN 22050 WHEN 3 THEN 44100 ELSE 48000 END AS BIGINT)
+        AS sample_rate,
+      CAST(16 + 8 * ((doc_id % 3) % 2) AS BIGINT) AS bits,
+      CAST(1000 + (doc_id * 13) % 99991 AS BIGINT) AS n_samples,
+      CAST((1000 + (doc_id * 13) % 99991) * 1000
+        // (CASE doc_id % 5 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+            WHEN 2 THEN 22050 WHEN 3 THEN 44100 ELSE 48000 END)
+        AS BIGINT) AS duration_ms
+    FROM documents"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "media_wav_meta" -> (wavMeta _),
     "media_decode" -> (mediaDecode _),
     "media_frame_sample" -> (frameSample _),
     "media_sniff_type" -> (sniffType _),
@@ -234,6 +322,7 @@ object MultimodalOps {
     "media_image_dims" -> (imageDims _))
 
   val oracles: Map[String, String] = Map(
+    "media_wav_meta" -> wavMetaOracle,
     "media_decode" -> mediaDecodeOracle,
     "media_frame_sample" -> frameSampleOracle,
     "media_sniff_type" -> sniffTypeOracle,

@@ -437,7 +437,42 @@ object Relational {
 
   // ------------------------------------------------------------ registry
 
+  /** Per-customer running spend: a cumulative window aggregate over
+    * the orders fact — the canonical "customer lifetime value over
+    * time" query. ONE hash exchange on o_custkey, then a sorted
+    * per-partition scan; the frame is an explicit ROWS
+    * unbounded→current run over the UNIQUE (o_orderdate, o_orderkey)
+    * order, so RANGE-vs-ROWS ambiguity never arises and both engines
+    * see the same frame. The cumulative sum uses [[Exact.dsumOver]]:
+    * scaled-integer addition inside the frame is exact and
+    * order-independent, so the running doubles are bit-identical to
+    * the oracle's DECIMAL(18,6) accumulation at every prefix, not
+    * just the final total. Scale: state per partition is one long;
+    * output is input-linear; skew bounded by orders-per-customer. */
+  def runningTotal(sp: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(sp, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        // o_orderdate is TIMESTAMP_NTZ in the parquet; the session TZ
+        // is pinned UTC, so the cast is the identity mapping
+        unix_millis(col("o_orderdate").cast("timestamp")).as("order_ms"),
+        Exact.dsumOver(col("o_totalprice"), w).as("running_spend"))
+  }
+
+  val runningTotalOracle: String = """
+    SELECT o_custkey, o_orderkey,
+      CAST(epoch_ms(o_orderdate) AS BIGINT) AS order_ms,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER (
+        PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        AS running_spend
+    FROM orders"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "orders_running_total" -> (runningTotal _),
     "q1_pricing_summary" -> (q1 _),
     "q3_shipping_priority" -> (q3 _),
     "q6_forecast_revenue" -> (q6 _),
@@ -466,6 +501,7 @@ object Relational {
     "date_filter" -> (dateFilter _))
 
   val oracles: Map[String, String] = Map(
+    "orders_running_total" -> runningTotalOracle,
     "q1_pricing_summary" -> q1Oracle,
     "q3_shipping_priority" -> q3Oracle,
     "q6_forecast_revenue" -> q6Oracle,
