@@ -98,3 +98,55 @@ object RunningAvgAgg extends Aggregator[java.lang.Double, Array[Double], java.la
   def bufferEncoder: Encoder[Array[Double]] = ExpressionEncoder[Array[Double]]()
   def outputEncoder: Encoder[java.lang.Double] = Encoders.DOUBLE
 }
+
+/** Misra-Gries frequent-items summary (Misra & Gries, Sci. Comp.
+  * Prog. 1982; mergeable form after Agarwal et al., PODS'12): at most
+  * k counters. When a new item arrives at a full summary, every
+  * counter drops by the current minimum (the batched form of the
+  * classic decrement — at least one counter reaches zero and the new
+  * item, at 1 − min ≤ 0, is discarded with them). Merge sums
+  * counters pointwise, then subtracts the (k+1)-th largest count so
+  * at most k survive. Mass argument: every decrement of m removes
+  * ≥ k·m counted mass (reduce) or ≥ (k+1)·m (merge cut), so the
+  * total undercount of ANY item is ≤ n/k over n inputs — regardless
+  * of partitioning or merge order. Hence every item with true count
+  * > n/k is guaranteed present, which is what lets a two-pass heavy
+  * hitter built on this sketch return an EXACT, deterministic answer
+  * (see TextOps.heavyHitters). Buffer is ≤ k entries — constant
+  * memory per partial aggregate, vs. the full distinct-token
+  * distribution an exact histogram shuffles. */
+class MisraGriesAgg(k: Int)
+    extends Aggregator[String, Map[String, Long], Map[String, Long]] {
+  def zero: Map[String, Long] = Map.empty
+
+  def reduce(b: Map[String, Long], x: String): Map[String, Long] =
+    b.get(x) match {
+      case Some(c) => b.updated(x, c + 1L)
+      case None if b.size < k => b.updated(x, 1L)
+      case None =>
+        val m = b.valuesIterator.min
+        // new item's would-be count 1 − m ≤ 0: dropped with the zeros
+        b.collect { case (t, c) if c > m => (t, c - m) }
+    }
+
+  def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] = {
+    val s =
+      if (a.isEmpty) b else if (b.isEmpty) a
+      else b.foldLeft(a) { case (acc, (t, c)) =>
+        acc.updated(t, acc.getOrElse(t, 0L) + c)
+      }
+    if (s.size <= k) s
+    else {
+      val vs = s.valuesIterator.toArray
+      java.util.Arrays.sort(vs)
+      val cut = vs(vs.length - (k + 1)) // (k+1)-th largest
+      s.collect { case (t, c) if c > cut => (t, c - cut) }
+    }
+  }
+
+  def finish(b: Map[String, Long]): Map[String, Long] = b
+  def bufferEncoder: Encoder[Map[String, Long]] =
+    ExpressionEncoder[Map[String, Long]]()
+  def outputEncoder: Encoder[Map[String, Long]] =
+    ExpressionEncoder[Map[String, Long]]()
+}

@@ -357,6 +357,43 @@ object TextOps {
     FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
     GROUP BY token HAVING COUNT(*) >= 100"""
 
+  private val HhK = 64
+
+  /** Two-pass exact heavy hitters over the token stream, built on a
+    * Misra-Gries sketch (functions.MisraGriesAgg): pass 1 reduces the
+    * corpus to ≤ [[HhK]] candidate tokens with CONSTANT memory per
+    * partial aggregate — the shuffle carries one ≤64-entry map per
+    * partition, never the distinct-token distribution the exact
+    * histogram shuffles; pass 2 exact-counts only the candidates via
+    * a broadcast semi-join and keeps counts ≥ n/k + 1. The MG
+    * guarantee (undercount ≤ n/k for any merge order) means every
+    * token above that threshold IS among the candidates, so the
+    * output equals the exact answer — a sketch op with a full oracle,
+    * deterministic despite the sketch's partition-dependent
+    * intermediate state. The 100 TB shape for "top stopwords over
+    * everything": two corpus passes, O(k) shuffle and driver state. */
+  def heavyHitters(sp: SparkSession, dir: String): DataFrame = {
+    val toks = Engine.table(sp, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("token"))
+    val mg = udaf(new graft.functions.MisraGriesAgg(HhK))
+    val cands = toks.agg(mg(col("token")).as("summary"))
+      .select(explode(map_keys(col("summary"))).as("token"))
+    val total = toks.agg(count(lit(1)).as("n"))
+    toks.join(broadcast(cands), "token")
+      .groupBy(col("token")).agg(count(lit(1)).as("n_occ"))
+      .crossJoin(broadcast(total))
+      .filter(col("n_occ") >= expr(s"n div $HhK + 1"))
+      .select(col("token"), col("n_occ"))
+  }
+
+  val heavyHittersOracle: String = s"""
+    WITH toks AS (
+      SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+    tot AS (SELECT COUNT(*) AS n FROM toks)
+    SELECT token, CAST(COUNT(*) AS BIGINT) AS n_occ
+    FROM toks GROUP BY token
+    HAVING COUNT(*) >= (SELECT n FROM tot) // $HhK + 1"""
+
   /** One BPE-training iteration: the adjacent-symbol pair counts that
     * pick the next merge (Sennrich et al. 2016's inner loop,
     * distributed). The crucial scale move is counting over the WORD
@@ -619,7 +656,8 @@ object TextOps {
     "text_fingerprint" -> (fingerprint _),
     "text_token_histogram" -> (tokenHistogram _),
     "text_token_bpe" -> (tokenBpe _),
-    "text_bpe_pairs" -> (bpePairs _))
+    "text_bpe_pairs" -> (bpePairs _),
+    "text_heavy_hitters" -> (heavyHitters _))
 
   val oracles: Map[String, String] = Map(
     "text_redact_pii" -> redactPiiOracle,
@@ -637,5 +675,6 @@ object TextOps {
     "text_lang_id" -> langIdOracle,
     "text_token_histogram" -> tokenHistogramOracle,
     "text_token_bpe" -> tokenBpeOracle,
-    "text_bpe_pairs" -> bpePairsOracle)
+    "text_bpe_pairs" -> bpePairsOracle,
+    "text_heavy_hitters" -> heavyHittersOracle)
 }

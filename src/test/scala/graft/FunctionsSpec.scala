@@ -40,4 +40,31 @@ class FunctionsSpec extends AnyFunSuite {
     // the minimum window almost surely falls in the long shared prefix
     assert(fp1 == fp2)
   }
+
+  test("MisraGriesAgg: every item above n/k survives any merge order") {
+    val k = 8
+    // skewed stream: item "h0" 500×, "h1" 250×, ... long tail of
+    // singletons; n = 500+250+125+62 + 1000 = 1937, n/k ≈ 242 →
+    // h0 and h1 MUST survive every partitioning
+    val heavy = Seq("h0" -> 500, "h1" -> 250, "h2" -> 125, "h3" -> 62)
+    val stream = heavy.flatMap { case (t, c) => Seq.fill(c)(t) } ++
+      (0 until 1000).map(i => s"tail$i")
+    val n = stream.length
+    val rnd = new scala.util.Random(42)
+    for (trial <- 0 until 5) {
+      val shuffled = rnd.shuffle(stream)
+      val nParts = 1 + trial * 3
+      val agg = new graft.functions.MisraGriesAgg(k)
+      val partials = shuffled.grouped(math.max(1, n / nParts)).map(part =>
+        part.foldLeft(agg.zero)(agg.reduce)).toSeq
+      val merged = partials.reduce(agg.merge)
+      assert(merged.size <= k)
+      val thr = n / k
+      for ((t, c) <- heavy if c > thr)
+        assert(merged.contains(t), s"$t (count $c > n/k=$thr) evicted, trial $trial")
+      // undercount bound: estimate within n/k of truth for present items
+      for ((t, c) <- heavy if merged.contains(t))
+        assert(merged(t) <= c && merged(t) >= c - thr)
+    }
+  }
 }
