@@ -174,4 +174,81 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(plan.contains("WindowGroupLimit"),
       s"expected WindowGroupLimit in:\n$plan")
   }
+
+  test("heavy hitters: candidate recount joins by broadcast, never shuffles the corpus for the join") {
+    // pass 2 must join the token stream against the <=64-row candidate
+    // set as a broadcast hash join; a sort-merge join would shuffle
+    // the whole exploded corpus on token
+    val plan = planOf("text_heavy_hitters")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected a broadcast candidate join in:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"candidate recount shuffled the corpus:\n$plan")
+  }
+
+  test("curriculum bucketing never globally sorts the corpus") {
+    // the only sort allowed is inside the distribution-sized window
+    // (over distinct n_chars values); documents themselves must bucket
+    // in a broadcast-joined row-local pass
+    val plan = planOf("pipeline_curriculum")
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"),
+      s"expected broadcast threshold join in:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"curriculum planned a real cartesian product:\n$plan")
+  }
+
+  test("running total is one exchange on the partition key") {
+    // AdaptiveSparkPlan.toString appends "== Initial Plan ==" — count
+    // exchanges in the FINAL plan section only
+    val plan = planOf("orders_running_total").split("== Initial Plan ==")(0)
+    val exchanges = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1, s"expected exactly one hash exchange, got $exchanges:\n$plan")
+    assert(plan.contains("RunningWindowFunction") || plan.contains("Window"),
+      s"expected a window in:\n$plan")
+  }
+
+  test("rollup profile is one Expand + one aggregation pass") {
+    val plan = planOf("stats_rollup_profile")
+    assert(plan.contains("Expand"), s"expected Expand for grouping sets in:\n$plan")
+    // one aggregation (partial+final pair), not three unioned scans
+    assert(!plan.contains("Union"), s"rollup planned as a union of scans:\n$plan")
+  }
+
+  test("pinned-schema pivot runs no distinct-values job") {
+    // groupBy(source).pivot(lang, fixedList) must stay one aggregate;
+    // the inferring form would first run collect(distinct lang)
+    val df = SparkEntry.queries("stats_lang_pivot")(spark, sf)
+    val plan = df.queryExecution.optimizedPlan.toString
+    val aggs = plan.linesIterator.count(_.trim.startsWith("Aggregate"))
+    assert(aggs <= 1, s"expected a single Aggregate, got $aggs:\n$plan")
+  }
+
+  test("a bucketed fact-to-fact join needs no exchange at all") {
+    // the 100 TB co-location story: orders and a derived per-customer
+    // aggregate both written bucketed by custkey -> the join plans
+    // with ZERO shuffle exchanges (bucketing IS the partitioning)
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_buckets").toString
+    val orders = graft.Engine.table(spark, sf, "orders")
+    spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      orders.write.bucketBy(8, "o_custkey").sortBy("o_custkey")
+        .option("path", s"$dir/orders_b").saveAsTable("orders_b")
+      orders.groupBy("o_custkey").agg(count(lit(1)).as("n_orders"))
+        .write.bucketBy(8, "o_custkey")
+        .option("path", s"$dir/cust_b").saveAsTable("cust_b")
+      val joined = spark.table("orders_b")
+        .join(spark.table("cust_b"), "o_custkey")
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed join still shuffled:\n$plan")
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS orders_b")
+      spark.sql("DROP TABLE IF EXISTS cust_b")
+    }
+  }
 }
