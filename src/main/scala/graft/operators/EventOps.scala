@@ -39,6 +39,30 @@ object EventOps {
     FROM events
     GROUP BY date_trunc('hour', ts), event_type"""
 
+  /** Hourly active users: exact COUNT(DISTINCT user_id) (plus
+    * distinct event types) per tumbling hour. Spark plans multiple
+    * distinct aggregates via Expand + two-phase aggregation — the
+    * partial phase dedups (hour, user) pairs map-side, so the
+    * exchange carries the distinct pairs, not raw events. At 100 TB
+    * the exact form is right when hour×user cardinality is bounded
+    * (it is: users/hour ≤ active population); the HLL escape hatch
+    * for unbounded-cardinality groups is [[StatsOps.approxDistinct]]'s
+    * shape. */
+  def hourlyUsers(sp: SparkSession, dir: String): DataFrame =
+    Engine.table(sp, dir, "events")
+      .groupBy(unix_timestamp(date_trunc("hour", col("ts"))).as("hour_ts"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        countDistinct(col("event_type")).as("n_types"))
+
+  val hourlyUsersOracle: String = """
+    SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_ts,
+      COUNT(*) AS n_events,
+      CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+      CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types
+    FROM events
+    GROUP BY date_trunc('hour', ts)"""
+
   /** HOPPING (sliding) 1-hour window every 15 minutes, keyed by
     * event_type — each event lands in 4 overlapping windows
     * (`functions.window` with a slide). The fan-out is the constant
@@ -567,6 +591,7 @@ object EventOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_json_extract" -> (jsonExtract _),
+    "events_hourly_users" -> (hourlyUsers _),
     "events_attribution" -> (attribution _),
     "events_moving_avg" -> (movingAvg _),
     "events_window_agg" -> (windowAgg _),
@@ -583,6 +608,7 @@ object EventOps {
 
   val oracles: Map[String, String] = Map(
     "events_json_extract" -> jsonExtractOracle,
+    "events_hourly_users" -> hourlyUsersOracle,
     "events_attribution" -> attributionOracle,
     "events_moving_avg" -> movingAvgOracle,
     "events_window_agg" -> windowAggOracle,

@@ -437,6 +437,43 @@ object Relational {
 
   // ------------------------------------------------------------ registry
 
+  private val JoinSalts = 8
+
+  /** Skew-mitigating SALTED JOIN — the join-side twin of
+    * [[groupBySalted]]: documents carry only 5 distinct langs, so a
+    * shuffled equi-join on lang alone would land ~20% of the corpus
+    * on each of 5 reducers no matter how many executors exist. Salting
+    * spreads each hot key over [[JoinSalts]] reducers: the fact side
+    * derives a DETERMINISTIC salt (doc_id % salts — never rand(),
+    * which would break retries and oracle parity), the dim side is
+    * replicated ×salts (dim_rows × salts stays tiny), and the join
+    * key becomes (lang, salt). The shuffle-hash hint keeps the demo a
+    * real shuffled join — a broadcast would hide the skew this op
+    * exists to break (on a real cluster the dim would be broadcast
+    * and this shape reserved for dim tables too big to broadcast; AQE
+    * skew-split is the adaptive alternative when salting isn't
+    * planned in). The oracle is the plain unsalted join — salting
+    * must be invisible in the result. */
+  def joinSaltedSkew(sp: SparkSession, dir: String): DataFrame = {
+    val docs = Engine.table(sp, dir, "documents")
+    val dim = docs.groupBy(col("lang"))
+      .agg(count(lit(1)).as("lang_docs"), sum(col("n_chars")).as("lang_chars"))
+    val dimSalted = dim.crossJoin(
+      sp.range(0, JoinSalts).select(col("id").cast("int").as("salt")))
+    val factSalted = docs
+      .withColumn("salt", pmod(col("doc_id"), lit(JoinSalts)).cast("int"))
+    factSalted.join(dimSalted.hint("shuffle_hash"), Seq("lang", "salt"))
+      .select(col("doc_id"), col("lang"), col("lang_docs"), col("lang_chars"))
+  }
+
+  val joinSaltedSkewOracle: String = """
+    SELECT d.doc_id, d.lang, s.lang_docs, s.lang_chars
+    FROM documents d
+    JOIN (SELECT lang, CAST(COUNT(*) AS BIGINT) AS lang_docs,
+            CAST(SUM(n_chars) AS BIGINT) AS lang_chars
+          FROM documents GROUP BY lang) s
+      ON d.lang = s.lang"""
+
   /** Per-customer running spend: a cumulative window aggregate over
     * the orders fact — the canonical "customer lifetime value over
     * time" query. ONE hash exchange on o_custkey, then a sorted
@@ -473,6 +510,7 @@ object Relational {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "orders_running_total" -> (runningTotal _),
+    "join_salted_skew" -> (joinSaltedSkew _),
     "q1_pricing_summary" -> (q1 _),
     "q3_shipping_priority" -> (q3 _),
     "q6_forecast_revenue" -> (q6 _),
@@ -502,6 +540,7 @@ object Relational {
 
   val oracles: Map[String, String] = Map(
     "orders_running_total" -> runningTotalOracle,
+    "join_salted_skew" -> joinSaltedSkewOracle,
     "q1_pricing_summary" -> q1Oracle,
     "q3_shipping_priority" -> q3Oracle,
     "q6_forecast_revenue" -> q6Oracle,

@@ -357,7 +357,7 @@ object TextOps {
     FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
     GROUP BY token HAVING COUNT(*) >= 100"""
 
-  private val HhK = 64
+  private[graft] val HhK = 64
 
   /** Two-pass exact heavy hitters over the token stream, built on a
     * Misra-Gries sketch (functions.MisraGriesAgg): pass 1 reduces the

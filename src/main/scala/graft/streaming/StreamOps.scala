@@ -729,7 +729,75 @@ object StreamOps {
     spark.table("events_funnel_stream_sink")
   }
 
+  // ---------------------------------------- streaming heavy hitters
+
+  final case class Tok(bucket: Int, token: String)
+  final case class HhState(n: Long, counts: Map[String, Long])
+  final case class HhSummary(bucket: Int, n_total: Long, tokens: Seq[String])
+
+  /** Streaming pass 1 of the two-pass heavy hitter
+    * (TextOps.heavyHitters): a Misra-Gries summary per hash bucket,
+    * folded batch-by-batch in `mapGroupsWithState`. Unlike every other
+    * stateful op here there is NO TTL and none is needed — the whole
+    * point of the sketch is that state is ≤ k counters per bucket,
+    * CONSTANT regardless of how much stream has passed. Each token
+    * hashes to exactly one bucket, so a token's global count equals
+    * its bucket count and the MG bound (undercount ≤ n_bucket/k under
+    * any batch split) gives: every token with global count > n/k is
+    * in its bucket's summary after ANY prefix-respecting sequence of
+    * micro-batches. Each batch emits the bucket's refreshed summary
+    * (update mode); n_total strictly grows, so the latest generation
+    * per bucket is well-defined downstream. */
+  def heavyHittersCandidates(spark: SparkSession,
+      docs: DataFrame): Dataset[HhSummary] = {
+    import spark.implicits._
+    val B = 16
+    val agg = new graft.functions.MisraGriesAgg(graft.operators.TextOps.HhK)
+    docs.select(explode(split(col("text"), " ")).as("token"))
+      .select(pmod(xxhash64(col("token")), lit(B)).cast("int").as("bucket"),
+        col("token"))
+      .as[Tok]
+      .groupByKey(_.bucket)
+      .mapGroupsWithState[HhState, HhSummary](GroupStateTimeout.NoTimeout) {
+        (bucket: Int, it: Iterator[Tok], state: GroupState[HhState]) =>
+          val prev = state.getOption.getOrElse(HhState(0L, Map.empty))
+          var m = prev.counts
+          var n = prev.n
+          it.foreach { t => m = agg.reduce(m, t.token); n += 1 }
+          state.update(HhState(n, m))
+          HhSummary(bucket, n, m.keys.toSeq.sorted)
+      }
+  }
+
+  /** Replay twin: stream the corpus through the MG pass, take each
+    * bucket's latest summary, then run pass 2 — the batch exact
+    * recount + n/k+1 threshold of TextOps.heavyHitters — over the
+    * candidate union. The per-bucket guarantee makes the candidate
+    * union a superset of every token with count ≥ n/k + 1, so the
+    * recounted, thresholded result EQUALS the batch op's and shares
+    * its oracle. (In production pass 2 is the periodic batch job over
+    * the same lake the stream ingests into.) */
+  def heavyHittersReplay(spark: SparkSession, dir: String): DataFrame = {
+    val q = heavyHittersCandidates(spark, readDocuments(spark, dir))
+      .writeStream.outputMode("update").format("memory")
+      .queryName("docs_hh_stream_sink").start()
+    try q.processAllAvailable() finally q.stop()
+    val latest = spark.table("docs_hh_stream_sink")
+      .groupBy(col("bucket"))
+      .agg(max_by(col("tokens"), col("n_total")).as("tokens"))
+    val cands = latest.select(explode(col("tokens")).as("token")).distinct()
+    val toks = Engine.table(spark, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("token"))
+    val total = toks.agg(count(lit(1)).as("n"))
+    toks.join(broadcast(cands), "token")
+      .groupBy(col("token")).agg(count(lit(1)).as("n_occ"))
+      .crossJoin(broadcast(total))
+      .filter(col("n_occ") >= expr(s"n div ${graft.operators.TextOps.HhK} + 1"))
+      .select(col("token"), col("n_occ"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "docs_heavy_hitters_stream" -> (heavyHittersReplay _),
     "events_interval_stream" -> (intervalJoinReplay _),
     "events_window_stream" -> (windowAggReplay _),
     "events_asof_stream" -> (asofEnrichReplay _),
@@ -745,6 +813,7 @@ object StreamOps {
     * count-only projection of the batch window-agg SQL; the dedup
     * replay is the distinct content-hash set. */
   val oracles: Map[String, String] = Map(
+    "docs_heavy_hitters_stream" -> graft.operators.TextOps.heavyHittersOracle,
     "events_interval_stream" -> graft.operators.EventOps.rangeJoinOracle,
     "events_asof_stream" -> graft.operators.EventOps.asofJoinOracle,
     "events_attribution_stream" -> graft.operators.EventOps.attributionOracle,

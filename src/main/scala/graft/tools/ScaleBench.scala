@@ -36,7 +36,11 @@ object ScaleBench {
     "dedup_cluster_lsh",
     "pipeline_pack_sequences", "events_sessionize",
     "sim_neardup_lsh", "sim_ann_ivf", "sim_ann_ivf_pq", "dedup_semantic",
-    "dedup_substring")
+    "dedup_substring",
+    // round 8: the two corpus-explode text ops — vocabulary-table
+    // expansion (BPE pairs) and the constant-state MG sketch must both
+    // grow near-linearly with rows
+    "text_bpe_pairs", "text_heavy_hitters")
 
   /** ANN ops re-scored for recall@5 at the big corpus: the round-7 PQ
     * shortlist regression (recall 0.64 → 0.48 before the ∝-corpus fix)

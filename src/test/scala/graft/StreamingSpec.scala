@@ -244,4 +244,48 @@ class StreamingSpec extends AnyFunSuite {
       assert(stream == batch)
     } finally q.stop()
   }
+
+  test("streaming heavy hitters: replay equals batch, candidates survive multi-batch ingest") {
+    // full replay (single micro-batch): pass-1 candidates + exact
+    // recount must equal the batch two-pass op exactly
+    val replay = StreamOps.heavyHittersReplay(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val batch = graft.operators.TextOps.heavyHitters(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(replay == batch, s"stream+recount diverged from batch")
+    assert(batch.nonEmpty)
+
+    // multi-batch: split the corpus across two files ingested as
+    // separate micro-batches (maxFilesPerTrigger=1) — the per-bucket
+    // MG guarantee is batch-split-independent, so every batch heavy
+    // hitter must still be among the candidates
+    import org.apache.spark.sql.functions._
+    val work = java.nio.file.Files.createTempDirectory("graft_hh_stream")
+    val docs = graft.Engine.table(spark, sf, "documents")
+    docs.filter(col("doc_id") % 2 === 0).coalesce(1)
+      .write.parquet(s"$work/part_a/documents.parquet")
+    docs.filter(col("doc_id") % 2 === 1).coalesce(1)
+      .write.parquet(s"$work/part_b/documents.parquet")
+    val schema = docs.schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$work/part_*/documents.parquet/*.parquet")
+    val q = StreamOps.heavyHittersCandidates(spark, stream)
+      .writeStream.outputMode("update").format("memory")
+      .queryName("hh_multibatch").start()
+    try {
+      q.processAllAvailable()
+      val sink = spark.table("hh_multibatch")
+      // at least one bucket saw two generations => genuinely multi-batch
+      val gens = sink.groupBy(col("bucket")).count()
+        .agg(max(col("count"))).collect()(0).getLong(0)
+      assert(gens >= 2, "corpus arrived in a single micro-batch; split failed")
+      val cands = sink.groupBy(col("bucket"))
+        .agg(max_by(col("tokens"), col("n_total")).as("tokens"))
+        .select(explode(col("tokens")).as("token"))
+        .collect().map(_.getString(0)).toSet
+      for ((t, _) <- batch)
+        assert(cands.contains(t), s"heavy hitter '$t' missing from multi-batch candidates")
+    } finally q.stop()
+  }
 }
