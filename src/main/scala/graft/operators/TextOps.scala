@@ -87,6 +87,55 @@ object TextOps {
           FROM documents)
     GROUP BY token HAVING COUNT(*) >= 5"""
 
+  private val KeywordsK = 5
+
+  /** Per-document keyword extraction: the [[KeywordsK]] most SALIENT
+    * tokens per document, ranked by (tf DESC, df ASC, token ASC) —
+    * high in this document, rare in the corpus, the tf-idf ORDERING
+    * without tf·log(N/df)'s float hazard (libm log differs in the
+    * last ulp across engines; a lexicographic integer rank cannot).
+    * Scale shape: tf is a row-local explode + (doc, token) count;
+    * the corpus df table joins on token (vocabulary-sized — a shuffle
+    * join, deliberately NOT broadcast: at 100 TB the vocabulary
+    * doesn't fit an executor broadcast); the per-doc top-K is a
+    * row_number window bounded by rk ≤ K, which Spark plans as
+    * WindowGroupLimit — each map task keeps K rows per doc before the
+    * shuffle. Fully integer → fully oracled. */
+  def docKeywords(sp: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = Engine.table(sp, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .filter(length(col("token")) >= 2)
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val df = Engine.table(sp, dir, "documents")
+      .select(explode(array_distinct(split(col("text"), " "))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tf").desc, col("df").asc, col("token").asc)
+    tf.join(df, "token")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= KeywordsK)
+      .select(col("doc_id"), col("rk"), col("token"), col("tf"), col("df"))
+  }
+
+  val docKeywordsOracle: String = s"""
+    WITH tf AS (
+      SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+            FROM documents)
+      WHERE length(token) >= 2 GROUP BY doc_id, token),
+    df AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS df
+      FROM (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+            FROM documents)
+      GROUP BY token)
+    SELECT doc_id, rk, token, tf, df FROM (
+      SELECT tf.doc_id, tf.token, tf.tf, df.df,
+        CAST(ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+          ORDER BY tf.tf DESC, df.df ASC, tf.token ASC) AS INT) AS rk
+      FROM tf JOIN df ON tf.token = df.token)
+    WHERE rk <= $KeywordsK"""
+
   /** Paragraph granularity for [[boilerplate]]: the synthetic corpus
     * is newline-free, so a "paragraph" is a fixed run of [[ParaWords]]
     * consecutive words (non-overlapping chunks — the same convention a
@@ -657,7 +706,8 @@ object TextOps {
     "text_token_histogram" -> (tokenHistogram _),
     "text_token_bpe" -> (tokenBpe _),
     "text_bpe_pairs" -> (bpePairs _),
-    "text_heavy_hitters" -> (heavyHitters _))
+    "text_heavy_hitters" -> (heavyHitters _),
+    "text_doc_keywords" -> (docKeywords _))
 
   val oracles: Map[String, String] = Map(
     "text_redact_pii" -> redactPiiOracle,
@@ -676,5 +726,6 @@ object TextOps {
     "text_token_histogram" -> tokenHistogramOracle,
     "text_token_bpe" -> tokenBpeOracle,
     "text_bpe_pairs" -> bpePairsOracle,
-    "text_heavy_hitters" -> heavyHittersOracle)
+    "text_heavy_hitters" -> heavyHittersOracle,
+    "text_doc_keywords" -> docKeywordsOracle)
 }

@@ -251,4 +251,10 @@ class PlanQualitySpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS cust_b")
     }
   }
+
+  test("doc keywords: per-doc top-k limits window groups pre-shuffle") {
+    val plan = planOf("text_doc_keywords")
+    assert(plan.contains("WindowGroupLimit"),
+      s"expected WindowGroupLimit in:\n$plan")
+  }
 }
