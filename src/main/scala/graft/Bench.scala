@@ -68,7 +68,8 @@ object Bench {
     "events_json_extract", "stats_rollup_profile", "stats_lang_pivot",
     "text_bpe_pairs", "media_wav_meta", "orders_running_total",
     "pipeline_curriculum", "text_heavy_hitters",
-    "events_hourly_users", "join_salted_skew", "text_doc_keywords")
+    "events_hourly_users", "join_salted_skew", "text_doc_keywords",
+    "pipeline_contamination_score")
 
   val Reps = 5
   /** Extra reps for queries whose 5-rep median is below [[SubSecond]] —

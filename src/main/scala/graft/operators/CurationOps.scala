@@ -76,6 +76,53 @@ object CurationOps {
     WHERE g.source <> '$EvalSource'
     GROUP BY g.doc_id"""
 
+  /** Contamination SCORE — [[decontaminate]]'s quantifying sibling:
+    * instead of dropping overlapping docs, report each training doc's
+    * overlap fraction (distinct shared 5-grams / distinct own
+    * 5-grams), the number a curation run thresholds or audits. The
+    * denominator comes from the per-doc distinct gram count (row-local
+    * before the one aggregation), the numerator from the same
+    * eval-gram equi-join as decontaminate (never a θ-join), LEFT so
+    * clean docs report 0.0 rather than vanish. The fraction is ONE
+    * double division of two exact integers — IEEE division is
+    * deterministic, so both engines produce the identical double.
+    * Scale: |grams| ≈ corpus words; join keyed on gram text. */
+  def contaminationScore(sp: SparkSession, dir: String): DataFrame = {
+    val grams = gramsOf(sp, dir)
+    val evalGrams = grams.filter(col("source") === EvalSource)
+      .select(col("g")).distinct()
+    val train = grams.filter(col("source") =!= EvalSource)
+    val own = train.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+    val shared = train.join(evalGrams, Seq("g"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+    own.join(shared, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        (coalesce(col("n_shared"), lit(0L)).cast("double") /
+          col("n_grams").cast("double")).as("contamination"))
+  }
+
+  val contaminationScoreOracle: String = s"""
+    WITH words AS (
+      SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
+    grams AS (
+      SELECT DISTINCT doc_id, source,
+        unnest(list_transform(
+          range(1, GREATEST(len(ws) - ${GramWords - 2}, 2)),
+          i -> array_to_string(ws[i:i+${GramWords - 1}], ' '))) AS g
+      FROM words),
+    ev AS (SELECT DISTINCT g FROM grams WHERE source = '$EvalSource'),
+    train AS (SELECT doc_id, g FROM grams WHERE source <> '$EvalSource'),
+    own AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams
+            FROM train GROUP BY doc_id),
+    sh AS (SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+           FROM train t JOIN ev ON t.g = ev.g GROUP BY t.doc_id)
+    SELECT own.doc_id, own.n_grams,
+      COALESCE(sh.n_shared, 0) AS n_shared,
+      CAST(COALESCE(sh.n_shared, 0) AS DOUBLE) / CAST(own.n_grams AS DOUBLE)
+        AS contamination
+    FROM own LEFT JOIN sh ON own.doc_id = sh.doc_id"""
+
   /** Context-window length for packing. */
   val SeqLen = 2048L
 
@@ -381,6 +428,7 @@ object CurationOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_curriculum" -> (curriculum _),
+    "pipeline_contamination_score" -> (contaminationScore _),
     "pipeline_mix_sources" -> (mixSources _),
     "pipeline_decontaminate" -> (decontaminate _),
     "pipeline_shuffle_shards" -> (shuffleShards _),
@@ -390,6 +438,7 @@ object CurationOps {
 
   val oracles: Map[String, String] = Map(
     "pipeline_curriculum" -> curriculumOracle,
+    "pipeline_contamination_score" -> contaminationScoreOracle,
     "pipeline_mix_sources" -> mixSourcesOracle,
     "pipeline_decontaminate" -> decontaminateOracle,
     "pipeline_shuffle_shards" -> shuffleShardsOracle,
