@@ -729,6 +729,39 @@ object StreamOps {
     spark.table("events_funnel_stream_sink")
   }
 
+  /** Hourly distinct users as CHAINED stateful operators — the
+    * streaming twin of EventOps.hourlyUsers' n_users column:
+    * event-time dedup on (window, user) feeding a windowed count.
+    * Two state stores, both watermark-bounded: the dedup store holds
+    * one entry per (hour, user) until the watermark passes the hour
+    * (the exact-distinct state bound — active users per horizon), the
+    * aggregation one counter per hour. Spark propagates event time
+    * through the window() column, so both stages evict on the same
+    * watermark — the multiple-stateful-operator pattern Structured
+    * Streaming supports natively. Counts per window only ever GROW
+    * (dedup emits each pair once), which is what lets the replay take
+    * the max emission per window in update mode. */
+  def hourlyUsersStream(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "2 hours")
+      .select(window(col("ts"), "1 hour").as("w"), col("user_id"))
+      .dropDuplicates("w", "user_id")
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("n_users"))
+      .select(unix_timestamp(col("w.start")).as("hour_ts"), col("n_users"))
+
+  /** Replay twin: update-mode emissions are monotone per window (the
+    * dedup stage never retracts), so the final value per hour is the
+    * max — equal to the batch exact distinct count, sharing the
+    * n_users projection of the batch oracle. */
+  def hourlyUsersReplay(spark: SparkSession, dir: String): DataFrame = {
+    val q = hourlyUsersStream(readEvents(spark, dir)).writeStream
+      .outputMode("update").format("memory")
+      .queryName("events_hourly_users_stream_sink").start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table("events_hourly_users_stream_sink")
+      .groupBy(col("hour_ts")).agg(max(col("n_users")).as("n_users"))
+  }
+
   // ---------------------------------------- streaming heavy hitters
 
   final case class Tok(bucket: Int, token: String)
@@ -797,6 +830,7 @@ object StreamOps {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_hourly_users_stream" -> (hourlyUsersReplay _),
     "docs_heavy_hitters_stream" -> (heavyHittersReplay _),
     "events_interval_stream" -> (intervalJoinReplay _),
     "events_window_stream" -> (windowAggReplay _),
@@ -813,6 +847,11 @@ object StreamOps {
     * count-only projection of the batch window-agg SQL; the dedup
     * replay is the distinct content-hash set. */
   val oracles: Map[String, String] = Map(
+    "events_hourly_users_stream" -> """
+      SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_ts,
+        CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+      FROM events
+      GROUP BY date_trunc('hour', ts)""",
     "docs_heavy_hitters_stream" -> graft.operators.TextOps.heavyHittersOracle,
     "events_interval_stream" -> graft.operators.EventOps.rangeJoinOracle,
     "events_asof_stream" -> graft.operators.EventOps.asofJoinOracle,

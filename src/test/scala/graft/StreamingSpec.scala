@@ -288,4 +288,14 @@ class StreamingSpec extends AnyFunSuite {
         assert(cands.contains(t), s"heavy hitter '$t' missing from multi-batch candidates")
     } finally q.stop()
   }
+
+  test("streaming hourly distinct users matches batch on full replay") {
+    val replay = StreamOps.hourlyUsersReplay(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = graft.operators.EventOps.hourlyUsers(spark, sf)
+      .select("hour_ts", "n_users")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(replay == batch)
+    assert(batch.nonEmpty)
+  }
 }
