@@ -437,6 +437,68 @@ object Relational {
 
   // ------------------------------------------------------------ registry
 
+  /** Revenue concentration (Pareto audit): customers ranked by total
+    * spend, bucketed into rank deciles, each decile's share of total
+    * revenue reported cumulatively — "do the top 10% of customers
+    * carry 50% of revenue?". Scale discipline: the fact table
+    * aggregates FIRST (one hash shuffle, |customers| rows out); the
+    * global rank window runs over that aggregate, never the facts —
+    * same distribution-sized-window argument as the curriculum
+    * thresholds. Money stays a SCALED-INTEGER cent sum end to end
+    * (2-decimal inputs, the Exact argument at scale 2): per-bucket
+    * sums are long adds, and the only doubles are final divisions of
+    * exact integers — IEEE-deterministic on both engines. The rank is
+    * made unique by (spend DESC, custkey ASC), so decile assignment
+    * has no tie nondeterminism; bucket = (rn-1)·10 div n + 1, pure
+    * integer. */
+  def pareto(sp: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perCust = t(sp, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(sum(rint(col("o_totalprice") * 100).cast("long")).as("cents"))
+    val w = Window.orderBy(col("cents").desc, col("o_custkey").asc)
+    val ranked = perCust
+      .withColumn("rn", row_number().over(w))
+      .crossJoin(broadcast(perCust.agg(
+        count(lit(1)).as("n_cust"), sum(col("cents")).as("tot_cents"))))
+      .withColumn("bucket", expr("(rn - 1) * 10 div n_cust + 1"))
+    val wCum = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("cents")).as("b_cents"),
+        max(col("tot_cents")).as("tot_cents"))
+      .withColumn("cum_cents", sum(col("b_cents")).over(wCum))
+      .select(col("bucket"), col("n_customers"),
+        (col("b_cents").cast("double") / 100).as("revenue"),
+        (col("cum_cents").cast("double") / col("tot_cents").cast("double"))
+          .as("cum_share"))
+  }
+
+  val paretoOracle: String = """
+    WITH pc AS (
+      SELECT o_custkey,
+        CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+          AS cents
+      FROM orders GROUP BY o_custkey),
+    tot AS (SELECT COUNT(*) AS n_cust, CAST(SUM(cents) AS BIGINT)
+              AS tot_cents FROM pc),
+    ranked AS (
+      SELECT cents,
+        (ROW_NUMBER() OVER (ORDER BY cents DESC, o_custkey ASC) - 1) * 10
+          // (SELECT n_cust FROM tot) + 1 AS bucket
+      FROM pc),
+    b AS (
+      SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_customers,
+        CAST(SUM(cents) AS BIGINT) AS b_cents
+      FROM ranked GROUP BY bucket)
+    SELECT bucket, n_customers,
+      CAST(b_cents AS DOUBLE) / 100 AS revenue,
+      CAST(SUM(b_cents) OVER (ORDER BY bucket
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        / (SELECT CAST(tot_cents AS DOUBLE) FROM tot) AS cum_share
+    FROM b"""
+
   private val JoinSalts = 8
 
   /** Skew-mitigating SALTED JOIN — the join-side twin of
@@ -510,6 +572,7 @@ object Relational {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "orders_running_total" -> (runningTotal _),
+    "orders_pareto" -> (pareto _),
     "join_salted_skew" -> (joinSaltedSkew _),
     "q1_pricing_summary" -> (q1 _),
     "q3_shipping_priority" -> (q3 _),
@@ -540,6 +603,7 @@ object Relational {
 
   val oracles: Map[String, String] = Map(
     "orders_running_total" -> runningTotalOracle,
+    "orders_pareto" -> paretoOracle,
     "join_salted_skew" -> joinSaltedSkewOracle,
     "q1_pricing_summary" -> q1Oracle,
     "q3_shipping_priority" -> q3Oracle,
