@@ -69,8 +69,7 @@ object Bench {
     "text_bpe_pairs", "media_wav_meta", "orders_running_total",
     "pipeline_curriculum", "text_heavy_hitters",
     "events_hourly_users", "join_salted_skew", "text_doc_keywords",
-    "pipeline_contamination_score", "orders_pareto",
-    "events_hourly_users_stream")
+    "pipeline_contamination_score", "orders_pareto")
 
   val Reps = 5
   /** Extra reps for queries whose 5-rep median is below [[SubSecond]] —
@@ -143,15 +142,17 @@ object Bench {
     val totalMin = results.map(_._2.min).filter(_ >= 0).sum
     val driverMb = Runtime.getRuntime.maxMemory / (1024 * 1024)
     // bench-under-load policy (README "Benchmark protocol"): a
-    // gate-worthy run needs the host near-idle — round 6's recorded
-    // minhash variance of 4.2 was entirely host load (load_avg 3→9).
-    // Flag any run whose load average exceeded cores/5 at either end
-    // so reviewers re-run instead of gating on a noisy number.
+    // gate-worthy run needs the host near-idle at START — round 6's
+    // recorded minhash variance of 4.2 was entirely host load
+    // (load_avg 3→9). The END load is echoed for reviewers but does
+    // NOT flip the flag: a 32-thread local Spark legitimately drives
+    // the 1-minute average past any idle cap with its own work
+    // (which query runs last decides the final EMA), so end load
+    // cannot distinguish external contention from the bench itself —
+    // external load arriving mid-run shows up in the per-query
+    // variance field instead.
     val loadEnd = loadAvg
-    val loadWarn = {
-      val cap = Runtime.getRuntime.availableProcessors / 5.0
-      loadStart > cap || loadEnd > cap
-    }
+    val loadWarn = loadStart > Runtime.getRuntime.availableProcessors / 5.0
     val common = s""""unit":"sec","total_min":${fmt(totalMin)},"queries":$qs,"variance":$varc,"driver_mem_mb":$driverMb,"load_avg":[${fmt(loadStart)},${fmt(loadEnd)}],"load_warning":$loadWarn,"sf":"$sfDir""""
     // full record (per-rep runs + mins) → committed file; stdout gets
     // ONE compact line, printed LAST, sized well inside any tail capture

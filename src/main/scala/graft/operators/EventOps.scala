@@ -585,7 +585,12 @@ object EventOps {
       MIN(k) AS min_k, MAX(k) AS max_k,
       CAST(SUM(k) AS BIGINT) AS sum_k
     FROM (SELECT event_type,
-            CAST(json_extract(props, '$.k') AS BIGINT) AS k
+            -- json_valid guard: Spark's PERMISSIVE from_json yields
+            -- NULL on malformed JSON; DuckDB's json_extract would
+            -- ERROR — evaluate the same NULL on both engines so a
+            -- regenerated corpus with a bad row can't desync the tie
+            CASE WHEN json_valid(props)
+              THEN CAST(json_extract(props, '$.k') AS BIGINT) END AS k
           FROM events)
     GROUP BY event_type"""
 
