@@ -69,7 +69,8 @@ object Bench {
     "text_bpe_pairs", "media_wav_meta", "orders_running_total",
     "pipeline_curriculum", "text_heavy_hitters",
     "events_hourly_users", "join_salted_skew", "text_doc_keywords",
-    "pipeline_contamination_score", "orders_pareto")
+    "pipeline_contamination_score", "orders_pareto",
+    "stats_source_drift", "dedup_incremental")
 
   val Reps = 5
   /** Extra reps for queries whose 5-rep median is below [[SubSecond]] —

@@ -381,6 +381,67 @@ object DedupOps {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** The source whose documents play the "newly ingested batch" in
+    * [[minhashLshIncremental]]. */
+  val IncrementalBatchSource = "src1"
+
+  /** INCREMENTAL near-dedup — the continuous-ingest shape of
+    * [[minhashLsh]]: dedup a NEW batch against the standing corpus
+    * without re-pairing the corpus with itself. At 100 TB this is the
+    * only affordable cadence (the nightly delta is orders of
+    * magnitude smaller than the lake): the band join is new-side ×
+    * ref-side instead of a self-join, so candidate volume scales with
+    * the BATCH, and the corpus-side signatures are exactly what a
+    * production deployment would keep materialized between runs.
+    * Same band scheme, candidate verification and τ as the
+    * self-join op — a pair this op emits is a pair minhashLsh would
+    * emit (restricted to cross-side), which is what the quality gate
+    * checks against the exact cross-side n-gram Jaccard twin. */
+  def minhashLshIncremental(sp: SparkSession, dir: String): DataFrame = {
+    def sh = shinglesRaw(sp, dir)
+      .select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
+      .distinct()
+    val srcTag = Engine.table(sp, dir, "documents")
+      .select(col("doc_id"),
+        (col("source") === IncrementalBatchSource).as("is_new"))
+    val sigs = sh.groupBy(col("doc_id"))
+      .agg(minhashSig(col("shingle")).as("sig"))
+      .join(srcTag, "doc_id")
+      .cache()
+    val bands = sigs.select(col("doc_id"), col("is_new"),
+      explode(array((0 until NumBands).map { b =>
+        struct(lit(b).as("band"),
+          xxhash64(slice(col("sig"), b * BandRows + 1, BandRows)).as("bh"))
+      }: _*)).as("bs"))
+      .select(col("doc_id"), col("is_new"),
+        col("bs.band").as("band"), col("bs.bh").as("bh"))
+    val cands = bands.filter(col("is_new")).as("l")
+      .join(bands.filter(!col("is_new")).as("r"),
+        col("l.band") === col("r.band") && col("l.bh") === col("r.bh"))
+      .select(col("l.doc_id").as("new_id"), col("r.doc_id").as("ref_id"))
+      .distinct()
+      .cache()
+    val candIds = cands
+      .select(explode(array(col("new_id"), col("ref_id"))).as("doc_id"))
+    val shCand = sh.join(candIds, Seq("doc_id"), "left_semi").cache()
+    val sizes = shCand.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val inter = cands
+      .join(shCand.as("xa"), col("xa.doc_id") === col("new_id"))
+      .join(shCand.as("xb"),
+        col("xb.doc_id") === col("ref_id") &&
+          col("xa.shingle") === col("xb.shingle"))
+      .groupBy(col("new_id"), col("ref_id")).agg(count(lit(1)).as("c"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "new_id")
+        .withColumnRenamed("n_sh", "na"), "new_id")
+      .join(sizes.withColumnRenamed("doc_id", "ref_id")
+        .withColumnRenamed("n_sh", "nb"), "ref_id")
+      .withColumn("jaccard",
+        col("c").cast("double") / (col("na") + col("nb") - col("c")))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("new_id"), col("ref_id"), col("jaccard"))
+  }
+
   /** The 64-bit SimHash signature stage alone — shared by the
     * multi-table candidate path below and QualityGates' exact
     * all-pairs twin. The sign-vote vector is a single custom
@@ -554,6 +615,7 @@ object DedupOps {
     "dedup_ngram_jaccard" -> (ngramJaccard _),
     "dedup_containment" -> (containment _),
     "dedup_minhash_lsh" -> (minhashLsh _),
+    "dedup_incremental" -> (minhashLshIncremental _),
     "dedup_simhash" -> (simhashPairs _),
     "dedup_cluster" -> (cluster _),
     "dedup_cluster_lsh" -> (clusterLsh _),

@@ -235,7 +235,45 @@ object StatsOps {
     FROM documents GROUP BY source"""
   }
 
+  /** Distribution drift per source: total-variation distance between
+    * each source's language distribution and the REST of the corpus —
+    * the "did this ingest source change shape?" audit. TVD is chosen
+    * over chi²/KL because it stays EXACT until the last step: with
+    * counts n_l (source) and m_l (rest), TVD = ½·Σ|n_l/N − m_l/M|
+    * = Σ|n_l·M − m_l·N| / (2·N·M), whose numerator is a pure integer
+    * sum (no per-bucket float division whose ADDITION ORDER could
+    * differ between engines) and whose single final division of exact
+    * integers is IEEE-deterministic. Magnitude: |n_l·M| ≤ N·M ≤ n²
+    * docs² — fine below ~3·10⁹ docs per shuffle-safe long; ANSI mode
+    * fails loudly beyond. Scale: one (source, lang) count aggregate
+    * (|sources|·|langs| rows), everything after is broadcast-sized. */
+  def sourceDrift(sp: SparkSession, dir: String): DataFrame = {
+    val counts = Engine.table(sp, dir, "documents")
+      .groupBy(col("source"), col("lang")).agg(count(lit(1)).as("n"))
+    val perLang = counts.groupBy(col("lang")).agg(sum(col("n")).as("tot_l"))
+    val perSource = counts.groupBy(col("source")).agg(sum(col("n")).as("n_s"))
+    val grand = counts.agg(sum(col("n")).as("tot"))
+    // complete |sources|×|langs| grid so a language ABSENT from a
+    // source still contributes its |0·M − m_l·N| term — all
+    // broadcast-sized after the one count aggregate
+    val grid = perSource.crossJoin(broadcast(perLang))
+      .join(counts, Seq("source", "lang"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+    grid.crossJoin(broadcast(grand))
+      .select(col("source"), col("n_s"), col("tot"),
+        abs(col("n") * (col("tot") - col("n_s")) -
+          (col("tot_l") - col("n")) * col("n_s")).as("num"))
+      .groupBy(col("source"))
+      .agg(max(col("n_s")).as("n_docs"),
+        sum(col("num")).as("num_sum"), max(col("tot")).as("tot"))
+      .select(col("source"), col("n_docs"),
+        (col("num_sum").cast("double") /
+          (lit(2.0) * col("n_docs").cast("double") *
+            (col("tot") - col("n_docs")).cast("double"))).as("tvd"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stats_source_drift" -> (sourceDrift _),
     "stats_rollup_profile" -> (rollupProfile _),
     "stats_lang_pivot" -> (langPivot _),
     "stats_source_profile" -> (sourceProfile _),
@@ -244,7 +282,27 @@ object StatsOps {
     "stats_approx_quantiles" -> (approxQuantiles _),
     "stats_value_corr" -> (valueCorr _))
 
+  val sourceDriftOracle: String = """
+    WITH counts AS (
+      SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n
+      FROM documents GROUP BY source, lang),
+    pl AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS tot_l
+           FROM counts GROUP BY lang),
+    ps AS (SELECT source, CAST(SUM(n) AS BIGINT) AS n_s
+           FROM counts GROUP BY source),
+    g AS (SELECT CAST(SUM(n) AS BIGINT) AS tot FROM counts),
+    grid AS (
+      SELECT ps.source, ps.n_s, pl.tot_l, COALESCE(c.n, 0) AS n
+      FROM ps CROSS JOIN pl
+      LEFT JOIN counts c ON c.source = ps.source AND c.lang = pl.lang)
+    SELECT source, MAX(n_s) AS n_docs,
+      CAST(CAST(SUM(ABS(n * (tot - n_s) - (tot_l - n) * n_s)) AS BIGINT)
+          AS DOUBLE)
+        / (2.0 * MAX(n_s) * (MAX(tot) - MAX(n_s))) AS tvd
+    FROM grid CROSS JOIN g GROUP BY source"""
+
   val oracles: Map[String, String] = Map(
+    "stats_source_drift" -> sourceDriftOracle,
     "stats_rollup_profile" -> rollupProfileOracle,
     "stats_lang_pivot" -> langPivotOracle,
     "stats_source_profile" -> sourceProfileOracle,

@@ -54,6 +54,27 @@ object QualityGates {
       pairSet(DedupOps.ngramJaccard(sp, dir).select("doc_a", "doc_b")),
       recallTh = 0.8)
 
+    // ---- dedup_incremental (batch × corpus LSH) vs the exact
+    // cross-side subset of the n-gram Jaccard twin: every exact pair
+    // with exactly one endpoint in the batch source must be found
+    // (same band scheme as the self-join op → same recall posture),
+    // and verification is exact → precision must be 1.0
+    locally {
+      val newIds = Engine.table(sp, dir, "documents")
+        .filter(col("source") === DedupOps.IncrementalBatchSource)
+        .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+      def sorted(p: (Long, Long)) =
+        if (p._1 < p._2) p else (p._2, p._1)
+      val exactCross = pairSet(DedupOps.ngramJaccard(sp, dir)
+        .select("doc_a", "doc_b"))
+        .filter(p => newIds.contains(p._1) ^ newIds.contains(p._2))
+        .map(sorted)
+      val inc = pairSet(DedupOps.minhashLshIncremental(sp, dir)
+        .select("new_id", "ref_id")).map(sorted)
+      gates ++= recallPrecision("dedup_incremental", "ngram_jaccard_cross",
+        inc, exactCross, recallTh = 0.8)
+    }
+
     // ---- dedup_simhash (multi-table candidates) vs exact all-pairs
     // Hamming ≤ 3 over the SAME signatures. The Manku 3-of-6-block
     // tables guarantee recall 1.0 by pigeonhole — gate at exactly 1.0

@@ -40,7 +40,10 @@ object ScaleBench {
     // round 8: the two corpus-explode text ops — vocabulary-table
     // expansion (BPE pairs) and the constant-state MG sketch must both
     // grow near-linearly with rows
-    "text_bpe_pairs", "text_heavy_hitters")
+    "text_bpe_pairs", "text_heavy_hitters",
+    // the continuous-ingest dedup cadence: batch × corpus band join —
+    // candidate volume must scale with the batch, not the corpus
+    "dedup_incremental")
 
   /** ANN ops re-scored for recall@5 at the big corpus: the round-7 PQ
     * shortlist regression (recall 0.64 → 0.48 before the ∝-corpus fix)
