@@ -70,7 +70,7 @@ object Bench {
     "pipeline_curriculum", "text_heavy_hitters",
     "events_hourly_users", "join_salted_skew", "text_doc_keywords",
     "pipeline_contamination_score", "orders_pareto",
-    "stats_source_drift", "dedup_incremental")
+    "stats_source_drift", "dedup_incremental", "text_bpe_train")
 
   val Reps = 5
   /** Extra reps for queries whose 5-rep median is below [[SubSecond]] —

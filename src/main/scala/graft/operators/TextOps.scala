@@ -483,6 +483,92 @@ object TextOps {
     SELECT pair, CAST(SUM(f) AS BIGINT) AS n
     FROM pairs GROUP BY pair ORDER BY n DESC, pair LIMIT 50"""
 
+  private[graft] val BpeIters = 10
+
+  /** Merge every adjacent occurrence of `pair` in a symbol sequence,
+    * left to right — the BPE apply step, shared VERBATIM by the
+    * distributed trainer and the pure-Scala reference twin so the two
+    * can only diverge in the part under test (the distributed pair
+    * count / top-1 selection). */
+  private[graft] def mergePair(syms: Array[String], pair: String): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) + syms(i + 1) == pair) {
+        out += pair; i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.toArray
+  }
+
+  /** Full distributed BPE TRAINING — [[bpePairs]] is one iteration;
+    * this is the whole Sennrich loop: k rounds of (count adjacent
+    * symbol pairs over the word-frequency table → pick the most
+    * frequent → merge it everywhere). Everything stays a Dataset over
+    * the VOCABULARY (millions of rows at 100 TB, never the corpus —
+    * the corpus is read exactly once to build word frequencies): each
+    * round is one flatMap + one partial-aggregated count shuffle +
+    * a 1-row TakeOrdered, then a row-local merge pass. Rounds cache
+    * their symbol table and drop the predecessor so lineage stays
+    * O(1) deep. Ties break (count DESC, pair ASC) — the merge list is
+    * deterministic, and the QualityGates twin re-learns it with plain
+    * Scala maps on the same word counts and asserts EXACT equality.
+    * Output: (rank, pair, n) — the learned merge table, the artifact
+    * a tokenizer ships. */
+  def bpeTrain(sp: SparkSession, dir: String): DataFrame = {
+    import sp.implicits._
+    val wc = Engine.table(sp, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy(col("w")).agg(count(lit(1)).as("f"))
+      .as[(String, Long)]
+    var words = wc.map { case (w, f) =>
+      (w.toCharArray.map(_.toString), f)
+    }.cache()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
+    for (it <- 0 until BpeIters) {
+      val top = words.flatMap { case (syms, f) =>
+        (0 until syms.length - 1).map(i => (syms(i) + syms(i + 1), f))
+      }.toDF("pair", "f")
+        .groupBy(col("pair")).agg(sum(col("f")).as("n"))
+        .orderBy(col("n").desc, col("pair").asc)
+        .limit(1).collect()
+      if (top.nonEmpty) {
+        val (pair, n) = (top(0).getString(0), top(0).getLong(1))
+        merges += ((it, pair, n))
+        val prev = words
+        words = words.map { case (syms, f) => (mergePair(syms, pair), f) }
+          .cache()
+        words.count() // materialize before dropping the predecessor
+        prev.unpersist()
+      }
+    }
+    words.unpersist()
+    sp.createDataFrame(merges.toSeq).toDF("rank", "pair", "n")
+  }
+
+  /** Pure-Scala reference twin of [[bpeTrain]] for the exact-equality
+    * gate: same word counts, same tie-break, same [[mergePair]], but
+    * plain in-memory maps instead of distributed aggregation. */
+  private[graft] def bpeTrainReference(
+      wordCounts: Seq[(String, Long)]): Seq[(Int, String, Long)] = {
+    var words = wordCounts.map { case (w, f) => (w.toCharArray.map(_.toString), f) }
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
+    for (it <- 0 until BpeIters) {
+      val counts = scala.collection.mutable.HashMap.empty[String, Long]
+      for ((syms, f) <- words; i <- 0 until syms.length - 1)
+        counts.updateWith(syms(i) + syms(i + 1)) {
+          case Some(c) => Some(c + f); case None => Some(f)
+        }
+      if (counts.nonEmpty) {
+        val (pair, n) = counts.toSeq.minBy { case (p, c) => (-c, p) }
+        merges += ((it, pair, n))
+        words = words.map { case (syms, f) => (mergePair(syms, pair), f) }
+      }
+    }
+    merges.toSeq
+  }
+
   /** Composed preprocessing pipeline — the shape a training-data run
     * chains: quality gate (token count + stopword ratio) → language
     * filter → exact-dedup survivor set. One declarative plan; Catalyst
@@ -707,7 +793,8 @@ object TextOps {
     "text_token_bpe" -> (tokenBpe _),
     "text_bpe_pairs" -> (bpePairs _),
     "text_heavy_hitters" -> (heavyHitters _),
-    "text_doc_keywords" -> (docKeywords _))
+    "text_doc_keywords" -> (docKeywords _),
+    "text_bpe_train" -> (bpeTrain _))
 
   val oracles: Map[String, String] = Map(
     "text_redact_pii" -> redactPiiOracle,

@@ -75,6 +75,25 @@ object QualityGates {
         inc, exactCross, recallTh = 0.8)
     }
 
+    // ---- text_bpe_train vs the pure-Scala reference trainer: the
+    // distributed pair-count / top-1 selection must reproduce the
+    // in-memory merge list EXACTLY (deterministic tie-break) — a
+    // 1.0-threshold equality gate, not a recall band
+    locally {
+      val learned = TextOps.bpeTrain(sp, dir).collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+        .sortBy(_._1)
+      val wcs = Engine.table(sp, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) >= 2)
+        .groupBy(col("w")).agg(count(lit(1)).as("f"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      val ref = TextOps.bpeTrainReference(wcs)
+      gates += Gate("text_bpe_train", "bpe_reference_trainer",
+        "merge_list_match", if (learned == ref) 1.0 else 0.0, 1.0,
+        learned.size, ref.size)
+    }
+
     // ---- dedup_simhash (multi-table candidates) vs exact all-pairs
     // Hamming ≤ 3 over the SAME signatures. The Manku 3-of-6-block
     // tables guarantee recall 1.0 by pigeonhole — gate at exactly 1.0
