@@ -70,7 +70,8 @@ object Bench {
     "pipeline_curriculum", "text_heavy_hitters",
     "events_hourly_users", "join_salted_skew", "text_doc_keywords",
     "pipeline_contamination_score", "orders_pareto",
-    "stats_source_drift", "dedup_incremental", "text_bpe_train")
+    "stats_source_drift", "dedup_incremental", "text_bpe_train",
+    "pipeline_shard_manifest")
 
   val Reps = 5
   /** Extra reps for queries whose 5-rep median is below [[SubSecond]] —

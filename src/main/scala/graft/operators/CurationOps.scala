@@ -294,6 +294,27 @@ object CurationOps {
       .toDF("doc_id", "shard_id", "pos_in_shard")
   }
 
+  /** Shard MANIFEST — the reproducibility artifact shipped next to a
+    * training-data export: per shard, the document count and an
+    * ORDER-INDEPENDENT content checksum (sum of a 52-bit prefix of
+    * each document's md5), so a consumer can verify a transferred
+    * shard without caring how rows were ordered inside it. 52 bits ×
+    * [[ShardSize]] = 100 docs keeps the shard sum under 2⁵⁹ — no
+    * overflow, and integer addition is associative, so any partition
+    * order hashes identically (the same argument as Exact's scaled
+    * sums). Scale: the shard assignment's two-phase rank + one
+    * equi-join + one aggregate. */
+  def shardManifest(sp: SparkSession, dir: String): DataFrame = {
+    val content = Engine.table(sp, dir, "documents")
+      .select(col("doc_id"),
+        conv(substring(md5(col("text").cast("binary")), 1, 13), 16, 10)
+          .cast("long").as("h"))
+    shuffleShards(sp, dir)
+      .join(content, "doc_id")
+      .groupBy(col("shard_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("h")).as("checksum"))
+  }
+
   val shuffleShardsOracle: String = s"""
     WITH r AS (
       SELECT doc_id,
@@ -303,6 +324,21 @@ object CurationOps {
     SELECT doc_id, rk // $ShardSize AS shard_id,
       rk % $ShardSize AS pos_in_shard
     FROM r"""
+
+  val shardManifestOracle: String = s"""
+    WITH r AS (
+      SELECT doc_id,
+        (ROW_NUMBER() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+          - 1) // $ShardSize AS shard_id
+      FROM documents),
+    m AS (
+      SELECT doc_id,
+        CAST('0x' || substring(md5(text), 1, 13) AS BIGINT) AS h
+      FROM documents)
+    SELECT r.shard_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      CAST(SUM(m.h) AS BIGINT) AS checksum
+    FROM r JOIN m ON r.doc_id = m.doc_id
+    GROUP BY r.shard_id"""
 
   /** Target mixture weights per language, in per-mille — the
     * training-recipe knob (the classic "40% English, 20% Chinese, …"
@@ -432,6 +468,7 @@ object CurationOps {
     "pipeline_mix_sources" -> (mixSources _),
     "pipeline_decontaminate" -> (decontaminate _),
     "pipeline_shuffle_shards" -> (shuffleShards _),
+    "pipeline_shard_manifest" -> (shardManifest _),
     "pipeline_pack_sequences" -> (packSequences _),
     "pipeline_split_stratified" -> (splitStratified _),
     "text_ngram_familiarity" -> (ngramFamiliarity _))
@@ -442,6 +479,7 @@ object CurationOps {
     "pipeline_mix_sources" -> mixSourcesOracle,
     "pipeline_decontaminate" -> decontaminateOracle,
     "pipeline_shuffle_shards" -> shuffleShardsOracle,
+    "pipeline_shard_manifest" -> shardManifestOracle,
     "pipeline_pack_sequences" -> packSequencesOracle,
     "pipeline_split_stratified" -> splitStratifiedOracle,
     "text_ngram_familiarity" -> ngramFamiliarityOracle)
