@@ -260,4 +260,36 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(dropped == plantedIds,
       s"missed ${(plantedIds -- dropped).take(5)}, false ${(dropped -- plantedIds).take(5)}")
   }
+
+  test("incremental dedup finds planted batch-vs-corpus duplicates") {
+    import org.apache.spark.sql.functions._
+    // plant: verbatim copies of 5 corpus (non-batch) docs re-ingested
+    // under the batch source — the exact scenario the incremental op
+    // exists for. Identical text => identical signature => every band
+    // collides => candidate guaranteed, and verification sees J = 1.0
+    val docs = Engine.table(spark, sf, "documents")
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    val planted = docs
+      .filter(col("source") =!= DedupOps.IncrementalBatchSource)
+      .orderBy(col("doc_id")).limit(5)
+      .select((col("doc_id") + 500000L).as("doc_id"), col("text"),
+        col("lang"), lit(DedupOps.IncrementalBatchSource).as("source"),
+        col("n_chars"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_inc").toString
+    docs.unionByName(planted).write.parquet(s"$dir/documents.parquet")
+    val found = DedupOps.minhashLshIncremental(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = planted.collect().map(_.getLong(0))
+      .map(id => (id, id - 500000L)).toSet
+    assert(want.subsetOf(found),
+      s"missed planted incremental dups: ${(want -- found).take(5)}")
+    // and the emitted pairs are strictly cross-side
+    val newIds = Engine.table(spark, dir, "documents")
+      .filter(col("source") === DedupOps.IncrementalBatchSource)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    for ((a, b) <- found) {
+      assert(newIds.contains(a), s"new_id $a not in batch source")
+      assert(!newIds.contains(b), s"ref_id $b is in batch source")
+    }
+  }
 }
