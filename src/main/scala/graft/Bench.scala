@@ -71,7 +71,9 @@ object Bench {
     "events_hourly_users", "join_salted_skew", "text_doc_keywords",
     "pipeline_contamination_score", "orders_pareto",
     "stats_source_drift", "dedup_incremental", "text_bpe_train",
-    "pipeline_shard_manifest")
+    "pipeline_shard_manifest",
+    "search_tfidf_topk", "orders_basket_pairs", "events_session_paths",
+    "events_cdc_compact", "join_bloom_prefilter")
 
   val Reps = 5
   /** Extra reps for queries whose 5-rep median is below [[SubSecond]] —

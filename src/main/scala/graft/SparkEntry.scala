@@ -23,7 +23,8 @@ object SparkEntry {
     Relational.queries ++ EventOps.queries ++ TextOps.queries ++
       DedupOps.queries ++ SimilarityOps.queries ++ MultimodalOps.queries ++
       DialectQueries.queries ++ IndexOps.queries ++ CurationOps.queries ++
-      ChunkOps.queries ++ StatsOps.queries ++
+      ChunkOps.queries ++ StatsOps.queries ++ SearchOps.queries ++
+      MiningOps.queries ++
       graft.streaming.StreamOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -32,6 +33,7 @@ object SparkEntry {
     Relational.oracles ++ EventOps.oracles ++ TextOps.oracles ++
       DedupOps.oracles ++ SimilarityOps.oracles ++ MultimodalOps.oracles ++
       DialectQueries.oracles ++ IndexOps.oracles ++ CurationOps.oracles ++
-      ChunkOps.oracles ++ StatsOps.oracles ++
+      ChunkOps.oracles ++ StatsOps.oracles ++ SearchOps.oracles ++
+      MiningOps.oracles ++
       graft.streaming.StreamOps.oracles
 }

@@ -594,7 +594,44 @@ object EventOps {
           FROM events)
     GROUP BY event_type"""
 
+  /** CDC log compaction: the LATEST event per user — the canonical
+    * "materialize current state from a change stream" operator (every
+    * CDC/upsert pipeline's read path). Implemented as a rank-limited
+    * window so Spark plans WindowGroupLimit: each input partition
+    * keeps only its own per-user latest BEFORE the exchange, so the
+    * shuffle carries ≤ (partitions × users-per-partition) rows, not
+    * the full log — the property that matters when the log is 100 TB
+    * and the state is millions of keys.
+    *
+    * Bit-portability: recency order is (ms epoch DESC, event_id DESC)
+    * — integer and total on both engines (raw timestamps would order
+    * at ns precision in DuckDB but µs in Spark); `value` is an
+    * untouched double passthrough. */
+  def cdcCompact(sp: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_ms").desc, col("event_id").desc)
+    Engine.table(sp, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value"), unix_millis(col("ts")).as("ts_ms"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("user_id"), col("event_id").as("last_event_id"),
+        col("ts_ms").as("last_ts_ms"),
+        col("event_type").as("last_type"), col("value").as("last_value"))
+  }
+
+  val cdcCompactOracle: String = """
+    SELECT user_id, event_id AS last_event_id, ts_ms AS last_ts_ms,
+      event_type AS last_type, value AS last_value
+    FROM (
+      SELECT user_id, event_id, epoch_ms(ts) AS ts_ms, event_type, value,
+        ROW_NUMBER() OVER (PARTITION BY user_id
+          ORDER BY epoch_ms(ts) DESC, event_id DESC) AS rk
+      FROM events)
+    WHERE rk = 1"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_cdc_compact" -> (cdcCompact _),
     "events_json_extract" -> (jsonExtract _),
     "events_hourly_users" -> (hourlyUsers _),
     "events_attribution" -> (attribution _),
@@ -612,6 +649,7 @@ object EventOps {
     "events_range_join" -> (rangeJoin _))
 
   val oracles: Map[String, String] = Map(
+    "events_cdc_compact" -> cdcCompactOracle,
     "events_json_extract" -> jsonExtractOracle,
     "events_hourly_users" -> hourlyUsersOracle,
     "events_attribution" -> attributionOracle,

@@ -570,7 +570,53 @@ object Relational {
         AS running_spend
     FROM orders"""
 
+  /** Bloom-prefiltered PK-FK join: monthly revenue of URGENT orders,
+    * with the fact side (lineitem) pruned by a Bloom filter built
+    * from the filtered dimension's join keys BEFORE the shuffle — the
+    * explicit form of the semi-join reduction Spark's AQE runtime
+    * filter injects when statistics justify it. At 100 TB this is
+    * what turns "shuffle the whole fact table" into "shuffle the ~20%
+    * that can match": the filter drops non-matching rows at the scan,
+    * and the join itself removes the Bloom's false positives, so the
+    * result is EXACTLY the plain join (the oracle is the plain join —
+    * any Bloom semantics leak would hash-mismatch).
+    *
+    * Sizing note: `expectedNumItems` comes from one count job on the
+    * build side (same pattern as DedupOps.bloomFilterDedupFrom); the
+    * sketch stays driver-/executor-broadcastable to ~10^8 keys
+    * (~100 MB at 1% fpp) — beyond that, drop the explicit filter and
+    * rely on AQE's own runtime filter. The probe is a UDF because
+    * Spark exposes no public might_contain expression. */
+  def joinBloomPrefilter(sp: SparkSession, dir: String): DataFrame = {
+    val urgent = t(sp, dir, "orders")
+      .filter(col("o_orderpriority") === lit("1-URGENT"))
+      .select(col("o_orderkey"), col("o_orderdate"))
+    val bloom = urgent.stat.bloomFilter(
+      "o_orderkey", math.max(urgent.count(), 64L), 0.01)
+    val bc = sp.sparkContext.broadcast(bloom)
+    val might = udf((k: Long) => bc.value.mightContainLong(k))
+    t(sp, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      .filter(might(col("l_orderkey")))
+      .join(urgent, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(unix_timestamp(date_trunc("month", col("o_orderdate")))
+        .as("month_ts"))
+      .agg(count(lit(1)).as("n_items"),
+        dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("revenue"))
+  }
+
+  val joinBloomPrefilterOracle: String = s"""
+    SELECT CAST(epoch(date_trunc('month', o_orderdate)) AS BIGINT)
+        AS month_ts,
+      COUNT(*) AS n_items,
+      ${sqlDsum("l_extendedprice * (1 - l_discount)")} AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderpriority = '1-URGENT'
+    GROUP BY date_trunc('month', o_orderdate)"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_bloom_prefilter" -> (joinBloomPrefilter _),
     "orders_running_total" -> (runningTotal _),
     "orders_pareto" -> (pareto _),
     "join_salted_skew" -> (joinSaltedSkew _),
@@ -602,6 +648,7 @@ object Relational {
     "date_filter" -> (dateFilter _))
 
   val oracles: Map[String, String] = Map(
+    "join_bloom_prefilter" -> joinBloomPrefilterOracle,
     "orders_running_total" -> runningTotalOracle,
     "orders_pareto" -> paretoOracle,
     "join_salted_skew" -> joinSaltedSkewOracle,

@@ -1,0 +1,124 @@
+package graft.operators
+
+import graft.Engine
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Keyword retrieval over the `documents` table: an inverted-index
+  * TF-IDF top-k search — the lexical half of a retrieval stack (the
+  * dense half is `SimilarityOps`' kNN/ANN family). Part of the
+  * training-data-pipeline surface (no reference counterpart; the
+  * reference has no text search at all, SURVEY §0).
+  *
+  * Scale shape (100 TB): the query set is a tiny literal relation, so
+  * the corpus token stream is pruned by a BROADCAST semi-join on
+  * `token` before anything shuffles — the only exchanged rows are the
+  * posting lists of the query vocabulary (an index probe, not a corpus
+  * scan aggregate). Document frequency is likewise computed only for
+  * query terms. Per-query top-k plans as a rank-limited window
+  * (WindowGroupLimit pushes the limit before the final exchange).
+  *
+  * Bit-portability: no logarithms. The IDF weight is the integer
+  * `(n_docs * IdfScale) div df` (floor division on both engines —
+  * Spark `div`, DuckDB `//`), tf·idf products and their sums are
+  * exact BIGINTs, ranking ties break on doc_id → fully oracled.
+  * IdfScale keeps three leading decimal digits of n_docs/df; at a
+  * corpus where n_docs·IdfScale would near 2^63 (n_docs ≳ 10^12),
+  * scale IdfScale down — the ORDER of weights is what matters.
+  */
+object SearchOps {
+
+  /** Fixed keyword query set (query_id → terms). A production call
+    * would pass its own; fixed here so the op is self-contained and
+    * oracle-comparable, same convention as SimilarityOps' fixed kNN
+    * query ids. */
+  val QuerySet: Seq[(String, Seq[String])] = Seq(
+    "hash_join"   -> Seq("hash", "join"),
+    "stream_agg"  -> Seq("window", "stream", "agg"),
+    "vector_scan" -> Seq("vector", "scan"))
+
+  val TopK = 10
+  val IdfScale = 1000000L
+
+  /** TF-IDF top-k per query: score(q,d) = Σ_{t∈q∩d} tf(t,d)·w(t),
+    * w(t) = (N·IdfScale) div df(t); rank by (score DESC, doc_id). */
+  def tfidfTopK(sp: SparkSession, dir: String): DataFrame = {
+    val docs = Engine.table(sp, dir, "documents")
+    val qTerms = {
+      import sp.implicits._
+      QuerySet.flatMap { case (qid, ts) => ts.map(t => (qid, t)) }
+        .toDF("query_id", "token")
+    }
+    val qVocab = qTerms.select("token").distinct()
+
+    // corpus token stream pruned to the query vocabulary BEFORE any
+    // aggregation — broadcast semi-join, so at 100 TB the exchange
+    // only ever carries postings of the (tiny) query vocabulary
+    val postings = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .join(broadcast(qVocab), "token")
+
+    val tf = postings.groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val df = postings.select("doc_id", "token").distinct()
+      .groupBy(col("token")).agg(count(lit(1)).as("df"))
+    // corpus size as a 1-row broadcast (plan-side, no driver action)
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+
+    val scored = tf.join(df, "token")
+      .join(broadcast(qTerms), "token")
+      .crossJoin(broadcast(n))
+      .withColumn("w", expr(s"(n_docs * ${IdfScale}L) div df"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("tf") * col("w")).as("score"),
+        count(lit(1)).as("n_terms"))
+
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= TopK)
+      .select(col("query_id"), col("rk"), col("doc_id"),
+        col("score"), col("n_terms"))
+  }
+
+  val tfidfTopKOracle: String = {
+    val values = QuerySet.flatMap { case (qid, ts) =>
+      ts.map(t => s"('$qid', '$t')")
+    }.mkString(", ")
+    s"""
+    WITH q(query_id, token) AS (VALUES $values),
+    toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      FROM documents),
+    rel AS (
+      SELECT t.doc_id, t.token
+      FROM toks t JOIN (SELECT DISTINCT token FROM q) qt USING (token)),
+    tf AS (
+      SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM rel GROUP BY doc_id, token),
+    dfx AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS df
+      FROM (SELECT DISTINCT doc_id, token FROM rel) GROUP BY token),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+    scored AS (
+      SELECT q.query_id, tf.doc_id,
+        CAST(SUM(tf.tf * ((n.n_docs * $IdfScale) // dfx.df)) AS BIGINT)
+          AS score,
+        CAST(COUNT(*) AS BIGINT) AS n_terms
+      FROM q JOIN tf USING (token) JOIN dfx USING (token) CROSS JOIN n
+      GROUP BY q.query_id, tf.doc_id)
+    SELECT query_id, rk, doc_id, score, n_terms FROM (
+      SELECT query_id, doc_id, score, n_terms,
+        CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+          ORDER BY score DESC, doc_id ASC) AS INT) AS rk
+      FROM scored)
+    WHERE rk <= $TopK"""
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "search_tfidf_topk" -> (tfidfTopK _))
+
+  val oracles: Map[String, String] = Map(
+    "search_tfidf_topk" -> tfidfTopKOracle)
+}

@@ -555,6 +555,60 @@ object StreamOps {
       .select(col("event_id"), col("user_id"), col("last_purchase_value"))
   }
 
+  /** Streaming CDC log compaction — the continuous twin of
+    * [[graft.operators.EventOps.cdcCompact]]: per user, maintain the
+    * LATEST event (by ms epoch, then event_id) and emit the updated
+    * snapshot row each micro-batch the user is active. This is the
+    * materialize-current-state read path of every upsert/CDC
+    * pipeline; an Update-mode sink (e.g. a key-value store) keeps one
+    * row per key.
+    *
+    * State posture: deliberately NO timeout — compaction state IS the
+    * current-state table, so it must survive idle keys (bounded by
+    * |keys| × one small row, not by stream length; evicting an idle
+    * user would resurrect an older event as "current" if a late
+    * duplicate arrived). The recency comparison is monotone, so
+    * out-of-order and duplicate delivery converge to the same state
+    * as the batch op — order within a batch doesn't matter either. */
+  final case class CdcRow(user_id: Long, event_id: Long,
+      event_type: String, value: Double, ts: java.sql.Timestamp) {
+    def ts_ms: Long = ts.getTime
+  }
+  final case class CdcOut(user_id: Long, last_event_id: Long,
+      last_ts_ms: Long, last_type: String, last_value: Double)
+
+  def cdcCompact(spark: SparkSession, events: DataFrame): Dataset[CdcOut] = {
+    import spark.implicits._
+    events
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value"), col("ts"))
+      .as[CdcRow]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[CdcOut, CdcOut](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[CdcRow], state: GroupState[CdcOut]) =>
+          var s = state.getOption.orNull
+          for (r <- rows) {
+            if (s == null || r.ts_ms > s.last_ts_ms ||
+                (r.ts_ms == s.last_ts_ms && r.event_id > s.last_event_id))
+              s = CdcOut(user, r.event_id, r.ts_ms, r.event_type, r.value)
+          }
+          state.update(s)
+          Iterator.single(s)
+      }
+  }
+
+  /** CDC replay twin: one micro-batch in Update mode emits exactly one
+    * snapshot row per user — the batch cdcCompact output, sharing its
+    * oracle verbatim. */
+  def cdcCompactReplay(spark: SparkSession, dir: String): DataFrame = {
+    val q = cdcCompact(spark, readEvents(spark, dir)).toDF.writeStream
+      .outputMode("update").format("memory")
+      .queryName("events_cdc_stream_sink").start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table("events_cdc_stream_sink")
+  }
+
   /** Streaming exact-dedup replay twin. WHICH doc_id survives per
     * content hash is micro-batch-arrival-order-dependent (all rows of
     * a replay land in one batch, so "first seen" is partition order —
@@ -839,6 +893,7 @@ object StreamOps {
     "events_funnel_stream" -> (funnelReplay _),
     "events_funnel_k_stream" -> (funnelKReplay _),
     "events_sessionize_stream" -> (sessionizeReplay _),
+    "events_cdc_stream" -> (cdcCompactReplay _),
     "docs_dedup_stream" -> (dedupExactReplay _))
 
   /** Oracles: the interval join shares the batch range-join SQL
@@ -858,6 +913,7 @@ object StreamOps {
     "events_attribution_stream" -> graft.operators.EventOps.attributionOracle,
     "events_funnel_stream" -> graft.operators.EventOps.funnelOracle,
     "events_funnel_k_stream" -> graft.operators.EventOps.funnelKOracle,
+    "events_cdc_stream" -> graft.operators.EventOps.cdcCompactOracle,
     "events_window_stream" -> """
       SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_ts,
         event_type, COUNT(*) AS n

@@ -257,4 +257,61 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(plan.contains("WindowGroupLimit"),
       s"expected WindowGroupLimit in:\n$plan")
   }
+
+  test("CDC compaction keeps only per-partition latest before the shuffle") {
+    // rk = 1 on a row_number window must plan as WindowGroupLimit so
+    // each scan partition forwards one row per user, not the full log
+    val plan = planOf("events_cdc_compact")
+    assert(plan.contains("WindowGroupLimit"),
+      s"expected WindowGroupLimit in:\n$plan")
+  }
+
+  test("tf-idf search prunes the corpus by a broadcast join on the query vocabulary") {
+    val plan = planOf("search_tfidf_topk")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected broadcast vocabulary prune in:\n$plan")
+    assert(plan.contains("WindowGroupLimit"),
+      s"expected per-query top-k WindowGroupLimit in:\n$plan")
+  }
+
+  test("basket pairs: top-k takes ordered limit, never a global sort of raw pairs") {
+    val plan = planOf("orders_basket_pairs")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"expected TakeOrderedAndProject in:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"unexpected cartesian product in:\n$plan")
+  }
+
+  test("session paths: one exchange on user_id feeds both window passes") {
+    val plan = planOf("events_session_paths")
+    // the AQE string prints final + initial plan — count the final only
+    val finalPlan = plan.split("== Initial Plan ==").head
+    val exchanges = finalPlan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    // 1 window exchange (user_id) + 1 aggregation exchange (path);
+    // the session-seq and lead windows must share the user_id sort
+    assert(exchanges <= 2, s"expected <= 2 hash exchanges, got $exchanges in:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"expected TakeOrderedAndProject in:\n$plan")
+  }
+
+  test("bloom-prefiltered join equals the plain join exactly") {
+    import org.apache.spark.sql.functions.col
+    // false positives must be removed by the join itself — semantics
+    // identical to the un-prefiltered join on any corpus
+    val pre = SparkEntry.queries("join_bloom_prefilter")(spark, sf)
+    val urgent = graft.Engine.table(spark, sf, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"), col("o_orderdate"))
+    val plain = graft.Engine.table(spark, sf, "lineitem")
+      .join(urgent, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(org.apache.spark.sql.functions.unix_timestamp(
+        org.apache.spark.sql.functions.date_trunc("month", col("o_orderdate")))
+        .as("month_ts"))
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n_items"))
+      .select("month_ts", "n_items")
+    assert(pre.select("month_ts", "n_items").exceptAll(plain).isEmpty
+      && plain.exceptAll(pre.select("month_ts", "n_items")).isEmpty,
+      "bloom prefilter changed the join result")
+  }
 }

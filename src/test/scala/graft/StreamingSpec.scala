@@ -211,6 +211,45 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming CDC compaction matches the batch compaction on full replay") {
+    val got = StreamOps.cdcCompactReplay(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = SparkEntry.queries("events_cdc_compact")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want, s"stream/batch CDC divergence: ${(got diff want).take(3)}")
+  }
+
+  test("CDC compaction converges under out-of-order and duplicate delivery") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.{col, timestamp_millis}
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val t0 = 1700000000000L
+    val input = MemoryStream[(Long, Long, String, Double, Long)]
+    val events = input.toDF()
+      .toDF("event_id", "user_id", "event_type", "value", "ms")
+      .withColumn("ts", timestamp_millis(col("ms")))
+    val q = StreamOps.cdcCompact(spark, events).toDF.writeStream
+      .outputMode("update").format("memory").queryName("cdcooo").start()
+    try {
+      // batch 1: the LATEST event arrives first
+      input.addData((10L, 1L, "purchase", 5.0, t0 + 5000))
+      q.processAllAvailable()
+      // batch 2: an EARLIER event + a duplicate of the latest — the
+      // snapshot must not regress, and must stay stable
+      input.addData((9L, 1L, "click", 1.0, t0 + 1000),
+        (10L, 1L, "purchase", 5.0, t0 + 5000))
+      q.processAllAvailable()
+      // batch 3: same-ms tie broken by higher event_id
+      input.addData((11L, 1L, "view", 2.0, t0 + 5000))
+      q.processAllAvailable()
+      val last = spark.table("cdcooo").collect()
+        .maxBy(r => r.getLong(2) -> r.getLong(1))
+      assert(last.getLong(1) == 11L && last.getString(3) == "view",
+        s"expected event 11 as current state, got $last")
+    } finally q.stop()
+  }
+
   test("streaming funnel matches the batch funnel on full replay") {
     val got = StreamOps.funnelReplay(spark, sf).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
