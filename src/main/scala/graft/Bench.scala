@@ -73,7 +73,8 @@ object Bench {
     "stats_source_drift", "dedup_incremental", "text_bpe_train",
     "pipeline_shard_manifest",
     "search_tfidf_topk", "orders_basket_pairs", "events_session_paths",
-    "events_cdc_compact", "join_bloom_prefilter")
+    "events_cdc_compact", "join_bloom_prefilter",
+    "events_scd2", "events_anomaly_mad", "pipeline_snapshot_diff")
 
   val Reps = 5
   /** Extra reps for queries whose 5-rep median is below [[SubSecond]] —

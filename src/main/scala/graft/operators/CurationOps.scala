@@ -462,7 +462,55 @@ object CurationOps {
     GROUP BY bucket"""
   }
 
+  /** Snapshot diff — the dataset-versioning audit: classify every
+    * distinct content hash as `added` / `removed` / `kept` between
+    * two corpus snapshots, with hash and document counts per class.
+    * The release-note artifact of a dataset refresh ("v2 adds 1.2M
+    * docs, drops 40k, keeps 98%").
+    *
+    * The two snapshots here are deterministic overlapping doc_id
+    * slices of the one test corpus (v1 = id % 3 ≠ 0, v2 = id % 2 ≠ 0
+    * — a real call passes two table versions); membership is by
+    * CONTENT (md5 of text), so a doc re-ingested under a new id
+    * counts as kept, the semantics a content-addressed diff needs.
+    *
+    * Scale shape: each side collapses to (hash, count) BEFORE the
+    * diff — the full-outer equi-join runs on 32 B/row aggregates,
+    * the same posture as exact dedup; the final class rollup is 3
+    * rows. Integer counts → fully oracled. */
+  def snapshotDiff(sp: SparkSession, dir: String): DataFrame = {
+    val hashed = Engine.table(sp, dir, "documents")
+      .select(col("doc_id"), md5(col("text")).as("h"))
+    val v1 = hashed.filter(col("doc_id") % 3 =!= 0)
+      .groupBy(col("h")).agg(count(lit(1)).as("c_old"))
+    val v2 = hashed.filter(col("doc_id") % 2 =!= 0)
+      .groupBy(col("h")).agg(count(lit(1)).as("c_new"))
+    v1.join(v2, Seq("h"), "full_outer")
+      .select(
+        when(col("c_old").isNull, lit("added"))
+          .when(col("c_new").isNull, lit("removed"))
+          .otherwise(lit("kept")).as("status"),
+        coalesce(col("c_new"), col("c_old")).as("nd"))
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n_hashes"), sum(col("nd")).as("n_docs"))
+  }
+
+  val snapshotDiffOracle: String = """
+    WITH hashed AS (SELECT doc_id, md5(text) AS h FROM documents),
+    v1 AS (SELECT h, CAST(COUNT(*) AS BIGINT) AS c_old FROM hashed
+           WHERE doc_id % 3 <> 0 GROUP BY h),
+    v2 AS (SELECT h, CAST(COUNT(*) AS BIGINT) AS c_new FROM hashed
+           WHERE doc_id % 2 <> 0 GROUP BY h)
+    SELECT CASE WHEN c_old IS NULL THEN 'added'
+                WHEN c_new IS NULL THEN 'removed'
+                ELSE 'kept' END AS status,
+      CAST(COUNT(*) AS BIGINT) AS n_hashes,
+      CAST(SUM(COALESCE(c_new, c_old)) AS BIGINT) AS n_docs
+    FROM v1 FULL OUTER JOIN v2 USING (h)
+    GROUP BY 1"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_snapshot_diff" -> (snapshotDiff _),
     "pipeline_curriculum" -> (curriculum _),
     "pipeline_contamination_score" -> (contaminationScore _),
     "pipeline_mix_sources" -> (mixSources _),
@@ -474,6 +522,7 @@ object CurationOps {
     "text_ngram_familiarity" -> (ngramFamiliarity _))
 
   val oracles: Map[String, String] = Map(
+    "pipeline_snapshot_diff" -> snapshotDiffOracle,
     "pipeline_curriculum" -> curriculumOracle,
     "pipeline_contamination_score" -> contaminationScoreOracle,
     "pipeline_mix_sources" -> mixSourcesOracle,

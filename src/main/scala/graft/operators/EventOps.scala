@@ -630,7 +630,129 @@ object EventOps {
       FROM events)
     WHERE rk = 1"""
 
+  /** Type-2 slowly-changing-dimension builder: compress each user's
+    * event log into validity intervals of their event_type attribute
+    * — one row per CHANGE, `[valid_from, valid_to)`, open-ended for
+    * the current value. The write path of every SCD2/temporal table
+    * (the read path is [[cdcCompact]]).
+    *
+    * Scale shape: ONE exchange on user_id; the change-point filter
+    * and the valid_to lead run inside the same partitioning (the
+    * filter preserves sort order, so the second window needs no new
+    * exchange or sort). Output is bounded by the number of CHANGES,
+    * not events — the compression a temporal table exists for.
+    *
+    * Bit-portability: (ms epoch, event_id) ordering, integer
+    * everywhere; `is_current` is the NULL-ness of valid_to. */
+  def scd2(sp: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_ms").asc, col("event_id").asc)
+    Engine.table(sp, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_millis(col("ts")).as("ts_ms"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(byUser))
+      .filter(col("prev_type").isNull ||
+        col("prev_type") =!= col("event_type"))
+      .withColumn("valid_to_ms", lead(col("ts_ms"), 1).over(byUser))
+      .select(col("user_id"), col("event_type"),
+        col("ts_ms").as("valid_from_ms"), col("valid_to_ms"),
+        col("valid_to_ms").isNull.as("is_current"))
+  }
+
+  val scd2Oracle: String = """
+    WITH e AS (
+      SELECT user_id, event_id, event_type, epoch_ms(ts) AS ts_ms
+      FROM events),
+    ch AS (
+      SELECT user_id, event_id, event_type, ts_ms,
+        lag(event_type) OVER (PARTITION BY user_id
+          ORDER BY ts_ms, event_id) AS prev_type
+      FROM e),
+    cp AS (
+      SELECT user_id, event_id, event_type, ts_ms FROM ch
+      WHERE prev_type IS NULL OR prev_type <> event_type)
+    SELECT user_id, event_type, ts_ms AS valid_from_ms,
+      lead(ts_ms) OVER w AS valid_to_ms,
+      (lead(ts_ms) OVER w IS NULL) AS is_current
+    FROM cp
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)"""
+
+  /** Multiplier on the MAD that marks an hour anomalous. */
+  val MadK = 3L
+
+  /** Robust anomaly detection on hourly event volumes: per event
+    * type, flag hours whose count deviates from the per-type MEDIAN
+    * by more than [[MadK]]× the median absolute deviation — the
+    * outlier-resistant sibling of [[hourlySpikes]]' mean-ratio test
+    * (one anomalous day shifts a mean but not a median).
+    *
+    * Exactness: both medians are LOWER medians computed from the
+    * (type, value)-count distribution with the cumulative-count
+    * trick (same as StatsOps.lengthQuantiles) — integer-exact, no
+    * interpolated .5 values, no float comparison anywhere; the flag
+    * compares integer cross-products (dev > MadK·mad).
+    *
+    * Scale shape: after the first aggregation everything operates on
+    * the (type × hour) aggregate — 8 760 rows/type/year regardless
+    * of corpus size; the windows run over per-type value
+    * DISTRIBUTIONS, smaller still. */
+  def anomalyMad(sp: SparkSession, dir: String): DataFrame = {
+    def lowerMedian(values: DataFrame, valueCol: String, out: String): DataFrame = {
+      val wCum = Window.partitionBy(col("event_type")).orderBy(col(valueCol))
+      val wAll = Window.partitionBy(col("event_type"))
+      values.groupBy(col("event_type"), col(valueCol))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("cum", sum(col("c")).over(wCum))
+        .withColumn("tot", sum(col("c")).over(wAll))
+        .groupBy(col("event_type"))
+        .agg(min(when(col("cum") >= ceil(col("tot") * lit(0.5)),
+          col(valueCol))).as(out))
+    }
+    val hourly = Engine.table(sp, dir, "events")
+      .groupBy(col("event_type"),
+        unix_timestamp(date_trunc("hour", col("ts"))).as("hour_ts"))
+      .agg(count(lit(1)).as("n"))
+    val med = lowerMedian(hourly, "n", "med")
+    val withDev = hourly.join(med, "event_type")
+      .withColumn("dev", abs(col("n") - col("med")))
+    val mad = lowerMedian(withDev, "dev", "mad")
+    withDev.join(mad, "event_type")
+      .select(col("event_type"), col("hour_ts"), col("n"), col("med"),
+        col("mad"), (col("dev") > lit(MadK) * col("mad")).as("is_anomaly"))
+  }
+
+  val anomalyMadOracle: String = s"""
+    WITH hourly AS (
+      SELECT event_type,
+        CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_ts,
+        CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY event_type, date_trunc('hour', ts)),
+    medd AS (
+      SELECT event_type, MIN(CASE WHEN cum >= CEIL(tot*0.5) THEN n END) AS med
+      FROM (
+        SELECT event_type, n, SUM(c) OVER (PARTITION BY event_type ORDER BY n) AS cum,
+          SUM(c) OVER (PARTITION BY event_type) AS tot
+        FROM (SELECT event_type, n, COUNT(*) AS c FROM hourly
+              GROUP BY event_type, n))
+      GROUP BY event_type),
+    dev AS (
+      SELECT h.event_type, h.hour_ts, h.n, m.med, ABS(h.n - m.med) AS dev
+      FROM hourly h JOIN medd m USING (event_type)),
+    madd AS (
+      SELECT event_type, MIN(CASE WHEN cum >= CEIL(tot*0.5) THEN dev END) AS mad
+      FROM (
+        SELECT event_type, dev, SUM(c) OVER (PARTITION BY event_type ORDER BY dev) AS cum,
+          SUM(c) OVER (PARTITION BY event_type) AS tot
+        FROM (SELECT event_type, dev, COUNT(*) AS c FROM dev
+              GROUP BY event_type, dev))
+      GROUP BY event_type)
+    SELECT d.event_type, d.hour_ts, d.n, d.med, a.mad,
+      (d.dev > $MadK * a.mad) AS is_anomaly
+    FROM dev d JOIN madd a USING (event_type)"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_scd2" -> (scd2 _),
+    "events_anomaly_mad" -> (anomalyMad _),
     "events_cdc_compact" -> (cdcCompact _),
     "events_json_extract" -> (jsonExtract _),
     "events_hourly_users" -> (hourlyUsers _),
@@ -649,6 +771,8 @@ object EventOps {
     "events_range_join" -> (rangeJoin _))
 
   val oracles: Map[String, String] = Map(
+    "events_scd2" -> scd2Oracle,
+    "events_anomaly_mad" -> anomalyMadOracle,
     "events_cdc_compact" -> cdcCompactOracle,
     "events_json_extract" -> jsonExtractOracle,
     "events_hourly_users" -> hourlyUsersOracle,

