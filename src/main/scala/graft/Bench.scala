@@ -74,7 +74,8 @@ object Bench {
     "pipeline_shard_manifest",
     "search_tfidf_topk", "orders_basket_pairs", "events_session_paths",
     "events_cdc_compact", "join_bloom_prefilter",
-    "events_scd2", "events_anomaly_mad", "pipeline_snapshot_diff")
+    "events_scd2", "events_anomaly_mad", "pipeline_snapshot_diff",
+    "text_collocations", "events_rfm", "search_phrase_hits")
 
   val Reps = 5
   /** Extra reps for queries whose 5-rep median is below [[SubSecond]] —

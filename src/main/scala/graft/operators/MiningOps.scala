@@ -141,11 +141,175 @@ object MiningOps {
     ORDER BY n DESC, path ASC
     LIMIT $PathTopK"""
 
+  /** Minimum bigram count for a collocation candidate (sized to the
+    * synthetic corpus: max bigram count at sf0.01 is ~48; a real
+    * corpus would set this orders of magnitude higher). */
+  val CollocMinSupport = 15L
+
+  /** Collocations reported. */
+  val CollocTopK = 30
+
+  /** Collocation mining: word bigrams that co-occur far more than
+    * their unigram frequencies predict, ranked by LIFT — the log-free
+    * integer form of PMI: lift_ppm = (n_tokens · c_ab · 10^6) div
+    * (c_a · c_b) (PMI = log of the same ratio, so the RANKING is
+    * identical and the arithmetic stays exact → fully oracled).
+    *
+    * Scale shape: bigram extraction is one window pass partitioned by
+    * doc_id (pre-partitioned by the scan, no pathological keys);
+    * unigram and bigram counts partially aggregate map-side; the two
+    * unigram joins run AFTER the min-support filter, so only
+    * candidate bigrams join, and the top-k is a TakeOrdered over the
+    * candidate aggregate. Overflow headroom: n_tokens·c_ab·10^6 must
+    * stay under 2^63 — at corpus sizes where it wouldn't (n_tokens ≳
+    * 10^9 with hot pairs), drop the 10^6 scale first; the ranking is
+    * what matters. */
+  def collocations(sp: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val toks = Engine.table(sp, dir, "documents")
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "token")))
+    val bigrams = toks
+      .withColumn("next", lead(col("token"), 1).over(w))
+      .filter(col("next").isNotNull)
+    val cAb = bigrams.groupBy(col("token"), col("next"))
+      .agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= CollocMinSupport)
+    val cA = toks.groupBy(col("token")).agg(count(lit(1)).as("c_a"))
+    val n = toks.agg(count(lit(1)).as("n_tokens"))
+    cAb
+      .join(cA, Seq("token"))
+      .join(cA.select(col("token").as("next"), col("c_a").as("c_b")),
+        Seq("next"))
+      .crossJoin(broadcast(n))
+      .select(
+        concat(col("token"), lit(" "), col("next")).as("bigram"),
+        col("c_ab"), col("c_a"), col("c_b"),
+        expr("(n_tokens * c_ab * 1000000L) div (c_a * c_b)").as("lift_ppm"))
+      .orderBy(col("lift_ppm").desc, col("bigram").asc)
+      .limit(CollocTopK)
+  }
+
+  val collocationsOracle: String = s"""
+    WITH toks AS (
+      SELECT doc_id,
+        unnest(string_split(text, ' ')) AS token,
+        unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos
+      FROM documents),
+    bigrams AS (
+      SELECT token, lead(token) OVER (PARTITION BY doc_id ORDER BY pos)
+        AS next
+      FROM toks),
+    c_ab AS (
+      SELECT token, next, CAST(COUNT(*) AS BIGINT) AS c_ab
+      FROM bigrams WHERE next IS NOT NULL
+      GROUP BY token, next
+      HAVING COUNT(*) >= $CollocMinSupport),
+    c_a AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS c_a
+      FROM toks GROUP BY token),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_tokens FROM toks)
+    SELECT x.token || ' ' || x.next AS bigram, x.c_ab, a.c_a, b.c_a AS c_b,
+      (n.n_tokens * x.c_ab * 1000000) // (a.c_a * b.c_a) AS lift_ppm
+    FROM c_ab x
+      JOIN c_a a ON x.token = a.token
+      JOIN c_a b ON x.next = b.token
+      CROSS JOIN n
+    ORDER BY lift_ppm DESC, bigram ASC
+    LIMIT $CollocTopK"""
+
+  /** Quintile thresholds for [[rfm]] (p20/p40/p60/p80, lower
+    * quantiles via the cumulative-count trick — integer-exact). */
+  private def quintiles(df: DataFrame, valueCol: String, prefix: String): DataFrame = {
+    val wCum = Window.orderBy(col(valueCol))
+    val qs = Seq(0.2, 0.4, 0.6, 0.8).zipWithIndex.map { case (p, i) =>
+      min(when(col("cum") >= ceil(col("tot") * lit(p)), col(valueCol)))
+        .as(s"${prefix}_t${i + 1}")
+    }
+    df.groupBy(col(valueCol)).agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .withColumn("tot", sum(col("c")).over(
+        wCum.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .agg(qs.head, qs.tail: _*)
+  }
+
+  /** RFM customer scoring: per user, Recency (latest activity),
+    * Frequency (event count) and Monetary (exact cent sum), each
+    * bucketed 1-5 against the population's quintile thresholds —
+    * the classic segmentation (5-5-5 = best customers).
+    *
+    * Exactness: monetary sums cents (`rint(value·100)` — the values
+    * are 2-decimal, so no half-way rounding exists and Spark's rint
+    * matches DuckDB's round), thresholds are lower quantiles from
+    * the integer (value, count) distributions, and a score is
+    * `1 + #thresholds strictly below` — tie-stable, fully oracled.
+    *
+    * Scale shape: one aggregation to the per-user table; each
+    * quintile pass runs over the (value, count) DISTRIBUTION of that
+    * table (thousands of distinct values, not users — the
+    * global-window cum sums are over tiny aggregates); scoring is a
+    * broadcast of one 12-number row. */
+  def rfm(sp: SparkSession, dir: String): DataFrame = {
+    val users = Engine.table(sp, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(max(unix_millis(col("ts"))).as("r_ms"),
+        count(lit(1)).as("f"),
+        sum(rint(col("value") * 100).cast("long")).as("m_cents"))
+    val th = quintiles(users, "r_ms", "r")
+      .crossJoin(quintiles(users, "f", "f"))
+      .crossJoin(quintiles(users, "m_cents", "m"))
+    def score(v: String, prefix: String) =
+      (lit(1) +
+        when(col(v) > col(s"${prefix}_t1"), 1).otherwise(0) +
+        when(col(v) > col(s"${prefix}_t2"), 1).otherwise(0) +
+        when(col(v) > col(s"${prefix}_t3"), 1).otherwise(0) +
+        when(col(v) > col(s"${prefix}_t4"), 1).otherwise(0)).cast("int")
+    users.crossJoin(broadcast(th))
+      .select(col("user_id"), col("r_ms"), col("f"), col("m_cents"),
+        score("r_ms", "r").as("r_score"),
+        score("f", "f").as("f_score"),
+        score("m_cents", "m").as("m_score"))
+  }
+
+  val rfmOracle: String = {
+    def q(src: String, v: String, prefix: String): String = {
+      val qs = Seq(0.2, 0.4, 0.6, 0.8).zipWithIndex.map { case (p, i) =>
+        s"MIN(CASE WHEN cum >= CEIL(tot*$p) THEN $v END) AS ${prefix}_t${i + 1}"
+      }.mkString(", ")
+      s"""(SELECT $qs FROM (
+        SELECT $v, SUM(c) OVER (ORDER BY $v) AS cum,
+          SUM(c) OVER () AS tot
+        FROM (SELECT $v, COUNT(*) AS c FROM $src GROUP BY $v)))"""
+    }
+    def sc(v: String, prefix: String): String =
+      s"CAST(1 + (CASE WHEN $v > ${prefix}_t1 THEN 1 ELSE 0 END) + " +
+        s"(CASE WHEN $v > ${prefix}_t2 THEN 1 ELSE 0 END) + " +
+        s"(CASE WHEN $v > ${prefix}_t3 THEN 1 ELSE 0 END) + " +
+        s"(CASE WHEN $v > ${prefix}_t4 THEN 1 ELSE 0 END) AS INT)"
+    s"""
+    WITH users AS (
+      SELECT user_id, MAX(epoch_ms(ts)) AS r_ms,
+        CAST(COUNT(*) AS BIGINT) AS f,
+        CAST(SUM(CAST(round(value*100, 0) AS BIGINT)) AS BIGINT) AS m_cents
+      FROM events GROUP BY user_id),
+    th AS (SELECT * FROM ${q("users", "r_ms", "r")},
+      ${q("users", "f", "f")}, ${q("users", "m_cents", "m")})
+    SELECT user_id, r_ms, f, m_cents,
+      ${sc("r_ms", "r")} AS r_score,
+      ${sc("f", "f")} AS f_score,
+      ${sc("m_cents", "m")} AS m_score
+    FROM users CROSS JOIN th"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "orders_basket_pairs" -> (basketPairs _),
-    "events_session_paths" -> (sessionPaths _))
+    "events_session_paths" -> (sessionPaths _),
+    "text_collocations" -> (collocations _),
+    "events_rfm" -> (rfm _))
 
   val oracles: Map[String, String] = Map(
     "orders_basket_pairs" -> basketPairsOracle,
-    "events_session_paths" -> sessionPathsOracle)
+    "events_session_paths" -> sessionPathsOracle,
+    "text_collocations" -> collocationsOracle,
+    "events_rfm" -> rfmOracle)
 }

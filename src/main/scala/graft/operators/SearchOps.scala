@@ -116,9 +116,55 @@ object SearchOps {
     WHERE rk <= $TopK"""
   }
 
+  /** Fixed phrase set for [[phraseHits]]. */
+  val PhraseSet: Seq[String] = Seq("hash join", "sort merge", "fast scan")
+
+  /** Exact multi-word PHRASE search — what [[tfidfTopK]]'s bag-of-
+    * words scoring can't express: per phrase, how many documents
+    * contain it and how often in total. Counting uses the
+    * replace-and-measure trick on space-padded text (exact integer
+    * arithmetic, identical non-overlapping left-to-right semantics in
+    * Spark and DuckDB — the TextOps convention). One shuffle-free
+    * corpus pass computes every phrase's per-doc counts as parallel
+    * column expressions; the global rollup exchanges |phrases| rows
+    * per partition. Fully oracled. */
+  def phraseHits(sp: SparkSession, dir: String): DataFrame = {
+    val padded = concat(lit(" "), col("text"), lit(" "))
+    val perDoc = Engine.table(sp, dir, "documents").select(
+      PhraseSet.zipWithIndex.map { case (p, i) =>
+        ((length(padded) - length(replace(padded, lit(s" $p "), lit(" ")))) /
+          (p.length + 1)).cast("long").as(s"c$i")
+      }: _*)
+    val rows = PhraseSet.zipWithIndex.map { case (p, i) =>
+      struct(lit(p).as("phrase"), col(s"c$i").as("c"))
+    }
+    perDoc.select(explode(array(rows: _*)).as("r"))
+      .select(col("r.phrase").as("phrase"), col("r.c").as("c"))
+      .groupBy(col("phrase"))
+      .agg(sum(when(col("c") > 0, 1L).otherwise(0L)).as("n_docs"),
+        sum(col("c")).as("n_occurrences"))
+  }
+
+  val phraseHitsOracle: String = {
+    val arms = PhraseSet.map { p =>
+      s"""SELECT '$p' AS phrase,
+        CAST((LENGTH(padded) - LENGTH(REPLACE(padded, ' $p ', ' ')))
+          / ${p.length + 1} AS BIGINT) AS c
+      FROM (SELECT ' ' || text || ' ' AS padded FROM documents)"""
+    }.mkString("\nUNION ALL\n")
+    s"""
+    SELECT phrase,
+      CAST(SUM(CASE WHEN c > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs,
+      CAST(SUM(c) AS BIGINT) AS n_occurrences
+    FROM ($arms)
+    GROUP BY phrase"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "search_tfidf_topk" -> (tfidfTopK _))
+    "search_tfidf_topk" -> (tfidfTopK _),
+    "search_phrase_hits" -> (phraseHits _))
 
   val oracles: Map[String, String] = Map(
-    "search_tfidf_topk" -> tfidfTopKOracle)
+    "search_tfidf_topk" -> tfidfTopKOracle,
+    "search_phrase_hits" -> phraseHitsOracle)
 }

@@ -312,6 +312,27 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(scanLine >= 0)
   }
 
+  test("collocations: min-support filters before the unigram joins; top-k is TakeOrdered") {
+    val plan = planOf("text_collocations")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"expected TakeOrderedAndProject in:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"unexpected cartesian product in:\n$plan")
+  }
+
+  test("RFM scoring broadcasts the one-row threshold table") {
+    val plan = planOf("events_rfm")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"expected broadcast thresholds in:\n$plan")
+  }
+
+  test("phrase search is one shuffle-free corpus pass before the rollup") {
+    val plan = planOf("search_phrase_hits")
+    val finalPlan = plan.split("== Initial Plan ==").head
+    val exchanges = finalPlan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges <= 1, s"expected <= 1 exchange, got $exchanges in:\n$plan")
+  }
+
   test("bloom-prefiltered join equals the plain join exactly") {
     import org.apache.spark.sql.functions.col
     // false positives must be removed by the join itself — semantics
