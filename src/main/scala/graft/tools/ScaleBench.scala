@@ -43,7 +43,15 @@ object ScaleBench {
     "text_bpe_pairs", "text_heavy_hitters",
     // the continuous-ingest dedup cadence: batch × corpus band join —
     // candidate volume must scale with the batch, not the corpus
-    "dedup_incremental")
+    "dedup_incremental",
+    // round 8 (cont.): tf-idf search (corpus-explode scan pruned by a
+    // broadcast vocabulary — postings stay query-sized while the scan
+    // grows), collocations (bigram window + unigram joins; disjoint
+    // per-copy vocab grows the candidate table linearly), session
+    // paths (two window passes, one exchange), CDC compaction
+    // (WindowGroupLimit pre-shuffle) and SCD2 (change-bounded output)
+    "search_tfidf_topk", "text_collocations", "events_session_paths",
+    "events_cdc_compact", "events_scd2")
 
   /** ANN ops re-scored for recall@5 at the big corpus: the round-7 PQ
     * shortlist regression (recall 0.64 → 0.48 before the ∝-corpus fix)
