@@ -122,6 +122,69 @@ object Winnowing {
   }
 }
 
+/** JPEG dimension extraction by walking the marker-segment chain —
+  * the variable-OFFSET parse that [[graft.operators.MultimodalOps]]'
+  * fixed-offset hex-slice expressions cannot express: a JPEG's SOF
+  * marker sits behind APP0/COM/DQT segments of data-dependent length,
+  * so the parser must hop `2 + big-endian-u16` per segment until it
+  * hits SOF0/1/2. Returns `(width << 32) | height` packed in a LONG
+  * (split with shiftright / bitwise-and in the projection), or -1 if
+  * the blob is not a JPEG or has no SOF segment. O(#segments) per
+  * row, partition-local, codegen'd via doGenCode so it stays inside
+  * WholeStageCodegen.
+  */
+case class JpegDims(child: Expression) extends UnaryExpression {
+  import org.apache.spark.sql.types.BinaryType
+
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes() =
+    if (child.dataType == BinaryType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"jpeg_dims expects BINARY, got ${child.dataType}")
+
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Long.valueOf(JpegDims.dims(input.asInstanceOf[Array[Byte]]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.JpegDims.dims($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): JpegDims =
+    copy(child = newChild)
+}
+
+object JpegDims {
+  private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
+  private def be16(b: Array[Byte], i: Int): Int =
+    (u8(b, i) << 8) | u8(b, i + 1)
+
+  /** Walk the segment chain to SOF0/1/2; -1 when absent/invalid. */
+  def dims(b: Array[Byte]): Long = {
+    val n = b.length
+    if (n < 4 || u8(b, 0) != 0xff || u8(b, 1) != 0xd8) return -1L
+    var pos = 2
+    while (pos + 3 < n) {
+      if (u8(b, pos) != 0xff) return -1L
+      val m = u8(b, pos + 1)
+      if (m == 0xc0 || m == 0xc1 || m == 0xc2) {
+        // SOF: len(2) precision(1) height(2) width(2)
+        if (pos + 8 >= n) return -1L
+        val h = be16(b, pos + 5)
+        val w = be16(b, pos + 7)
+        return (w.toLong << 32) | h.toLong
+      } else if (m == 0xd8 || m == 0x01 || (m >= 0xd0 && m <= 0xd7)) {
+        pos += 2 // standalone markers carry no length field
+      } else if (m == 0xd9) {
+        return -1L // EOI before any SOF
+      } else {
+        pos += 2 + be16(b, pos + 2)
+      }
+    }
+    -1L
+  }
+}
+
 /** Column-level entry points for graft's custom expressions. */
 object functions {
   private def toCol(e: Expression): Column = GraftShim.column(e)
@@ -130,4 +193,9 @@ object functions {
   /** Winnowing-style min rolling-hash fingerprint over char k-grams. */
   def rolling_min_hash(c: Column, k: Int): Column =
     toCol(RollingMinHash(expr(c), k))
+
+  /** JPEG (width << 32 | height) via the marker-chain walk; -1 when
+    * the blob is not a JPEG or carries no SOF segment. */
+  def jpeg_dims(c: Column): Column =
+    toCol(JpegDims(expr(c)))
 }

@@ -313,7 +313,75 @@ object MultimodalOps {
         AS BIGINT) AS duration_ms
     FROM documents"""
 
+  /** Spec-valid JPEG header stream for doc_id: SOI, an APP0/JFIF
+    * segment whose length VARIES with doc_id (emulating thumbnail
+    * payloads), for even ids a COM segment of a second
+    * doc_id-dependent length, a DQT segment, then SOF0 carrying the
+    * dimensions, EOI. Every segment length field is written exactly
+    * as an encoder would — a parser that hops wrong offsets lands
+    * off a marker boundary and fails. */
+  private def jpegDimsOf(docId: Long): (Int, Int) =
+    ((16 + docId % 997).toInt, (16 + (docId * 11) % 1009).toInt)
+
+  private def synthJpeg(docId: Long): Array[Byte] = {
+    import java.nio.ByteBuffer
+    val (w, h) = jpegDimsOf(docId)
+    val pad0 = (docId % 23).toInt          // APP0 thumbnail filler
+    val pad1 = ((docId * 3) % 17).toInt    // COM payload
+    val hasCom = docId % 2 == 0
+    val size = 2 + (2 + 16 + pad0) + (if (hasCom) 2 + 2 + pad1 else 0) +
+      (2 + 2 + 65) + (2 + 2 + 9) + 2
+    val b = ByteBuffer.allocate(size)
+    b.putShort(0xffd8.toShort)                       // SOI
+    b.putShort(0xffe0.toShort).putShort((16 + pad0).toShort)
+    b.put("JFIF".getBytes("US-ASCII")).put(0.toByte) // identifier
+    b.putShort(0x0101.toShort).put(0.toByte)         // version, units
+    b.putShort(1.toShort).putShort(1.toShort)        // densities
+    b.put(0.toByte).put(0.toByte)                    // thumb w/h
+    (0 until pad0).foreach(i => b.put((i % 251).toByte))
+    if (hasCom) {
+      b.putShort(0xfffe.toShort).putShort((2 + pad1).toShort)
+      (0 until pad1).foreach(i => b.put(('a' + i % 26).toByte))
+    }
+    b.putShort(0xffdb.toShort).putShort(67.toShort)  // DQT
+    (0 until 65).foreach(i => b.put((1 + i % 255).toByte))
+    b.putShort(0xffc0.toShort).putShort(11.toShort)  // SOF0, len
+    b.put(8.toByte)                                   // precision
+    b.putShort(h.toShort).putShort(w.toShort)
+    b.put(1.toByte).put(1.toByte).put(0x11.toByte).put(0.toByte) // 1 comp
+    b.putShort(0xffd9.toShort)                       // EOI
+    b.array()
+  }
+
+  /** JPEG dimensions via [[graft.functions.JpegDims]] — the
+    * VARIABLE-offset parse the fixed-offset PNG/GIF/BMP hex slices
+    * can't express: SOF hides behind APP0/COM/DQT segments of
+    * data-dependent length, so the custom codegen'd expression walks
+    * the marker chain (`2 + be16` per hop). The oracle recomputes
+    * width/height from doc_id through the encoder's arithmetic, so a
+    * wrong hop, wrong endianness, or an off-by-one against any of the
+    * varying pad lengths mismatches. Scale: row-local, inside
+    * whole-stage codegen, no shuffle. */
+  def jpegDims(sp: SparkSession, dir: String): DataFrame = {
+    import sp.implicits._
+    val blobs = Engine.table(sp, dir, "documents")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(it => it.map(id => (id, synthJpeg(id))))
+      .toDF("doc_id", "blob")
+    val d = graft.functions.functions.jpeg_dims(col("blob"))
+    blobs.select(col("doc_id"),
+      shiftright(d, 32).cast("int").as("width"),
+      (d.bitwiseAND(lit(0xffffffffL))).cast("int").as("height"))
+  }
+
+  val jpegDimsOracle: String = """
+    SELECT doc_id,
+      CAST(16 + doc_id % 997 AS INT) AS width,
+      CAST(16 + (doc_id * 11) % 1009 AS INT) AS height
+    FROM documents"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "media_jpeg_dims" -> (jpegDims _),
     "media_wav_meta" -> (wavMeta _),
     "media_decode" -> (mediaDecode _),
     "media_frame_sample" -> (frameSample _),
@@ -322,6 +390,7 @@ object MultimodalOps {
     "media_image_dims" -> (imageDims _))
 
   val oracles: Map[String, String] = Map(
+    "media_jpeg_dims" -> jpegDimsOracle,
     "media_wav_meta" -> wavMetaOracle,
     "media_decode" -> mediaDecodeOracle,
     "media_frame_sample" -> frameSampleOracle,

@@ -33,6 +33,43 @@ class FunctionsSpec extends AnyFunSuite {
     assert(viaExpr.toSeq == direct)
   }
 
+  test("JpegDims walks variable-length segment chains; rejects non-JPEG") {
+    import graft.functions.JpegDims
+    // minimal JPEG: SOI, APP0 (len 16), SOF0 h=7 w=9, EOI
+    def jpeg(extraCom: Int): Array[Byte] = {
+      val com = if (extraCom > 0)
+        Array(0xff, 0xfe, 0, 2 + extraCom).map(_.toByte) ++
+          Array.fill(extraCom)('x'.toByte)
+      else Array.empty[Byte]
+      Array(0xff, 0xd8, 0xff, 0xe0, 0, 16).map(_.toByte) ++
+        Array.fill(14)(0.toByte) ++ com ++
+        Array(0xff, 0xc0, 0, 11, 8, 0, 7, 0, 9, 1, 1, 0x11, 0).map(_.toByte) ++
+        Array(0xff, 0xd9).map(_.toByte)
+    }
+    for (pad <- Seq(0, 1, 5, 200)) {
+      val d = JpegDims.dims(jpeg(pad))
+      assert((d >> 32) == 9L && (d & 0xffffffffL) == 7L,
+        s"pad=$pad gave ${d >> 32}x${d & 0xffffffffL}")
+    }
+    assert(JpegDims.dims("not a jpeg".getBytes) == -1L)
+    assert(JpegDims.dims(Array[Byte]()) == -1L)
+    // EOI before any SOF
+    assert(JpegDims.dims(Array(0xff, 0xd8, 0xff, 0xd9).map(_.toByte)) == -1L)
+    // truncated mid-segment: must not throw
+    assert(JpegDims.dims(Array(0xff, 0xd8, 0xff, 0xe0, 0, 16, 0).map(_.toByte)) == -1L)
+  }
+
+  test("JpegDims codegen and interpreted paths agree") {
+    import spark.implicits._
+    val blobs = Seq(1L, 2L, 3L).map(i =>
+      Array(0xff, 0xd8, 0xff, 0xc0, 0, 11, 8, 0, i.toInt, 0, i.toInt + 1,
+        1, 1, 0x11, 0, 0xff, 0xd9).map(_.toByte))
+    val viaExpr = blobs.toDF("b")
+      .select(graft.functions.functions.jpeg_dims(col("b")))
+      .collect().map(_.getLong(0)).toSeq
+    assert(viaExpr == blobs.map(graft.functions.JpegDims.dims))
+  }
+
   test("shared k-grams give shared min-hash for near-identical docs") {
     val base = "word " * 200
     val fp1 = RollingMinHash.minHash((base + "tail one").getBytes, 16)
