@@ -598,6 +598,63 @@ object StreamOps {
       }
   }
 
+  /** Streaming SCD2 — the continuous twin of
+    * [[graft.operators.EventOps.scd2]]: per user, maintain the OPEN
+    * validity interval of the event_type attribute and emit a CLOSED
+    * interval row the moment a type change arrives (Append mode — a
+    * closed interval is immutable, exactly what a temporal-table sink
+    * wants). State is one small tuple per user, same no-timeout
+    * posture as [[cdcCompact]] (the open interval IS the live
+    * dimension row; an idle key must keep it).
+    *
+    * Emission is deterministic under in-order delivery (rows sorted
+    * by (ms, event_id) within each batch); the open tail interval
+    * stays in state, so a full replay emits exactly the batch op's
+    * CLOSED rows — the registered oracle is the batch SCD2 SQL
+    * filtered to `valid_to IS NOT NULL`. */
+  final case class Scd2Row(user_id: Long, event_id: Long,
+      event_type: String, ts: java.sql.Timestamp) {
+    def ts_ms: Long = ts.getTime
+  }
+  final case class Scd2State(event_type: String, valid_from_ms: Long)
+  final case class Scd2Out(user_id: Long, event_type: String,
+      valid_from_ms: Long, valid_to_ms: Long)
+
+  def scd2(spark: SparkSession, events: DataFrame): Dataset[Scd2Out] = {
+    import spark.implicits._
+    events
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+      .as[Scd2Row]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Scd2State, Scd2Out](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[Scd2Row], state: GroupState[Scd2State]) =>
+          val sorted = rows.toSeq.sortBy(r => (r.ts_ms, r.event_id))
+          val out = Seq.newBuilder[Scd2Out]
+          var s = state.getOption.orNull
+          for (r <- sorted) {
+            if (s == null) {
+              s = Scd2State(r.event_type, r.ts_ms)
+            } else if (r.event_type != s.event_type) {
+              out += Scd2Out(user, s.event_type, s.valid_from_ms, r.ts_ms)
+              s = Scd2State(r.event_type, r.ts_ms)
+            }
+          }
+          if (s != null) state.update(s)
+          out.result().iterator
+      }
+  }
+
+  /** SCD2 replay twin: full replay emits exactly the batch op's
+    * closed intervals (open tails stay in state). */
+  def scd2Replay(spark: SparkSession, dir: String): DataFrame = {
+    val q = scd2(spark, readEvents(spark, dir)).toDF.writeStream
+      .outputMode("append").format("memory")
+      .queryName("events_scd2_stream_sink").start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table("events_scd2_stream_sink")
+  }
+
   /** CDC replay twin: one micro-batch in Update mode emits exactly one
     * snapshot row per user — the batch cdcCompact output, sharing its
     * oracle verbatim. */
@@ -894,6 +951,7 @@ object StreamOps {
     "events_funnel_k_stream" -> (funnelKReplay _),
     "events_sessionize_stream" -> (sessionizeReplay _),
     "events_cdc_stream" -> (cdcCompactReplay _),
+    "events_scd2_stream" -> (scd2Replay _),
     "docs_dedup_stream" -> (dedupExactReplay _))
 
   /** Oracles: the interval join shares the batch range-join SQL
@@ -914,6 +972,26 @@ object StreamOps {
     "events_funnel_stream" -> graft.operators.EventOps.funnelOracle,
     "events_funnel_k_stream" -> graft.operators.EventOps.funnelKOracle,
     "events_cdc_stream" -> graft.operators.EventOps.cdcCompactOracle,
+    // the batch SCD2 restricted to closed intervals (the open tail
+    // per user lives in streaming state, not the sink)
+    "events_scd2_stream" -> """
+      WITH e AS (
+        SELECT user_id, event_id, event_type, epoch_ms(ts) AS ts_ms
+        FROM events),
+      ch AS (
+        SELECT user_id, event_id, event_type, ts_ms,
+          lag(event_type) OVER (PARTITION BY user_id
+            ORDER BY ts_ms, event_id) AS prev_type
+        FROM e),
+      cp AS (
+        SELECT user_id, event_id, event_type, ts_ms FROM ch
+        WHERE prev_type IS NULL OR prev_type <> event_type)
+      SELECT user_id, event_type, valid_from_ms, valid_to_ms FROM (
+        SELECT user_id, event_type, ts_ms AS valid_from_ms,
+          lead(ts_ms) OVER (PARTITION BY user_id
+            ORDER BY ts_ms, event_id) AS valid_to_ms
+        FROM cp)
+      WHERE valid_to_ms IS NOT NULL""",
     "events_window_stream" -> """
       SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_ts,
         event_type, COUNT(*) AS n

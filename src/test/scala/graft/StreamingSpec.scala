@@ -211,6 +211,42 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming SCD2 emits exactly the batch op's closed intervals on replay") {
+    val got = StreamOps.scd2Replay(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    val want = SparkEntry.queries("events_scd2")(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("valid_to_ms").isNotNull)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == want, s"stream/batch SCD2 divergence: ${(got diff want).take(3)}")
+  }
+
+  test("streaming SCD2 closes intervals across micro-batch boundaries") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.{col, timestamp_millis}
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val t0 = 1700000000000L
+    val input = MemoryStream[(Long, Long, String, Long)]
+    val events = input.toDF()
+      .toDF("event_id", "user_id", "event_type", "ms")
+      .withColumn("ts", timestamp_millis(col("ms")))
+    val q = StreamOps.scd2(spark, events).toDF.writeStream
+      .outputMode("append").format("memory").queryName("scd2xb").start()
+    try {
+      input.addData((1L, 1L, "view", t0), (2L, 1L, "view", t0 + 1000))
+      q.processAllAvailable()
+      assert(spark.table("scd2xb").count() == 0, "no change yet → no closed row")
+      // the change arrives in a LATER batch: the open interval from
+      // batch 1's state must close at the new event's timestamp
+      input.addData((3L, 1L, "click", t0 + 5000))
+      q.processAllAvailable()
+      val rows = spark.table("scd2xb").collect()
+        .map(r => (r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+      assert(rows == Seq(("view", t0, t0 + 5000)), s"got $rows")
+    } finally q.stop()
+  }
+
   test("streaming CDC compaction matches the batch compaction on full replay") {
     val got = StreamOps.cdcCompactReplay(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
