@@ -750,7 +750,49 @@ object EventOps {
       (d.dev > $MadK * a.mad) AS is_anomaly
     FROM dev d JOIN madd a USING (event_type)"""
 
+  /** Longest consecutive-day activity streak per user — the classic
+    * gaps-and-islands shape (engagement/retention feature for user
+    * cohorting): distinct active DAYS per user, then `day − row_number`
+    * is constant within a maximal run of consecutive days, so grouping
+    * on that constant yields streaks. Scale shape: the distinct
+    * (user, day) aggregate shrinks raw events to ≤ users × days rows
+    * BEFORE any window runs; the row_number window then orders each
+    * user's distinct days (bounded by the calendar span, never by
+    * event volume). Day = epoch-ms div 86 400 000 — pure integer on
+    * both engines (events are post-1970, so floor vs trunc division
+    * agree). All-integer output → hash-exact oracle. */
+  def userStreaks(sp: SparkSession, dir: String): DataFrame = {
+    val days = Engine.table(sp, dir, "events")
+      .select(col("user_id"),
+        expr("unix_millis(ts) div 86400000").as("day"))
+      .distinct()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    days
+      .withColumn("grp", col("day") - row_number().over(w))
+      .groupBy(col("user_id"), col("grp"))
+      .agg(count(lit(1)).as("len"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("len")).as("n_active_days"),
+        max(col("len")).as("longest_streak"),
+        count(lit(1)).as("n_streaks"))
+  }
+
+  val userStreaksOracle: String = """
+    WITH d AS (
+      SELECT DISTINCT user_id, epoch_ms(ts) // 86400000 AS day FROM events),
+    g AS (
+      SELECT user_id, day,
+        day - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS grp
+      FROM d),
+    s AS (
+      SELECT user_id, grp, CAST(COUNT(*) AS BIGINT) AS len
+      FROM g GROUP BY user_id, grp)
+    SELECT user_id, CAST(SUM(len) AS BIGINT) AS n_active_days,
+      MAX(len) AS longest_streak, CAST(COUNT(*) AS BIGINT) AS n_streaks
+    FROM s GROUP BY user_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_user_streaks" -> (userStreaks _),
     "events_scd2" -> (scd2 _),
     "events_anomaly_mad" -> (anomalyMad _),
     "events_cdc_compact" -> (cdcCompact _),
@@ -771,6 +813,7 @@ object EventOps {
     "events_range_join" -> (rangeJoin _))
 
   val oracles: Map[String, String] = Map(
+    "events_user_streaks" -> userStreaksOracle,
     "events_scd2" -> scd2Oracle,
     "events_anomaly_mad" -> anomalyMadOracle,
     "events_cdc_compact" -> cdcCompactOracle,

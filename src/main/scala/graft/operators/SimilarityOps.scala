@@ -184,7 +184,7 @@ object SimilarityOps {
   private val BitsPerTable = 6
   private val MaxTables = 24
   private val MaxBits = 16
-  private val Dim = 64
+  val Dim = 64
   private val planes: Array[Array[Array[Double]]] = {
     val r = new scala.util.Random(7)
     Array.fill(MaxTables, MaxBits)(Array.fill(Dim)(r.nextGaussian()))
@@ -899,6 +899,56 @@ object SimilarityOps {
     * tie the engines perceive the double's binary expansion
     * differently and round apart (hit at sf0.1). The oracle emulates
     * the same HALF_UP with integer arithmetic. */
+  /** Per-DIMENSION corpus profile (n, min, max, mean, std): the
+    * feature-scaling pass run before whitening/standardizing
+    * embeddings or choosing PQ sub-space splits — a dead dimension
+    * (std ≈ 0) or an unbounded one distorts every distance downstream.
+    * Scale shape: posexplode multiplies rows by Dim but partial
+    * aggregation collapses each partition to ≤ Dim accumulator rows
+    * before the one shuffle; nothing downstream is bigger than Dim.
+    * Float parity: sums go through DECIMAL(18,6) (a double rounded to
+    * 6 dp can never tie — the midpoint has a factor 5⁷ in its
+    * denominator and is not dyadic — so HALF_UP vs HALF_EVEN is moot
+    * and both engines produce the identical decimal); the scaled
+    * integer stays ≪ 2⁵³, making the decimal→double cast exact on
+    * both sides. mean/std are then IEEE-deterministic double chains
+    * over bit-identical inputs, with the zero-variance guard the same
+    * CASE on both engines (the [[StatsOps.valueCorr]] discipline). */
+  def dimProfile(sp: SparkSession, dir: String): DataFrame = {
+    val x = col("x").cast("double")
+    Engine.table(sp, dir, "embeddings")
+      .select(posexplode(col("embedding")).as(Seq("dim_idx", "x")))
+      .groupBy(col("dim_idx").cast("long").as("dim_idx"))
+      .agg(count(lit(1)).as("n"),
+        min(col("x")).cast("double").as("min_x"),
+        max(col("x")).cast("double").as("max_x"),
+        sum(x.cast("decimal(18,6)")).cast("double").as("sx"),
+        sum((x * x).cast("decimal(18,6)")).cast("double").as("sxx"))
+      .select(col("dim_idx"), col("n"), col("min_x"), col("max_x"),
+        (col("sx") / col("n")).as("mean_x"),
+        when(col("n") * col("sxx") - col("sx") * col("sx") > 0,
+          sqrt(col("n") * col("sxx") - col("sx") * col("sx")) / col("n"))
+          .otherwise(lit(0.0)).as("std_x"))
+  }
+
+  val dimProfileOracle: String = s"""
+    WITH agg AS (
+      SELECT CAST(s.i - 1 AS BIGINT) AS dim_idx,
+        CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(MIN(embedding[CAST(s.i AS INT)]) AS DOUBLE) AS min_x,
+        CAST(MAX(embedding[CAST(s.i AS INT)]) AS DOUBLE) AS max_x,
+        CAST(SUM(CAST(CAST(embedding[CAST(s.i AS INT)] AS DOUBLE)
+          AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+        CAST(SUM(CAST(CAST(embedding[CAST(s.i AS INT)] AS DOUBLE)
+          * CAST(embedding[CAST(s.i AS INT)] AS DOUBLE)
+          AS DECIMAL(18,6))) AS DOUBLE) AS sxx
+      FROM embeddings, generate_series(1, $Dim) AS s(i)
+      GROUP BY s.i)
+    SELECT dim_idx, n, min_x, max_x, sx / n AS mean_x,
+      CASE WHEN n * sxx - sx * sx > 0
+        THEN sqrt(n * sxx - sx * sx) / n ELSE 0.0 END AS std_x
+    FROM agg"""
+
   def centroidPerLabel(sp: SparkSession, dir: String): DataFrame =
     Engine.table(sp, dir, "embeddings")
       .select(col("label"), posexplode(col("embedding")).as(Seq("dim_idx", "x")))
@@ -992,6 +1042,7 @@ object SimilarityOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_knn_classify" -> (knnClassify _),
     "embed_centroid_per_label" -> (centroidPerLabel _),
+    "embed_dim_profile" -> (dimProfile _),
     "embed_outlier_filter" -> (outlierFilter _),
     "sim_knn_bruteforce" -> (knnBruteForce _),
     "sim_ann_lsh" -> (annLsh _),
@@ -1006,6 +1057,7 @@ object SimilarityOps {
   val oracles: Map[String, String] = Map(
     "sim_knn_classify" -> knnClassifyOracle,
     "embed_centroid_per_label" -> centroidPerLabelOracle,
+    "embed_dim_profile" -> dimProfileOracle,
     "embed_outlier_filter" -> outlierFilterOracle,
     "sim_knn_bruteforce" -> knnBruteForceOracle,
     "sim_embedding_neardup" -> embeddingNearDupOracle)

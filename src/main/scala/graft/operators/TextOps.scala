@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.Engine
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators over the `documents` table: token counting,
@@ -66,6 +67,104 @@ object TextOps {
       CAST(${sqlOcc("the")} + ${sqlOcc("a")} AS DOUBLE)
         / (LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1) AS stop_ratio
     FROM p"""
+
+  /** Deflate level for [[compressionRatio]] — zlib's default. Pinned
+    * so the driver-side gate recompute and the distributed op always
+    * agree bit-for-bit. */
+  val DeflateLevel = 6
+
+  /** Deflate compression ratio per document — the repetition signal
+    * used by the Gopher/Dolma-family quality filters: templated or
+    * machine-generated text compresses far below natural prose, so a
+    * low compressed/raw ratio flags low-entropy documents that the
+    * token-level repetition stats can miss (long-range repeats).
+    * No SQL engine exposes deflate, so this is the documented
+    * mapPartitions escape hatch: one Deflater per PARTITION (reset per
+    * row — allocation-free in steady state), row-local, no shuffle —
+    * streams at 100 TB exactly like [[graft.operators.MultimodalOps.byteEntropy]].
+    * Not SQL-expressible → rows-only correctness + an exact-match
+    * quality gate against a driver-side recompute (deflate at a fixed
+    * level is deterministic for a given zlib, and gate and op run in
+    * the same JVM). */
+  def compressionRatio(sp: SparkSession, dir: String): DataFrame = {
+    import sp.implicits._
+    Engine.table(sp, dir, "documents")
+      .select(col("doc_id"), col("text").cast("binary").as("blob"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val d = new java.util.zip.Deflater(DeflateLevel, false)
+        val buf = new Array[Byte](1 << 16)
+        it.map { case (id, blob) =>
+          d.reset()
+          d.setInput(blob)
+          d.finish()
+          var clen = 0L
+          while (!d.finished()) clen += d.deflate(buf)
+          val ratio = if (blob.length == 0) 1.0
+            else clen.toDouble / blob.length
+          (id, blob.length.toLong, clen, ratio)
+        }
+      }
+      .toDF("doc_id", "byte_len", "compressed_len", "compression_ratio")
+  }
+
+  /** Per-source rank calibration of the quality score: a raw ratio is
+    * not comparable ACROSS ingest sources (a webcrawl source's median
+    * stopword ratio differs from a books source's), so every curation
+    * pipeline that thresholds "top X% quality" re-expresses the score
+    * as its percentile WITHIN its source before filtering globally.
+    * calibrated = percent_rank = (#docs in the same source with a
+    * strictly smaller score) / (n_source − 1) — tie groups share the
+    * rank of their first member, exactly SQL PERCENT_RANK().
+    *
+    * Scale shape: a naive window over raw docs sorts every document of
+    * a source on one ordering — a full per-source sort that a skewed
+    * source (one crawl = 80% of the corpus) turns into the job's
+    * bottleneck. Instead aggregate to the (source, score) DISTRIBUTION
+    * first (one partial-agg shuffle, output bounded by distinct scores
+    * per source), run the cumulative window over that small aggregate,
+    * and hash-join the per-score percentile back to the docs. The
+    * heavy data is touched by exactly one shuffle each way and never
+    * sorted. Scores are doubles, but both engines derive them from the
+    * same integer division (proven hash-exact by text_quality_score),
+    * so grouping/joining on score equality is bit-safe; the final
+    * division is integer-in, IEEE-deterministic out. */
+  def qualityCalibrate(sp: SparkSession, dir: String): DataFrame = {
+    val padded = concat(lit(" "), col("text"), lit(" "))
+    val scored = Engine.table(sp, dir, "documents")
+      .withColumn("n_tokens",
+        (length(col("text")) - length(replace(col("text"), lit(" "), lit(""))) + 1).cast("long"))
+      .withColumn("n_stop", (occ(padded, "the") + occ(padded, "a")).cast("long"))
+      .select(col("doc_id"), col("source"),
+        (col("n_stop").cast("double") / col("n_tokens")).as("score"))
+    val wCum = Window.partitionBy(col("source")).orderBy(col("score"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.partitionBy(col("source"))
+    val dist = scored.groupBy(col("source"), col("score"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("below", coalesce(sum(col("c")).over(wCum), lit(0L)))
+      .withColumn("n_s", sum(col("c")).over(wAll))
+      .select(col("source"), col("score"),
+        when(col("n_s") > 1,
+          col("below").cast("double") / (col("n_s") - lit(1)).cast("double"))
+          .otherwise(lit(0.0)).as("calibrated"))
+    scored.join(dist, Seq("source", "score"))
+      .select(col("doc_id"), col("source"), col("score"), col("calibrated"))
+  }
+
+  /** The oracle states the SEMANTICS directly — PERCENT_RANK over raw
+    * docs — which the distribution-aggregate plan must reproduce. */
+  val qualityCalibrateOracle: String = s"""
+    WITH p AS (SELECT doc_id, source, text, ' ' || text || ' ' AS padded
+               FROM documents),
+    s AS (
+      SELECT doc_id, source,
+        CAST(${sqlOcc("the")} + ${sqlOcc("a")} AS DOUBLE)
+          / (LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1) AS score
+      FROM p)
+    SELECT doc_id, source, score,
+      PERCENT_RANK() OVER (PARTITION BY source ORDER BY score) AS calibrated
+    FROM s"""
 
   /** Corpus document-frequency table: how many documents contain each
     * token at least once, thresholded at df ≥ 5 (the inverted-index
@@ -787,6 +886,8 @@ object TextOps {
     "pipeline_quality_filter" -> (qualityFilterPipeline _),
     "text_token_stats" -> (tokenStats _),
     "text_quality_score" -> (qualityScore _),
+    "pipeline_quality_calibrate" -> (qualityCalibrate _),
+    "text_compression_ratio" -> (compressionRatio _),
     "text_lang_id" -> (langId _),
     "text_fingerprint" -> (fingerprint _),
     "text_token_histogram" -> (tokenHistogram _),
@@ -809,6 +910,7 @@ object TextOps {
     "pipeline_quality_filter" -> qualityFilterPipelineOracle,
     "text_token_stats" -> tokenStatsOracle,
     "text_quality_score" -> qualityScoreOracle,
+    "pipeline_quality_calibrate" -> qualityCalibrateOracle,
     "text_lang_id" -> langIdOracle,
     "text_token_histogram" -> tokenHistogramOracle,
     "text_token_bpe" -> tokenBpeOracle,

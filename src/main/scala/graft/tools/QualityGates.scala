@@ -299,6 +299,32 @@ object QualityGates {
       if (rawEnt.isEmpty) 1.0 else entOk.toDouble / rawEnt.length, 1.0,
       gotEnt.size, rawEnt.length)
 
+    // ---- text_compression_ratio vs a driver-side Deflater recompute
+    // (bounded sample; deflate at a pinned level is deterministic
+    // within one JVM, so the gate checks the distributed plumbing —
+    // id alignment, lengths, ratio arithmetic — demands exactness)
+    val gotCr = TextOps.compressionRatio(sp, dir)
+      .filter(col("doc_id") < 50)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    val rawCr = Engine.table(sp, dir, "documents")
+      .filter(col("doc_id") < 50)
+      .selectExpr("doc_id", "cast(text as binary)")
+      .collect().map(r => (r.getLong(0), r.getAs[Array[Byte]](1)))
+    val crOk = rawCr.count { case (id, blob) =>
+      val d = new java.util.zip.Deflater(TextOps.DeflateLevel, false)
+      d.setInput(blob); d.finish()
+      val buf = new Array[Byte](1 << 16)
+      var clen = 0L
+      while (!d.finished()) clen += d.deflate(buf)
+      d.end()
+      val ratio = if (blob.length == 0) 1.0 else clen.toDouble / blob.length
+      gotCr.get(id).contains((blob.length.toLong, clen, ratio))
+    }
+    gates += Gate("text_compression_ratio", "driver_exact_recompute",
+      "exact_match_rate",
+      if (rawCr.isEmpty) 1.0 else crOk.toDouble / rawCr.length, 1.0,
+      gotCr.size, rawCr.length)
+
     // ---- text_fingerprint vs a driver-side RollingMinHash recompute
     val gotFp = TextOps.fingerprint(sp, dir)
       .filter(col("doc_id") < 200)
