@@ -75,7 +75,9 @@ object Bench {
     "search_tfidf_topk", "orders_basket_pairs", "events_session_paths",
     "events_cdc_compact", "join_bloom_prefilter",
     "events_scd2", "events_anomaly_mad", "pipeline_snapshot_diff",
-    "text_collocations", "events_rfm", "search_phrase_hits")
+    "text_collocations", "events_rfm", "search_phrase_hits",
+    "events_user_streaks", "pipeline_quality_calibrate",
+    "embed_dim_profile", "text_compression_ratio")
 
   val Reps = 5
   /** Extra reps for queries whose 5-rep median is below [[SubSecond]] —
