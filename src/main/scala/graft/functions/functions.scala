@@ -185,6 +185,108 @@ object JpegDims {
   }
 }
 
+/** MP4/ISO-BMFF movie metadata (timescale, duration) by walking the
+  * box tree — the NESTED variable-offset parse one step beyond
+  * [[JpegDims]]' flat marker chain: the mvhd box sits inside moov,
+  * which itself hides behind top-level ftyp/free/mdat boxes of
+  * data-dependent size, so the parser must (a) hop top-level boxes by
+  * their big-endian u32 size fields — including the size==1
+  * 64-bit-largesize and size==0 to-end-of-file forms — to find moov,
+  * then (b) repeat the walk over moov's CHILDREN to find mvhd, whose
+  * timescale/duration offsets depend on its version byte (v0: u32
+  * duration at payload+16; v1: 64-bit times push the u64 duration to
+  * payload+24). Returns `(timescale << 32) | duration` packed in a
+  * LONG, or -1 when the blob is not an MP4 (no leading ftyp), the box
+  * tree is malformed, moov/mvhd is absent, timescale is zero, or the
+  * duration exceeds u32 (packing would alias). O(#boxes) per row,
+  * partition-local, codegen'd via doGenCode so it stays inside
+  * WholeStageCodegen.
+  */
+case class Mp4Meta(child: Expression) extends UnaryExpression {
+  import org.apache.spark.sql.types.BinaryType
+
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes() =
+    if (child.dataType == BinaryType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"mp4_meta expects BINARY, got ${child.dataType}")
+
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Long.valueOf(Mp4Meta.meta(input.asInstanceOf[Array[Byte]]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Mp4Meta.meta($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Mp4Meta =
+    copy(child = newChild)
+}
+
+object Mp4Meta {
+  private def u8(b: Array[Byte], i: Int): Long = (b(i) & 0xff).toLong
+  private def be32(b: Array[Byte], i: Int): Long =
+    (u8(b, i) << 24) | (u8(b, i + 1) << 16) | (u8(b, i + 2) << 8) | u8(b, i + 3)
+  private def be64(b: Array[Byte], i: Int): Long =
+    (be32(b, i) << 32) | be32(b, i + 4)
+  private def fourcc(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xff) << 24) | ((b(i + 1) & 0xff) << 16) |
+      ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
+  private def cc(s: String): Int = {
+    val c = s.getBytes("US-ASCII")
+    ((c(0) & 0xff) << 24) | ((c(1) & 0xff) << 16) | ((c(2) & 0xff) << 8) | (c(3) & 0xff)
+  }
+  private val Ftyp = cc("ftyp")
+  private val Moov = cc("moov")
+  private val Mvhd = cc("mvhd")
+
+  /** Walk boxes in b[from, to); return payload range of the first box
+    * of `target` type packed as (start << 32) | end, or -1. Handles
+    * compact u32 sizes, the size==1 u64 largesize form, and the
+    * size==0 extends-to-`to` form. */
+  private def findBox(b: Array[Byte], from: Long, to: Long, target: Int): Long = {
+    var pos = from
+    while (pos + 8 <= to) {
+      val sz32 = be32(b, pos.toInt)
+      var hdr = 8L
+      var size = sz32
+      if (sz32 == 1L) {
+        if (pos + 16 > to) return -1L
+        size = be64(b, pos.toInt + 8)
+        hdr = 16L
+      } else if (sz32 == 0L) {
+        size = to - pos
+      }
+      if (size < hdr || pos + size > to) return -1L
+      if (fourcc(b, pos.toInt + 4) == target)
+        return ((pos + hdr) << 32) | (pos + size)
+      pos += size
+    }
+    -1L
+  }
+
+  /** (timescale << 32) | duration, or -1 (see [[Mp4Meta]] doc). */
+  def meta(b: Array[Byte]): Long = {
+    val n = b.length.toLong
+    // an MP4 leads with an ftyp box
+    if (n < 12 || fourcc(b, 4) != Ftyp) return -1L
+    val moov = findBox(b, 0L, n, Moov)
+    if (moov < 0) return -1L
+    val mvhd = findBox(b, moov >>> 32, moov & 0xffffffffL, Mvhd)
+    if (mvhd < 0) return -1L
+    val p = (mvhd >>> 32).toInt
+    val end = (mvhd & 0xffffffffL).toInt
+    if (end - p < 20) return -1L
+    val version = (b(p) & 0xff)
+    val (ts, dur) =
+      if (version == 0) (be32(b, p + 12), be32(b, p + 16))
+      else if (version == 1 && end - p >= 32) (be32(b, p + 20), be64(b, p + 24))
+      else return -1L
+    if (ts == 0L || dur < 0L || dur > 0xffffffffL) return -1L
+    (ts << 32) | dur
+  }
+}
+
 /** Column-level entry points for graft's custom expressions. */
 object functions {
   private def toCol(e: Expression): Column = GraftShim.column(e)
@@ -198,4 +300,9 @@ object functions {
     * the blob is not a JPEG or carries no SOF segment. */
   def jpeg_dims(c: Column): Column =
     toCol(JpegDims(expr(c)))
+
+  /** MP4 (timescale << 32 | duration) via the nested box-tree walk;
+    * -1 when the blob is not an MP4 or carries no moov/mvhd. */
+  def mp4_meta(c: Column): Column =
+    toCol(Mp4Meta(expr(c)))
 }

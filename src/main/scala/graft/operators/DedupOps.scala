@@ -234,6 +234,93 @@ object DedupOps {
     labels
   }
 
+  /** [[cluster]] solved by alternating LARGE-STAR / SMALL-STAR edge
+    * rewiring (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SoCC'14) instead of min-label propagation. Same output,
+    * different scale envelope: label propagation needs O(diameter)
+    * rounds — fine for the squat components near-dup graphs normally
+    * produce (2-3 rounds), but a pathological chain (serially-edited
+    * doc lineages, crawl mirror-of-mirror chains) makes diameter grow
+    * with corpus size and every round is a full shuffle. Star rounds
+    * REWIRE the graph toward its component-min star and converge in
+    * O(log n) rounds on ANY topology:
+    *  - large-star(u): attach every neighbor v > u to
+    *    m(u) = min(Γ(u) ∪ u) — tall trees flatten;
+    *  - small-star(u): attach u and its neighbors v < u to their
+    *    common min — local stars canonicalize.
+    * Both preserve connectivity; the fixed point is a star per
+    * component (every edge (root, v)), from which labels read off as
+    * least(u, min neighbor). DedupSimilaritySpec pins label equality
+    * with [[clusterFrom]] on the real edge set AND convergence in
+    * ≤ 2·log₂ rounds on a chain graph that label propagation's
+    * 64-round bound would reject outright. */
+  def clusterStar(sp: SparkSession, dir: String): DataFrame =
+    clusterFromStar(sp, dir, ngramJaccard(sp, dir).select(col("doc_a"), col("doc_b")))
+
+  def clusterFromStar(sp: SparkSession, dir: String, pairs: DataFrame): DataFrame = {
+    def sym(e: DataFrame): DataFrame = e
+      .select(explode(array(
+        struct(col("lo").as("u"), col("hi").as("v")),
+        struct(col("hi").as("u"), col("lo").as("v")))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+
+    // each round's output is EAGERLY local-checkpointed: the rewiring
+    // plan references its input several times and iterating to log-n
+    // depth would otherwise grow the lineage exponentially (on a real
+    // cluster this is a reliable checkpoint; locally the truncated
+    // plan + cached blocks achieve the same)
+    var edges = pairs
+      .select(least(col("doc_a"), col("doc_b")).as("lo"),
+        greatest(col("doc_a"), col("doc_b")).as("hi"))
+      .filter(col("lo") =!= col("hi"))
+      .distinct().localCheckpoint(true)
+    val MaxRounds = 32 // ≥ 2·log₂ of any feasible component size
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < MaxRounds) {
+      rounds += 1
+      // large-star: (v, m(u)) for v ∈ Γ(u), v > u — emitted edge is
+      // always (m ≤ u < v), canonical by construction
+      val s = sym(edges)
+      val mins = s.groupBy(col("u")).agg(min(col("v")).as("mv"))
+        .select(col("u"), least(col("u"), col("mv")).as("m"))
+      val ls = s.join(mins, "u")
+        .filter(col("v") > col("u"))
+        .select(col("m").as("lo"), col("v").as("hi"))
+        .filter(col("lo") =!= col("hi"))
+        .distinct()
+      // small-star: for each u, (v, m) for its smaller neighbors v
+      // plus (u, m) where m = min of the smaller neighborhood
+      val below = sym(ls).filter(col("v") < col("u"))
+      val mins2 = below.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val next = below.join(mins2, "u")
+        .select(explode(array(
+          struct(col("m").as("lo"), col("v").as("hi")),
+          struct(col("m").as("lo"), col("u").as("hi")))).as("e"))
+        .select(col("e.lo").as("lo"), col("e.hi").as("hi"))
+        .filter(col("lo") =!= col("hi"))
+        .distinct().localCheckpoint(true)
+      // fixed point: the canonical edge set stopped changing (set
+      // equality via count + one-sided except — both shrink-phase
+      // cheap, and the usual exit is after ~log rounds)
+      converged = next.count() == edges.count() &&
+        next.exceptAll(edges).isEmpty
+      edges = next
+    }
+    require(converged,
+      s"star connected-components did not converge in $MaxRounds rounds")
+    // at the fixed point every edge is (component root, member):
+    // label = least(self, min neighbor); edge-free docs label as self
+    val lab = sym(edges).groupBy(col("u").as("doc_id"))
+      .agg(min(col("v")).as("mv"))
+      .select(col("doc_id"), least(col("doc_id"), col("mv")).as("lab"))
+    Engine.table(sp, dir, "documents")
+      .select(col("doc_id"))
+      .join(lab, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("lab"), col("doc_id")).as("canonical_id"))
+  }
+
   /** Per-cluster representative selection — the pipeline action near-
     * dup clustering exists for: keep the highest-quality member of
     * every cluster (longest text, ties to the smallest doc_id) and
@@ -618,6 +705,7 @@ object DedupOps {
     "dedup_incremental" -> (minhashLshIncremental _),
     "dedup_simhash" -> (simhashPairs _),
     "dedup_cluster" -> (cluster _),
+    "dedup_cluster_star" -> (clusterStar _),
     "dedup_cluster_lsh" -> (clusterLsh _),
     "dedup_cluster_keep_best" -> (clusterKeepBest _))
 
@@ -626,6 +714,7 @@ object DedupOps {
     "dedup_ngram_jaccard" -> ngramJaccardOracle,
     "dedup_containment" -> containmentOracle,
     "dedup_cluster" -> clusterOracle,
+    "dedup_cluster_star" -> clusterOracle,
     // the LSH-edged clustering shares the exact-edge oracle: LSH pairs
     // are verified-exact (⊆ the n-gram pairs) and the deterministic
     // xxhash64 banding finds ALL of them at the verification SFs

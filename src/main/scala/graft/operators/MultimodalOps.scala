@@ -380,7 +380,95 @@ object MultimodalOps {
       CAST(16 + (doc_id * 11) % 1009 AS INT) AS height
     FROM documents"""
 
+  private def mp4ParamsOf(docId: Long): (Long, Long) =
+    (600 + (docId * 37) % 46000, 1 + (docId * 7919) % 100000000L)
+
+  /** A VALID ISO-BMFF (MP4) file skeleton for doc_id: ftyp with a
+    * doc_id-varying brand list, a variable-size free box, an mdat box
+    * with variable fake payload, THEN moov — so the parser must hop
+    * three data-dependent top-level boxes before descending — and
+    * inside moov a variable-size udta filler BEFORE mvhd, so the
+    * child offset is data-dependent too. mvhd alternates version 0
+    * (u32 times/duration, 108-byte box per spec) and version 1 (u64
+    * times/duration, 120 bytes) with doc_id parity, exercising both
+    * parse paths. Every size field is written exactly as a muxer
+    * would. */
+  private def synthMp4(docId: Long): Array[Byte] = {
+    import java.nio.ByteBuffer
+    val (ts, dur) = mp4ParamsOf(docId)
+    val v1 = docId % 2 == 1
+    val nBrands = (docId % 4).toInt
+    val freePad = (docId % 29).toInt
+    val mdatPad = ((docId * 5) % 101).toInt
+    val udtaPad = ((docId * 3) % 19).toInt
+    val ftypSz = 16 + 4 * nBrands
+    val mvhdSz = if (v1) 120 else 108
+    val moovSz = 8 + (8 + udtaPad) + mvhdSz
+    val b = ByteBuffer.allocate(ftypSz + (8 + freePad) + (8 + mdatPad) + moovSz)
+    b.putInt(ftypSz).put("ftyp".getBytes("US-ASCII"))
+    b.put("isom".getBytes("US-ASCII")).putInt(0x200)
+    (0 until nBrands).foreach(_ => b.put("mp41".getBytes("US-ASCII")))
+    b.putInt(8 + freePad).put("free".getBytes("US-ASCII"))
+    (0 until freePad).foreach(i => b.put((i % 251).toByte))
+    b.putInt(8 + mdatPad).put("mdat".getBytes("US-ASCII"))
+    (0 until mdatPad).foreach(i => b.put((i % 253).toByte))
+    b.putInt(moovSz).put("moov".getBytes("US-ASCII"))
+    b.putInt(8 + udtaPad).put("udta".getBytes("US-ASCII"))
+    (0 until udtaPad).foreach(i => b.put((i % 249).toByte))
+    b.putInt(mvhdSz).put("mvhd".getBytes("US-ASCII"))
+    if (v1) {
+      b.putInt(0x01000000)                      // version 1, flags 0
+      b.putLong(0L).putLong(0L)                 // creation/modification
+      b.putInt(ts.toInt).putLong(dur)           // timescale u32, duration u64
+    } else {
+      b.putInt(0)                               // version 0, flags 0
+      b.putInt(0).putInt(0)                     // creation/modification
+      b.putInt(ts.toInt).putInt(dur.toInt)      // timescale, duration u32
+    }
+    b.putInt(0x00010000).putShort(0x0100.toShort) // rate 1.0, volume 1.0
+    b.putShort(0).putLong(0L)                     // reserved u16 + u32[2]
+    // unity matrix (9 × u32)
+    b.putInt(0x10000).putInt(0).putInt(0)
+    b.putInt(0).putInt(0x10000).putInt(0)
+    b.putInt(0).putInt(0).putInt(0x40000000)
+    (0 until 6).foreach(_ => b.putInt(0))         // pre_defined
+    b.putInt(docId.toInt + 2)                     // next_track_ID
+    b.array()
+  }
+
+  /** MP4 movie metadata via [[graft.functions.Mp4Meta]] — the NESTED
+    * box walk (top-level ftyp/free/mdat hops to moov, then a child
+    * walk to mvhd, version-dependent field offsets) that the flat
+    * JPEG marker chain doesn't exercise. The oracle recomputes
+    * timescale/duration from doc_id through the muxer's arithmetic,
+    * so a wrong hop, wrong largesize handling, or a version-offset
+    * slip mismatches; duration_ms is floor(1000·dur/ts) in exact
+    * integer arithmetic on both engines. Scale: row-local, inside
+    * whole-stage codegen, no shuffle. */
+  def mp4Meta(sp: SparkSession, dir: String): DataFrame = {
+    import sp.implicits._
+    val blobs = Engine.table(sp, dir, "documents")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(it => it.map(id => (id, synthMp4(id))))
+      .toDF("doc_id", "blob")
+    val m = graft.functions.functions.mp4_meta(col("blob"))
+    blobs.select(col("doc_id"),
+        shiftright(m, 32).cast("int").as("timescale"),
+        m.bitwiseAND(lit(0xffffffffL)).as("duration"))
+      .select(col("doc_id"), col("timescale"), col("duration"),
+        expr("(1000 * duration) div timescale").as("duration_ms"))
+  }
+
+  val mp4MetaOracle: String = """
+    SELECT doc_id,
+      CAST(600 + (doc_id * 37) % 46000 AS INT) AS timescale,
+      CAST(1 + (doc_id * 7919) % 100000000 AS BIGINT) AS duration,
+      (1000 * (1 + (doc_id * 7919) % 100000000))
+        // (600 + (doc_id * 37) % 46000) AS duration_ms
+    FROM documents"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "media_mp4_meta" -> (mp4Meta _),
     "media_jpeg_dims" -> (jpegDims _),
     "media_wav_meta" -> (wavMeta _),
     "media_decode" -> (mediaDecode _),
@@ -390,6 +478,7 @@ object MultimodalOps {
     "media_image_dims" -> (imageDims _))
 
   val oracles: Map[String, String] = Map(
+    "media_mp4_meta" -> mp4MetaOracle,
     "media_jpeg_dims" -> jpegDimsOracle,
     "media_wav_meta" -> wavMetaOracle,
     "media_decode" -> mediaDecodeOracle,

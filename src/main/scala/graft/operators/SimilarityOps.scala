@@ -949,6 +949,64 @@ object SimilarityOps {
         THEN sqrt(n * sxx - sx * sx) / n ELSE 0.0 END AS std_x
     FROM agg"""
 
+  /** Upper-triangle dimension COVARIANCE matrix — the input to
+    * whitening transforms and OPQ-style rotation fits that
+    * [[dimProfile]]'s diagonal can't provide. cov(i,j) =
+    * (n·Σxᵢxⱼ − Σxᵢ·Σxⱼ) / n², j ≥ i.
+    * Scale shape: the double posexplode multiplies each row by
+    * Dim·(Dim+1)/2 — that CPU is inherent to a covariance pass (64²
+    * products per vector) — but hash partial-aggregation collapses
+    * every partition to ≤ 2080 accumulator rows before the one
+    * shuffle, and everything downstream is matrix-sized. Per-dim sums
+    * come in by broadcast. Float parity: the same tie-free
+    * DECIMAL(18,6) product sums as [[dimProfile]]; the final formula
+    * is one IEEE double chain written identically on both engines. */
+  def covariance(sp: SparkSession, dir: String): DataFrame = {
+    val prods = Engine.table(sp, dir, "embeddings")
+      .select(col("embedding"), posexplode(col("embedding")).as(Seq("i", "xi")))
+      .select(col("i"), col("xi").cast("double").as("xi"),
+        posexplode(col("embedding")).as(Seq("j", "xj")))
+      .filter(col("j") >= col("i"))
+      .groupBy(col("i").cast("long").as("i"), col("j").cast("long").as("j"))
+      .agg(count(lit(1)).as("n"),
+        sum((col("xi") * col("xj").cast("double")).cast("decimal(18,6)"))
+          .cast("double").as("sxy"))
+    val sums = Engine.table(sp, dir, "embeddings")
+      .select(posexplode(col("embedding")).as(Seq("d", "x")))
+      .groupBy(col("d").cast("long").as("d"))
+      .agg(sum(col("x").cast("double").cast("decimal(18,6)"))
+        .cast("double").as("sx"))
+    prods
+      .join(broadcast(sums.select(col("d").as("i"), col("sx").as("sxi"))), "i")
+      .join(broadcast(sums.select(col("d").as("j"), col("sx").as("sxj"))), "j")
+      .select(col("i"), col("j"), col("n"),
+        ((col("n") * col("sxy") - col("sxi") * col("sxj")) /
+          (col("n") * col("n"))).as("cov"))
+  }
+
+  val covarianceOracle: String = s"""
+    WITH prods AS (
+      SELECT CAST(i.i - 1 AS BIGINT) AS i, CAST(j.j - 1 AS BIGINT) AS j,
+        CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(CAST(CAST(embedding[CAST(i.i AS INT)] AS DOUBLE)
+          * CAST(embedding[CAST(j.j AS INT)] AS DOUBLE)
+          AS DECIMAL(18,6))) AS DOUBLE) AS sxy
+      FROM embeddings, generate_series(1, $Dim) AS i(i),
+        generate_series(1, $Dim) AS j(j)
+      WHERE j.j >= i.i
+      GROUP BY i.i, j.j),
+    sums AS (
+      SELECT CAST(d.i - 1 AS BIGINT) AS d,
+        CAST(SUM(CAST(CAST(embedding[CAST(d.i AS INT)] AS DOUBLE)
+          AS DECIMAL(18,6))) AS DOUBLE) AS sx
+      FROM embeddings, generate_series(1, $Dim) AS d(i)
+      GROUP BY d.i)
+    SELECT p.i, p.j, p.n,
+      (p.n * p.sxy - si.sx * sj.sx) / (p.n * p.n) AS cov
+    FROM prods p
+    JOIN sums si ON si.d = p.i
+    JOIN sums sj ON sj.d = p.j"""
+
   def centroidPerLabel(sp: SparkSession, dir: String): DataFrame =
     Engine.table(sp, dir, "embeddings")
       .select(col("label"), posexplode(col("embedding")).as(Seq("dim_idx", "x")))
@@ -1043,6 +1101,7 @@ object SimilarityOps {
     "sim_knn_classify" -> (knnClassify _),
     "embed_centroid_per_label" -> (centroidPerLabel _),
     "embed_dim_profile" -> (dimProfile _),
+    "embed_covariance" -> (covariance _),
     "embed_outlier_filter" -> (outlierFilter _),
     "sim_knn_bruteforce" -> (knnBruteForce _),
     "sim_ann_lsh" -> (annLsh _),
@@ -1058,6 +1117,7 @@ object SimilarityOps {
     "sim_knn_classify" -> knnClassifyOracle,
     "embed_centroid_per_label" -> centroidPerLabelOracle,
     "embed_dim_profile" -> dimProfileOracle,
+    "embed_covariance" -> covarianceOracle,
     "embed_outlier_filter" -> outlierFilterOracle,
     "sim_knn_bruteforce" -> knnBruteForceOracle,
     "sim_embedding_neardup" -> embeddingNearDupOracle)

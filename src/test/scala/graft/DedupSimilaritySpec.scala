@@ -98,6 +98,31 @@ class DedupSimilaritySpec extends AnyFunSuite {
     labels.foreach { case (d, c) => assert(c <= d) }
   }
 
+  test("star CC equals label-propagation CC on the real near-dup graph") {
+    val viaProp = DedupOps.cluster(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaStar = DedupOps.clusterStar(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaStar == viaProp, {
+      val bad = viaProp.collect { case (k, v) if viaStar.get(k) != Some(v) =>
+        s"$k: star=${viaStar.get(k)} prop=$v" }
+      s"label divergence (${bad.size}): ${bad.take(5).mkString("; ")}"
+    })
+  }
+
+  test("star CC converges logarithmically on a chain label propagation cannot finish") {
+    import spark.implicits._
+    // a 200-node path: diameter 199 — far past clusterFrom's 64-round
+    // propagation bound, but ≤ 2·log₂(200) ≈ 16 star rounds
+    val chain = (0L until 199L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val labels = DedupOps.clusterFromStar(spark, sf, chain).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((0L until 200L).forall(labels(_) == 0L),
+      "chain must collapse to one component rooted at 0")
+    // everything outside the chain stays a singleton
+    assert(labels.collect { case (d, c) if d >= 200 => c == d }.forall(identity))
+  }
+
   test("LSH-edged clustering yields the exact clustering's components at both test SFs") {
     // the 100 TB edge source: minhashLsh emits verified-exact pairs,
     // so with full LSH recall the connected components are identical

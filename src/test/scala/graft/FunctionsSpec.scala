@@ -70,6 +70,84 @@ class FunctionsSpec extends AnyFunSuite {
     assert(viaExpr == blobs.map(graft.functions.JpegDims.dims))
   }
 
+  test("Mp4Meta walks nested boxes; handles largesize/to-EOF; rejects malformed") {
+    import graft.functions.Mp4Meta
+    import java.nio.ByteBuffer
+
+    def box(t: String, payload: Array[Byte]): Array[Byte] = {
+      val b = ByteBuffer.allocate(8 + payload.length)
+      b.putInt(8 + payload.length).put(t.getBytes("US-ASCII")).put(payload)
+      b.array()
+    }
+    def mvhd(ts: Int, dur: Long, v1: Boolean): Array[Byte] = {
+      val b = ByteBuffer.allocate(if (v1) 112 else 100)
+      if (v1) b.putInt(0x01000000).putLong(0L).putLong(0L).putInt(ts).putLong(dur)
+      else b.putInt(0).putInt(0).putInt(0).putInt(ts).putInt(dur.toInt)
+      // tail (rate/volume/reserved/matrix/...) left zeroed
+      b.array()
+    }
+    val ftyp = box("ftyp", "isomAAAA".getBytes("US-ASCII"))
+    def cat(xs: Array[Byte]*): Array[Byte] = xs.flatten.toArray
+
+    // nominal v0 and v1, mvhd behind a filler child, moov behind mdat
+    for (v1 <- Seq(false, true)) {
+      val f = cat(ftyp, box("mdat", Array.fill[Byte](13)(7)),
+        box("moov", cat(box("udta", Array.fill[Byte](5)(1)),
+          box("mvhd", mvhd(1000, 777L, v1)))))
+      assert(Mp4Meta.meta(f) == (1000L << 32 | 777L), s"v1=$v1")
+    }
+    // size==1 largesize form on the mdat hop
+    val large = {
+      val payload = Array.fill[Byte](9)(3)
+      val b = ByteBuffer.allocate(16 + payload.length)
+      b.putInt(1).put("mdat".getBytes("US-ASCII"))
+        .putLong(16L + payload.length).put(payload)
+      cat(ftyp, b.array(),
+        box("moov", box("mvhd", mvhd(600, 42L, v1 = false))))
+    }
+    assert(Mp4Meta.meta(large) == (600L << 32 | 42L))
+    // size==0 (to-EOF) moov as the LAST box
+    val toEof = {
+      val inner = box("mvhd", mvhd(90000, 5L, v1 = false))
+      val b = ByteBuffer.allocate(8 + inner.length)
+      b.putInt(0).put("moov".getBytes("US-ASCII")).put(inner)
+      cat(ftyp, b.array())
+    }
+    assert(Mp4Meta.meta(toEof) == (90000L << 32 | 5L))
+    // rejections: non-MP4, empty, no moov, no mvhd, zero timescale,
+    // box size overrunning the buffer, truncated mvhd
+    assert(Mp4Meta.meta("RIFFxxxxWAVE".getBytes) == -1L)
+    assert(Mp4Meta.meta(Array[Byte]()) == -1L)
+    assert(Mp4Meta.meta(cat(ftyp, box("mdat", Array[Byte](1, 2)))) == -1L)
+    assert(Mp4Meta.meta(cat(ftyp, box("moov", box("udta", Array[Byte]())))) == -1L)
+    assert(Mp4Meta.meta(cat(ftyp,
+      box("moov", box("mvhd", mvhd(0, 7L, v1 = false))))) == -1L)
+    val overrun = cat(ftyp, Array[Byte](0, 0, 1, 0) ++ "mdat".getBytes)
+    assert(Mp4Meta.meta(overrun) == -1L)
+    assert(Mp4Meta.meta(cat(ftyp,
+      box("moov", box("mvhd", Array.fill[Byte](10)(0))))) == -1L)
+  }
+
+  test("Mp4Meta codegen and interpreted paths agree") {
+    import spark.implicits._
+    import java.nio.ByteBuffer
+    def mk(ts: Int, dur: Int): Array[Byte] = {
+      val mv = ByteBuffer.allocate(108)
+      mv.putInt(108).put("mvhd".getBytes("US-ASCII"))
+        .putInt(0).putInt(0).putInt(0).putInt(ts).putInt(dur)
+      val ftyp = ByteBuffer.allocate(16)
+      ftyp.putInt(16).put("ftyp".getBytes("US-ASCII")).putInt(0).putInt(0)
+      val moov = ByteBuffer.allocate(8 + 108)
+      moov.putInt(8 + 108).put("moov".getBytes("US-ASCII")).put(mv.array())
+      ftyp.array() ++ moov.array()
+    }
+    val blobs = Seq(mk(600, 60), mk(1000, 123), "junk".getBytes)
+    val viaExpr = blobs.toDF("b")
+      .select(graft.functions.functions.mp4_meta(col("b")))
+      .collect().map(_.getLong(0)).toSeq
+    assert(viaExpr == blobs.map(graft.functions.Mp4Meta.meta))
+  }
+
   test("shared k-grams give shared min-hash for near-identical docs") {
     val base = "word " * 200
     val fp1 = RollingMinHash.minHash((base + "tail one").getBytes, 16)

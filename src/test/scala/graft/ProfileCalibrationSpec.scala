@@ -56,6 +56,36 @@ class ProfileCalibrationSpec extends AnyFunSuite {
     })
   }
 
+  test("covariance diagonal matches the profile variance; one cell recomputed exactly") {
+    val cov = SimilarityOps.covariance(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getDouble(3))))
+      .toMap
+    val d = SimilarityOps.Dim
+    assert(cov.size == d * (d + 1) / 2, "upper triangle size")
+    val stds = SimilarityOps.dimProfile(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(5)).toMap
+    for (i <- 0 until d) {
+      val (_, c) = cov((i.toLong, i.toLong))
+      val v = stds(i.toLong) * stds(i.toLong)
+      assert(math.abs(c - v) <= 1e-9 * math.max(math.abs(v), 1e-12),
+        s"diag $i: cov=$c var=$v")
+    }
+    // exact driver recompute of cell (0, 1) through the same
+    // decimal-quantized product sums
+    def q6(v: Double): Long = BigDecimal(v)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).underlying
+      .unscaledValue.longValueExact
+    val vs = Engine.table(spark, sf, "embeddings")
+      .selectExpr("cast(embedding[0] as double) as x0",
+        "cast(embedding[1] as double) as x1")
+      .collect().map(r => (r.getDouble(0), r.getDouble(1)))
+    val n = vs.length.toLong
+    val sxy = vs.map { case (a, b) => q6(a * b) }.sum / 1e6
+    val sx0 = vs.map(v => q6(v._1)).sum / 1e6
+    val sx1 = vs.map(v => q6(v._2)).sum / 1e6
+    assert(cov((0L, 1L))._2 == (n * sxy - sx0 * sx1) / (n * n))
+  }
+
   test("dimension profile: invariants + exact recompute of one dimension") {
     val rows = SimilarityOps.dimProfile(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
