@@ -77,7 +77,8 @@ object Bench {
     "events_scd2", "events_anomaly_mad", "pipeline_snapshot_diff",
     "text_collocations", "events_rfm", "search_phrase_hits",
     "events_user_streaks", "pipeline_quality_calibrate",
-    "embed_dim_profile", "text_compression_ratio")
+    "embed_dim_profile", "text_compression_ratio",
+    "media_mp4_meta", "dedup_cluster_star", "embed_covariance")
 
   val Reps = 5
   /** Extra reps for queries whose 5-rep median is below [[SubSecond]] —

@@ -509,7 +509,40 @@ object CurationOps {
     FROM v1 FULL OUTER JOIN v2 USING (h)
     GROUP BY 1"""
 
+  /** Train/val/test leakage audit: near-duplicate pairs that STRADDLE
+    * the split boundary — the evaluation-integrity check every dataset
+    * release runs (a test doc with a train-side near-twin silently
+    * inflates benchmark scores; decontamination only catches exact
+    * n-gram overlap with the EXTERNAL eval set, this catches
+    * internal-split leakage through near-dups). Reuses
+    * [[DedupOps.ngramJaccard]]'s inverted-index pairs (no new heavy
+    * shape) and [[splitStratified]]'s split rule; the split tagging
+    * and cross-split filter are row-local. Fully oracled through the
+    * shared pair SQL. */
+  def splitLeakage(sp: SparkSession, dir: String): DataFrame = {
+    def splitOf(c: org.apache.spark.sql.Column) =
+      when(c % 10 < 8, "train").when(c % 10 === 8, "val").otherwise("test")
+    DedupOps.ngramJaccard(sp, dir)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .withColumn("split_a", splitOf(col("doc_a")))
+      .withColumn("split_b", splitOf(col("doc_b")))
+      .filter(col("split_a") =!= col("split_b"))
+  }
+
+  val splitLeakageOracle: String = {
+    def splitOf(c: String) =
+      s"CASE WHEN $c % 10 < 8 THEN 'train' WHEN $c % 10 = 8 THEN 'val' ELSE 'test' END"
+    s"""
+    WITH pairs AS (${DedupOps.ngramJaccardOracle})
+    SELECT doc_a, doc_b, jaccard,
+      ${splitOf("doc_a")} AS split_a,
+      ${splitOf("doc_b")} AS split_b
+    FROM pairs
+    WHERE (${splitOf("doc_a")}) <> (${splitOf("doc_b")})"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_split_leakage" -> (splitLeakage _),
     "pipeline_snapshot_diff" -> (snapshotDiff _),
     "pipeline_curriculum" -> (curriculum _),
     "pipeline_contamination_score" -> (contaminationScore _),
@@ -522,6 +555,7 @@ object CurationOps {
     "text_ngram_familiarity" -> (ngramFamiliarity _))
 
   val oracles: Map[String, String] = Map(
+    "pipeline_split_leakage" -> splitLeakageOracle,
     "pipeline_snapshot_diff" -> snapshotDiffOracle,
     "pipeline_curriculum" -> curriculumOracle,
     "pipeline_contamination_score" -> contaminationScoreOracle,

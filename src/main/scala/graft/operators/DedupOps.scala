@@ -321,6 +321,24 @@ object DedupOps {
         coalesce(col("lab"), col("doc_id")).as("canonical_id"))
   }
 
+  /** Per-source duplication report — the audit a dedup run ships with:
+    * how many documents of each ingest source are non-canonical
+    * members of some near-dup cluster (i.e. would be dropped by
+    * keep-best). One broadcast-scale join of the CC labels to
+    * (doc, source) and a counting aggregate; all the heavy lifting is
+    * [[cluster]]'s. Integer counts; the rate division is written
+    * identically on both engines. */
+  def dedupReport(sp: SparkSession, dir: String): DataFrame =
+    cluster(sp, dir)
+      .join(Engine.table(sp, dir, "documents").select(col("doc_id"), col("source")),
+        "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("canonical_id") =!= col("doc_id"), 1L).otherwise(0L))
+          .as("n_dupes"))
+      .select(col("source"), col("n_docs"), col("n_dupes"),
+        (col("n_dupes").cast("double") / col("n_docs")).as("dup_rate"))
+
   /** Per-cluster representative selection — the pipeline action near-
     * dup clustering exists for: keep the highest-quality member of
     * every cluster (longest text, ties to the smallest doc_id) and
@@ -380,6 +398,15 @@ object DedupOps {
 
   val clusterOracle: String = ccCtePrefix + """
     SELECT doc_id, canonical_id FROM cc"""
+
+  val dedupReportOracle: String = ccCtePrefix + """
+    SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      CAST(SUM(CASE WHEN cc.canonical_id <> cc.doc_id THEN 1 ELSE 0 END)
+        AS BIGINT) AS n_dupes,
+      CAST(SUM(CASE WHEN cc.canonical_id <> cc.doc_id THEN 1 ELSE 0 END)
+        AS DOUBLE) / COUNT(*) AS dup_rate
+    FROM cc JOIN documents d ON d.doc_id = cc.doc_id
+    GROUP BY d.source"""
 
   val clusterKeepBestOracle: String = ccCtePrefix + """
     SELECT canonical_id, keep_id, n_members FROM (
@@ -706,6 +733,7 @@ object DedupOps {
     "dedup_simhash" -> (simhashPairs _),
     "dedup_cluster" -> (cluster _),
     "dedup_cluster_star" -> (clusterStar _),
+    "dedup_report" -> (dedupReport _),
     "dedup_cluster_lsh" -> (clusterLsh _),
     "dedup_cluster_keep_best" -> (clusterKeepBest _))
 
@@ -715,6 +743,7 @@ object DedupOps {
     "dedup_containment" -> containmentOracle,
     "dedup_cluster" -> clusterOracle,
     "dedup_cluster_star" -> clusterOracle,
+    "dedup_report" -> dedupReportOracle,
     // the LSH-edged clustering shares the exact-edge oracle: LSH pairs
     // are verified-exact (⊆ the n-gram pairs) and the deterministic
     // xxhash64 banding finds ALL of them at the verification SFs

@@ -163,6 +163,72 @@ object EventOps {
       ON p.user_id = c.user_id AND p.ts <= c.ts
     GROUP BY c.event_id, c.user_id"""
 
+  /** NEAREST-direction as-of join (pandas merge_asof
+    * direction='nearest'): each click paired with the temporally
+    * CLOSEST purchase of the same user in either direction, ties to
+    * the earlier purchase. Same union + window shape as [[asofJoin]]
+    * — both sides share one exchange on user_id and the backward
+    * (last at-or-before) and forward (first at-or-after) passes reuse
+    * the same sort order, so the inequality never becomes a join
+    * condition. Determinism: the window orders (ms, tag, event_id) —
+    * equal-millisecond purchases resolve by id identically on both
+    * engines; a same-ms purchase sorts BEFORE the click (tag 0 < 1),
+    * lands in the backward frame with delta 0, and wins any tie. */
+  def asofNearest(sp: SparkSession, dir: String): DataFrame = {
+    val ev = Engine.table(sp, dir, "events")
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"), unix_millis(col("ts")).as("ms"),
+        when(col("event_type") === "purchase", 0).otherwise(1).as("tag"),
+        col("event_id"))
+    val pms = when(col("tag") === 0, col("ms"))
+    val pid = when(col("tag") === 0, col("event_id"))
+    val base = Window.partitionBy(col("user_id"))
+      .orderBy(col("ms"), col("tag"), col("event_id"))
+    val wB = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wF = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val takePrev = col("next_id").isNull ||
+      (col("prev_id").isNotNull &&
+        col("ms") - col("prev_ms") <= col("next_ms") - col("ms"))
+    ev
+      .withColumn("prev_ms", last(pms, ignoreNulls = true).over(wB))
+      .withColumn("prev_id", last(pid, ignoreNulls = true).over(wB))
+      .withColumn("next_ms", first(pms, ignoreNulls = true).over(wF))
+      .withColumn("next_id", first(pid, ignoreNulls = true).over(wF))
+      .filter(col("tag") === 1)
+      .select(col("event_id"), col("user_id"),
+        when(takePrev, col("prev_id")).otherwise(col("next_id"))
+          .as("nearest_purchase_id"),
+        when(takePrev, col("prev_ms") - col("ms"))
+          .otherwise(col("next_ms") - col("ms")).as("delta_ms"))
+  }
+
+  val asofNearestOracle: String = """
+    WITH u AS (
+      SELECT user_id, epoch_ms(ts) AS ms,
+        CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END AS tag,
+        event_id
+      FROM events WHERE event_type IN ('click', 'purchase')),
+    w AS (
+      SELECT user_id, ms, tag, event_id,
+        last_value(CASE WHEN tag = 0 THEN ms END IGNORE NULLS) OVER wb AS prev_ms,
+        last_value(CASE WHEN tag = 0 THEN event_id END IGNORE NULLS) OVER wb AS prev_id,
+        first_value(CASE WHEN tag = 0 THEN ms END IGNORE NULLS) OVER wf AS next_ms,
+        first_value(CASE WHEN tag = 0 THEN event_id END IGNORE NULLS) OVER wf AS next_id
+      FROM u
+      WINDOW
+        wb AS (PARTITION BY user_id ORDER BY ms, tag, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        wf AS (PARTITION BY user_id ORDER BY ms, tag, event_id
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+    SELECT event_id, user_id,
+      CASE WHEN next_id IS NULL OR (prev_id IS NOT NULL
+                AND ms - prev_ms <= next_ms - ms)
+           THEN prev_id ELSE next_id END AS nearest_purchase_id,
+      CASE WHEN next_id IS NULL OR (prev_id IS NOT NULL
+                AND ms - prev_ms <= next_ms - ms)
+           THEN prev_ms - ms ELSE next_ms - ms END AS delta_ms
+    FROM w WHERE tag = 1"""
+
   /** Range (interval) join: every purchase paired with the same
     * user's clicks within ±15 minutes — the operator class Spark has
     * no native support for (SURVEY: as-of/range joins are custom).
@@ -810,6 +876,7 @@ object EventOps {
     "events_window_hopping" -> (windowHopping _),
     "events_sessionize" -> (sessionize _),
     "events_asof_join" -> (asofJoin _),
+    "events_asof_nearest" -> (asofNearest _),
     "events_range_join" -> (rangeJoin _))
 
   val oracles: Map[String, String] = Map(
@@ -831,5 +898,6 @@ object EventOps {
     "events_window_hopping" -> windowHoppingOracle,
     "events_sessionize" -> sessionizeOracle,
     "events_asof_join" -> asofJoinOracle,
+    "events_asof_nearest" -> asofNearestOracle,
     "events_range_join" -> rangeJoinOracle)
 }

@@ -964,10 +964,14 @@ object SimilarityOps {
   def covariance(sp: SparkSession, dir: String): DataFrame = {
     val prods = Engine.table(sp, dir, "embeddings")
       .select(col("embedding"), posexplode(col("embedding")).as(Seq("i", "xi")))
+      // second generator walks only the TAIL slice from i (1-based
+      // start i+1), so exactly the Dim·(Dim+1)/2 upper-triangle pairs
+      // materialize — no generate-then-filter half-waste
       .select(col("i"), col("xi").cast("double").as("xi"),
-        posexplode(col("embedding")).as(Seq("j", "xj")))
-      .filter(col("j") >= col("i"))
-      .groupBy(col("i").cast("long").as("i"), col("j").cast("long").as("j"))
+        posexplode(slice(col("embedding"), col("i") + 1, lit(Dim)))
+          .as(Seq("dj", "xj")))
+      .groupBy(col("i").cast("long").as("i"),
+        (col("i") + col("dj")).cast("long").as("j"))
       .agg(count(lit(1)).as("n"),
         sum((col("xi") * col("xj").cast("double")).cast("decimal(18,6)"))
           .cast("double").as("sxy"))

@@ -272,7 +272,146 @@ object StatsOps {
             (col("tot") - col("n_docs")).cast("double"))).as("tvd"))
   }
 
+  /** Two-sample Kolmogorov-Smirnov drift per source: the KS statistic
+    * D = sup_v |ECDF_source(v) − ECDF_rest(v)| of document length —
+    * the CONTINUOUS-distribution drift audit that complements
+    * [[sourceDrift]]'s categorical TVD (a source whose lengths shifted
+    * by 10% has near-zero language TVD but a large KS). Exactness
+    * discipline is TVD's: with cumulative counts c_s(v) (source) and
+    * c_r(v) (rest), D = max_v |c_s·M − c_r·N| / (N·M) — the sup is
+    * taken over a pure-integer numerator (no per-value float division
+    * whose rounding could reorder the argmax between engines) and the
+    * single final division is IEEE-deterministic. The sup over all
+    * reals is attained at a step, so scanning the distinct values
+    * present in either sample is exact. Scale: one (source, value)
+    * count aggregate; the value grid is bounded by distinct lengths ×
+    * sources (the global cumulative window over per-value totals runs
+    * on the tiny distribution — single-partition by design). Long
+    * headroom: |c·M| ≤ N·M ≤ n² docs² — safe below ~3·10⁹ docs, ANSI
+    * fails loudly beyond. */
+  def ksDrift(sp: SparkSession, dir: String): DataFrame = {
+    val counts = Engine.table(sp, dir, "documents")
+      .groupBy(col("source"), col("n_chars")).agg(count(lit(1)).as("n"))
+    val sources = counts.groupBy(col("source")).agg(sum(col("n")).as("n_s"))
+    val values = counts.select(col("n_chars")).distinct()
+    val grand = counts.agg(sum(col("n")).as("tot"))
+    val perValue = counts.groupBy(col("n_chars")).agg(sum(col("n")).as("nv"))
+    val wAll = Window.orderBy(col("n_chars"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cumAll = perValue
+      .withColumn("cum_all", sum(col("nv")).over(wAll))
+      .select(col("n_chars"), col("cum_all"))
+    val wSrc = Window.partitionBy(col("source")).orderBy(col("n_chars"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    sources.crossJoin(values)
+      .join(counts, Seq("source", "n_chars"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+      .withColumn("cum_s", sum(col("n")).over(wSrc))
+      .join(broadcast(cumAll), "n_chars")
+      .crossJoin(broadcast(grand))
+      .select(col("source"), col("n_s"), col("tot"),
+        abs(col("cum_s") * (col("tot") - col("n_s")) -
+          (col("cum_all") - col("cum_s")) * col("n_s")).as("num"))
+      .groupBy(col("source"))
+      .agg(max(col("n_s")).as("n_docs"), max(col("num")).as("max_num"),
+        max(col("tot")).as("tot"))
+      .select(col("source"), col("n_docs"),
+        (col("max_num").cast("double") /
+          (lit(1.0) * col("n_docs") * (col("tot") - col("n_docs"))))
+          .as("ks"))
+  }
+
+  val ksDriftOracle: String = """
+    WITH counts AS (
+      SELECT source, n_chars, CAST(COUNT(*) AS BIGINT) AS n
+      FROM documents GROUP BY source, n_chars),
+    ps AS (SELECT source, CAST(SUM(n) AS BIGINT) AS n_s
+           FROM counts GROUP BY source),
+    vals AS (SELECT DISTINCT n_chars FROM counts),
+    g AS (SELECT CAST(SUM(n) AS BIGINT) AS tot FROM counts),
+    cum_all AS (
+      SELECT n_chars, SUM(nv) OVER (ORDER BY n_chars
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_all
+      FROM (SELECT n_chars, CAST(SUM(n) AS BIGINT) AS nv
+            FROM counts GROUP BY n_chars)),
+    grid AS (
+      SELECT ps.source, ps.n_s, v.n_chars, COALESCE(c.n, 0) AS n
+      FROM ps CROSS JOIN vals v
+      LEFT JOIN counts c ON c.source = ps.source AND c.n_chars = v.n_chars),
+    nums AS (
+      SELECT gr.source, gr.n_s,
+        ABS(SUM(gr.n) OVER (PARTITION BY gr.source ORDER BY gr.n_chars
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            * (g.tot - gr.n_s)
+          - (ca.cum_all
+             - SUM(gr.n) OVER (PARTITION BY gr.source ORDER BY gr.n_chars
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+            * gr.n_s) AS num,
+        g.tot
+      FROM grid gr
+      JOIN cum_all ca ON ca.n_chars = gr.n_chars
+      CROSS JOIN g)
+    SELECT source, MAX(n_s) AS n_docs,
+      CAST(CAST(MAX(num) AS BIGINT) AS DOUBLE)
+        / (1.0 * MAX(n_s) * (MAX(tot) - MAX(n_s))) AS ks
+    FROM nums GROUP BY source"""
+
+  /** Vocabulary-growth (Heaps'-law) audit: how many NEW distinct
+    * tokens each decile of the id-ordered corpus contributes, plus
+    * the cumulative vocabulary — the curve that says whether a crawl
+    * is still discovering language or re-ingesting what it has (its
+    * flattening is the classic stop-crawling signal). Deciles are
+    * arithmetic over the doc_id RANGE (ids are assigned in ingestion
+    * order; min/max come from one cheap agg and the bucket is
+    * row-local integer arithmetic — no rank window over N docs ever
+    * runs). A token's decile is its FIRST occurrence:
+    * groupBy(token) min(doc_id) — the shuffle carries one row per
+    * distinct (doc, token) thanks to row-local array_distinct, and
+    * everything after the min-agg is vocabulary-sized; the cumulative
+    * window runs over exactly 10 rows. All-integer → hash-exact. */
+  def vocabGrowth(sp: SparkSession, dir: String): DataFrame = {
+    val docs = Engine.table(sp, dir, "documents")
+    val bounds = docs.agg(min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi"))
+    val firstDoc = docs
+      .select(col("doc_id"),
+        explode(array_distinct(split(col("text"), " "))).as("token"))
+      .groupBy(col("token")).agg(min(col("doc_id")).as("first_doc"))
+    val wCum = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val perBucket = firstDoc.crossJoin(broadcast(bounds))
+      .select((expr("(10 * (first_doc - lo)) div (hi - lo + 1)") + 1)
+        .as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("new_tokens"))
+    // full 1..10 spine: a decile that discovered nothing still shows
+    // (new_tokens 0, flat cumulative) — the flattening IS the signal
+    sp.range(1, 11).select(col("id").as("bucket"))
+      .join(perBucket, Seq("bucket"), "left")
+      .withColumn("new_tokens", coalesce(col("new_tokens"), lit(0L)))
+      .withColumn("cum_vocab", sum(col("new_tokens")).over(wCum))
+  }
+
+  val vocabGrowthOracle: String = """
+    WITH b AS (SELECT MIN(doc_id) AS lo, MAX(doc_id) AS hi FROM documents),
+    fd AS (
+      SELECT token, MIN(doc_id) AS first_doc
+      FROM (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+            FROM documents)
+      GROUP BY token),
+    bk AS (
+      SELECT 1 + (10 * (first_doc - lo)) // (hi - lo + 1) AS bucket
+      FROM fd CROSS JOIN b),
+    pb AS (
+      SELECT bucket, CAST(COUNT(*) AS BIGINT) AS new_tokens
+      FROM bk GROUP BY bucket)
+    SELECT s.bucket, COALESCE(pb.new_tokens, 0) AS new_tokens,
+      CAST(SUM(COALESCE(pb.new_tokens, 0)) OVER (ORDER BY s.bucket
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        AS cum_vocab
+    FROM generate_series(1, 10) AS s(bucket) LEFT JOIN pb USING (bucket)"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stats_vocab_growth" -> (vocabGrowth _),
+    "stats_ks_drift" -> (ksDrift _),
     "stats_source_drift" -> (sourceDrift _),
     "stats_rollup_profile" -> (rollupProfile _),
     "stats_lang_pivot" -> (langPivot _),
@@ -302,6 +441,8 @@ object StatsOps {
     FROM grid CROSS JOIN g GROUP BY source"""
 
   val oracles: Map[String, String] = Map(
+    "stats_vocab_growth" -> vocabGrowthOracle,
+    "stats_ks_drift" -> ksDriftOracle,
     "stats_source_drift" -> sourceDriftOracle,
     "stats_rollup_profile" -> rollupProfileOracle,
     "stats_lang_pivot" -> langPivotOracle,

@@ -51,7 +51,16 @@ object ScaleBench {
     // paths (two window passes, one exchange), CDC compaction
     // (WindowGroupLimit pre-shuffle) and SCD2 (change-bounded output)
     "search_tfidf_topk", "text_collocations", "events_session_paths",
-    "events_cdc_compact", "events_scd2")
+    "events_cdc_compact", "events_scd2",
+    // round 8 (cont.): star-rewired CC (the O(log n)-round alternative
+    // to propagation — must track dedup_cluster's growth), the two
+    // embedding-matrix profiles (explode + partial-agg: time ∝ rows,
+    // state ∝ Dim²), distribution-aggregated percent_rank calibration,
+    // user streaks (distinct-day aggregate before any window), and the
+    // row-local deflate scan
+    "dedup_cluster_star", "embed_dim_profile", "embed_covariance",
+    "pipeline_quality_calibrate", "events_user_streaks",
+    "text_compression_ratio")
 
   /** ANN ops re-scored for recall@5 at the big corpus: the round-7 PQ
     * shortlist regression (recall 0.64 → 0.48 before the ∝-corpus fix)

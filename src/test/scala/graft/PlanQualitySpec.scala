@@ -186,6 +186,47 @@ class PlanQualitySpec extends AnyFunSuite {
       s"candidate recount shuffled the corpus:\n$plan")
   }
 
+  test("compression ratio and mp4 metadata are shuffle-free single passes") {
+    for (q <- Seq("text_compression_ratio", "media_mp4_meta")) {
+      val plan = planOf(q).split("== Initial Plan ==")(0)
+      assert(!plan.contains("Exchange"),
+        s"$q planned a shuffle in a row-local pass:\n$plan")
+    }
+  }
+
+  test("user streaks: distinct-day aggregate feeds the window; no global sort") {
+    val plan = planOf("events_user_streaks").split("== Initial Plan ==")(0)
+    assert(!plan.contains("Exchange rangepartitioning"),
+      s"streaks planned a global sort:\n$plan")
+    assert(plan.contains("HashAggregate") && plan.contains("Window"),
+      s"expected distinct aggregate + window in:\n$plan")
+  }
+
+  test("quality calibration windows over the score distribution, never raw docs") {
+    // every Window node must sit directly above the (source, score)
+    // count aggregate — the naive plan (window over each raw document)
+    // would show a Window whose subtree has no aggregate below it
+    val plan = planOf("pipeline_quality_calibrate").split("== Initial Plan ==")(0)
+    val lines = plan.linesIterator.toVector
+    val winIdx = lines.zipWithIndex.collect {
+      case (l, i) if l.contains("Window ") => i }
+    assert(winIdx.nonEmpty, s"expected a window in:\n$plan")
+    val below = lines.slice(winIdx.max, math.min(winIdx.max + 8, lines.size))
+    assert(below.exists(_.contains("HashAggregate")),
+      s"window consumes raw docs, not the distribution:\n$plan")
+    assert(!plan.contains("Exchange rangepartitioning"),
+      s"calibration planned a global sort:\n$plan")
+  }
+
+  test("covariance broadcasts the per-dim sums and forms no cartesian product") {
+    val plan = planOf("embed_covariance").split("== Initial Plan ==")(0)
+    assert(!plan.contains("CartesianProduct"),
+      s"covariance planned a cartesian product:\n$plan")
+    assert(plan.contains("BroadcastExchange"),
+      s"per-dim sums should broadcast:\n$plan")
+    assert(plan.contains("Generate"), s"expected posexplode in:\n$plan")
+  }
+
   test("curriculum bucketing never globally sorts the corpus") {
     // the only sort allowed is inside the distribution-sized window
     // (over distinct n_chars values); documents themselves must bucket

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Semantic pins for the round-8 profiling/calibration operators:
+/** Semantic pins for the round-8 operators:
   * each is checked against an INDEPENDENT formulation (driver-side
   * recompute or a naive single-window plan) rather than just its
   * DuckDB oracle, so a Spark-side plan change that breaks semantics
@@ -84,6 +84,36 @@ class ProfileCalibrationSpec extends AnyFunSuite {
     val sx0 = vs.map(v => q6(v._1)).sum / 1e6
     val sx1 = vs.map(v => q6(v._2)).sum / 1e6
     assert(cov((0L, 1L))._2 == (n * sxy - sx0 * sx1) / (n * n))
+  }
+
+  test("nearest as-of join picks the closer purchase, ties to the earlier one") {
+    val got = EventOps.asofNearest(spark, sf).collect().map { r =>
+      r.getLong(0) -> ((if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))
+    }.toMap
+    val ev = Engine.table(spark, sf, "events")
+      .filter(col("event_type").isin("click", "purchase"))
+      .selectExpr("user_id", "unix_millis(ts) as ms", "event_type", "event_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val byUser = ev.groupBy(_._1)
+    var checked = 0
+    for ((_, rows) <- byUser; (_, ms, t, id) <- rows if t == "click") {
+      val ps = rows.filter(_._3 == "purchase").map(p => (p._2, p._4))
+      val prev = ps.filter(_._1 <= ms).sortBy(identity).lastOption
+      val next = ps.filter(_._1 > ms).sortBy(identity).headOption
+      val want = (prev, next) match {
+        case (None, None) => (None, None)
+        case (Some((pm, pi)), nxt)
+            if nxt.isEmpty || ms - pm <= nxt.get._1 - ms =>
+          (Some(pi), Some(pm - ms))
+        case (_, Some((nm, ni))) => (Some(ni), Some(nm - ms))
+        case other => fail(s"unreachable: $other")
+      }
+      assert(got(id) == want, s"click $id: got ${got(id)}, want $want")
+      checked += 1
+    }
+    assert(checked > 0)
   }
 
   test("dimension profile: invariants + exact recompute of one dimension") {

@@ -61,6 +61,32 @@ class StatsSpec extends AnyFunSuite {
     }
   }
 
+  test("KS drift matches a driver-side ECDF recompute exactly") {
+    val got = StatsOps.ksDrift(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val rows = Engine.table(spark, sf, "documents")
+      .select(col("source"), col("n_chars")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val tot = rows.length.toLong
+    val bySource = rows.groupBy(_._1)
+    val values = rows.map(_._2).distinct.sorted
+    assert(got.keySet == bySource.keySet)
+    for ((s, rs) <- bySource) {
+      val n = rs.length.toLong
+      val cntS = rs.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+      val cntAll = rows.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+      var cs = 0L; var ca = 0L; var maxNum = 0L
+      for (v <- values) {
+        cs += cntS.getOrElse(v, 0L)
+        ca += cntAll(v)
+        val num = math.abs(cs * (tot - n) - (ca - cs) * n)
+        if (num > maxNum) maxNum = num
+      }
+      val ks = maxNum.toDouble / (1.0 * n * (tot - n))
+      assert(got(s) == ((n, ks)), s"$s: got ${got(s)}, want ($n, $ks)")
+    }
+  }
+
   test("value-hour correlation matches a driver-side naive Pearson") {
     val got = StatsOps.valueCorr(spark, sf).collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
