@@ -78,7 +78,9 @@ object Bench {
     "text_collocations", "events_rfm", "search_phrase_hits",
     "events_user_streaks", "pipeline_quality_calibrate",
     "embed_dim_profile", "text_compression_ratio",
-    "media_mp4_meta", "dedup_cluster_star", "embed_covariance")
+    "media_mp4_meta", "dedup_cluster_star", "embed_covariance",
+    "stats_ks_drift", "stats_vocab_growth", "events_asof_nearest",
+    "pipeline_split_leakage")
 
   val Reps = 5
   /** Extra reps for queries whose 5-rep median is below [[SubSecond]] —
