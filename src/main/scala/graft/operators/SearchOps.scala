@@ -116,6 +116,73 @@ object SearchOps {
     WHERE rk <= $TopK"""
   }
 
+  /** BM25 parameters (the Robertson/Lucene defaults). */
+  val K1 = 1.2
+  val B = 0.75
+
+  /** BM25 top-k per query — what [[tfidfTopK]]'s linear tf weighting
+    * can't express: term-frequency SATURATION (the 50th occurrence of
+    * "hash" adds almost nothing) and document-LENGTH normalization
+    * (a term hit in a short doc outranks the same hit in a long one):
+    * score(q,d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)),
+    * idf(t) = ln(1 + (N−df+0.5)/(df+0.5)) (the Lucene positive form).
+    *
+    * Same 100 TB shape as tf-idf: the corpus token stream is pruned by
+    * a broadcast semi-join on the query vocabulary before anything
+    * shuffles; per-doc length is a row-local expression joined in on
+    * doc_id (the scored side is query-result-sized — at scale that
+    * join broadcasts the scored side, never the lengths).
+    *
+    * Parity: ln() has no cross-engine bit contract (JVM Math.log vs
+    * DuckDB libm), so this op is QUALITY-GATED against a driver-side
+    * recompute instead of SQL-oracled. Ranking is still deterministic
+    * WITHIN the engine: scores are published as rint(score·10⁶) — a
+    * scaled integer coarse enough to absorb the sum-order rounding of
+    * the per-term aggregation (~1 ulp) yet far finer than any real
+    * score gap — and ties break on doc_id. */
+  def bm25TopK(sp: SparkSession, dir: String): DataFrame = {
+    val docs = Engine.table(sp, dir, "documents")
+    val qTerms = {
+      import sp.implicits._
+      QuerySet.flatMap { case (qid, ts) => ts.map(t => (qid, t)) }
+        .toDF("query_id", "token")
+    }
+    val qVocab = qTerms.select("token").distinct()
+    val postings = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .join(broadcast(qVocab), "token")
+    val tf = postings.groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val dfx = postings.select("doc_id", "token").distinct()
+      .groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val dl = docs.select(col("doc_id"),
+      (length(col("text")) - length(replace(col("text"), lit(" "), lit(""))) + 1)
+        .cast("long").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+
+    val scored = tf.join(dfx, "token")
+      .join(broadcast(qTerms), "token")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf", log(lit(1.0) +
+        (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .withColumn("avgdl", col("sum_dl").cast("double") / col("n_docs"))
+      .withColumn("sat", (col("tf") * lit(K1 + 1.0)) /
+        (col("tf") + lit(K1) *
+          (lit(1.0 - B) + lit(B) * col("dl") / col("avgdl"))))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("idf") * col("sat")).as("score"),
+        count(lit(1)).as("n_terms"))
+      .withColumn("score_scaled", rint(col("score") * lit(1e6)).cast("long"))
+
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_scaled").desc, col("doc_id").asc)
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= TopK)
+      .select(col("query_id"), col("rk"), col("doc_id"),
+        col("score_scaled"), col("n_terms"))
+  }
+
   /** Fixed phrase set for [[phraseHits]]. */
   val PhraseSet: Seq[String] = Seq("hash join", "sort merge", "fast scan")
 
@@ -162,6 +229,7 @@ object SearchOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "search_tfidf_topk" -> (tfidfTopK _),
+    "search_bm25_topk" -> (bm25TopK _),
     "search_phrase_hits" -> (phraseHits _))
 
   val oracles: Map[String, String] = Map(

@@ -1,7 +1,7 @@
 package graft.tools
 
 import graft.Engine
-import graft.operators.{DedupOps, MultimodalOps, SimilarityOps, StatsOps, TextOps}
+import graft.operators.{DedupOps, MultimodalOps, SearchOps, SimilarityOps, StatsOps, TextOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -324,6 +324,54 @@ object QualityGates {
       "exact_match_rate",
       if (rawCr.isEmpty) 1.0 else crOk.toDouble / rawCr.length, 1.0,
       gotCr.size, rawCr.length)
+
+    // ---- search_bm25_topk vs a driver-side recompute: the op is not
+    // SQL-oracled (ln() has no cross-engine bit contract), so the gate
+    // rebuilds postings/df/dl from the raw corpus on the driver with
+    // the SAME expression sequence and JVM Math.log, and demands the
+    // exact (rk, doc_id, score_scaled) ranking per query — the 10⁻⁶
+    // score scaling absorbs the aggregation's sum-order ulp
+    val gotBm = SearchOps.bm25TopK(sp, dir).collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    val corpus = Engine.table(sp, dir, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ")))
+    val nDocs = corpus.length.toLong
+    val avgdl = corpus.map(_._2.length.toLong).sum.toDouble / nDocs
+    val vocabBm = SearchOps.QuerySet.flatMap(_._2).toSet
+    val tfBm: Map[(Long, String), Long] = corpus.flatMap { case (id, ws) =>
+      ws.filter(vocabBm).groupBy(identity).map { case (t, o) =>
+        (id, t) -> o.length.toLong }
+    }.toMap
+    val dfBm: Map[String, Long] =
+      tfBm.keys.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val bmOk = SearchOps.QuerySet.map { case (qid, terms) =>
+      val scores = corpus.flatMap { case (id, ws) =>
+        val dl = ws.length.toLong
+        val s = terms.distinct.flatMap { t =>
+          tfBm.get((id, t)).map { tf =>
+            val df = dfBm(t)
+            val idf = math.log(1.0 + (nDocs - df + 0.5) / (df + 0.5))
+            val sat = (tf * (SearchOps.K1 + 1.0)) /
+              (tf + SearchOps.K1 *
+                ((1.0 - SearchOps.B) + SearchOps.B * dl / avgdl))
+            idf * sat
+          }
+        }
+        if (s.isEmpty) None
+        else Some((id, math.rint(s.sum * 1e6).toLong))
+      }
+      val want = scores.sortBy { case (id, sc) => (-sc, id) }
+        .take(SearchOps.TopK).zipWithIndex
+        .map { case ((id, sc), i) => (qid, i + 1) -> ((id, sc)) }
+      want.count { case (k, v) => gotBm.get(k).contains(v) } -> want.size
+    }
+    gates += Gate("search_bm25_topk", "driver_exact_recompute",
+      "ranking_match_rate",
+      if (bmOk.map(_._2).sum == 0) 1.0
+      else bmOk.map(_._1).sum.toDouble / bmOk.map(_._2).sum, 1.0,
+      gotBm.size, bmOk.map(_._2).sum)
 
     // ---- text_fingerprint vs a driver-side RollingMinHash recompute
     val gotFp = TextOps.fingerprint(sp, dir)

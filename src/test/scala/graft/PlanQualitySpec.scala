@@ -186,6 +186,26 @@ class PlanQualitySpec extends AnyFunSuite {
       s"candidate recount shuffled the corpus:\n$plan")
   }
 
+  test("partitioned parquet write round-trips with partition pruning on read") {
+    // the sink-side scale contract: a lang-partitioned dataset layout
+    // must let a lang-filtered read prune to one directory (the scan
+    // carries the predicate as a PartitionFilter, not a row filter)
+    val out = "/tmp/graft_part_prune"
+    Engine.table(spark, sf, "documents")
+      .write.mode("overwrite").partitionBy("lang").parquet(out)
+    val df = spark.read.parquet(out)
+      .filter(org.apache.spark.sql.functions.col("lang") === "en")
+      .select("doc_id")
+    val n = df.count()
+    val want = Engine.table(spark, sf, "documents")
+      .filter(org.apache.spark.sql.functions.col("lang") === "en").count()
+    assert(n == want, s"partitioned round-trip lost rows: $n != $want")
+    val plan = df.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*lang#\\d+ = en".r
+        .findFirstIn(plan).isDefined,
+      s"expected lang=en partition pruning in:\n$plan")
+  }
+
   test("compression ratio and mp4 metadata are shuffle-free single passes") {
     for (q <- Seq("text_compression_ratio", "media_mp4_meta")) {
       val plan = planOf(q).split("== Initial Plan ==")(0)
