@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.Engine
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Training-data curation operators over `documents`:
@@ -397,6 +398,72 @@ object CurationOps {
     WHERE (d.doc_id * $MixHashMul) % $MixHashMod < f.thr"""
   }
 
+  /** Temperature-scaled source mixing (α = 0.5): the √-upsampling
+    * recipe LLM pretraining uses to keep big crawls from drowning
+    * small high-quality sources — source s gets a target of
+    * k_s = floor(N · √n_s / Σ√n) documents per epoch, so a 100×
+    * larger source gets only 10× the slots. The output is an epoch
+    * MANIFEST: per document, how many times it appears (small sources
+    * upsample to n_copies ≥ 1, big ones thin to {0,1}), assigned by
+    * the same deterministic multiplicative-hash slotting as
+    * [[mixSources]]: base = k div n copies for everyone, plus one for
+    * the ≈ k mod n documents whose hash slot falls under the
+    * remainder threshold (hash-uniform, so the epoch total tracks k_s
+    * as closely as the corpus hash allows — the [[mixSources]]
+    * contract).
+    *
+    * Float parity: α = 0.5 means the only transcendental is sqrt —
+    * correctly rounded by IEEE on BOTH engines (unlike ln/pow), so
+    * √n is bit-exact. Σ√n is a sum of doubles whose ADDITION ORDER
+    * must match: it is taken as a running window sum ordered by
+    * source (both engines accumulate frames left-to-right), never a
+    * hash-agg SUM. Everything after the one floor() is integer.
+    * Scale: one tiny counts aggregate + a broadcast threshold table;
+    * assignment is row-local. */
+  def mixTemperature(sp: SparkSession, dir: String): DataFrame = {
+    val docs = Engine.table(sp, dir, "documents")
+    val cnt = docs.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val wCum = Window.orderBy(col("source"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val z = cnt
+      .withColumn("cum", sum(sqrt(col("n").cast("double"))).over(wCum))
+      .agg(max(col("cum")).as("z"), sum(col("n")).as("n_total"))
+    val thr = cnt.crossJoin(broadcast(z))
+      .withColumn("k",
+        floor(col("n_total") * sqrt(col("n").cast("double")) / col("z"))
+          .cast("long"))
+      .select(col("source"), expr("k div n").as("base"),
+        expr(s"(k % n) * ${MixHashMod}L div n").as("rem_thr"))
+    docs.join(broadcast(thr), "source")
+      .select(col("doc_id"), col("source"),
+        (col("base") + when(
+          (col("doc_id") * MixHashMul) % MixHashMod < col("rem_thr"), 1L)
+          .otherwise(0L)).as("n_copies"))
+  }
+
+  val mixTemperatureOracle: String = s"""
+    WITH cnt AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+      FROM documents GROUP BY source),
+    cum AS (
+      SELECT source, n,
+        SUM(sqrt(CAST(n AS DOUBLE))) OVER (ORDER BY source
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM cnt),
+    zz AS (SELECT MAX(cum) AS z, CAST(SUM(n) AS BIGINT) AS n_total
+           FROM cum),
+    thr AS (
+      SELECT source,
+        k // n AS base, ((k % n) * ${MixHashMod}) // n AS rem_thr
+      FROM (
+        SELECT source, n,
+          CAST(FLOOR(n_total * sqrt(CAST(n AS DOUBLE)) / z) AS BIGINT) AS k
+        FROM cnt CROSS JOIN zz))
+    SELECT d.doc_id, d.source,
+      t.base + (CASE WHEN (d.doc_id * ${MixHashMul}) % ${MixHashMod}
+                          < t.rem_thr THEN 1 ELSE 0 END) AS n_copies
+    FROM documents d JOIN thr t USING (source)"""
+
   /** Curriculum bucketing WITHOUT a global sort: assign each document
     * to a length decile by exact thresholds, not NTILE. NTILE needs a
     * total order over all rows (single-partition window at scale, and
@@ -543,6 +610,7 @@ object CurationOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_split_leakage" -> (splitLeakage _),
+    "pipeline_mix_temperature" -> (mixTemperature _),
     "pipeline_snapshot_diff" -> (snapshotDiff _),
     "pipeline_curriculum" -> (curriculum _),
     "pipeline_contamination_score" -> (contaminationScore _),
@@ -556,6 +624,7 @@ object CurationOps {
 
   val oracles: Map[String, String] = Map(
     "pipeline_split_leakage" -> splitLeakageOracle,
+    "pipeline_mix_temperature" -> mixTemperatureOracle,
     "pipeline_snapshot_diff" -> snapshotDiffOracle,
     "pipeline_curriculum" -> curriculumOracle,
     "pipeline_contamination_score" -> contaminationScoreOracle,

@@ -695,11 +695,21 @@ object DedupOps {
     * duplicates (the testdata corpus contains no exact text dups, so
     * the no-false-negative property needs planted members; the
     * false-positive bound is measurable on the raw corpus). */
+  /** The reference-corpus sketch alone — distributed build, bit-
+    * deterministic (bloom merges are bit-ORs, order-free, fixed seed),
+    * so the batch op and the streaming probe twin share identical
+    * bits. */
+  def refBloom(sp: SparkSession,
+      docsIn: DataFrame): org.apache.spark.util.sketch.BloomFilter = {
+    val ref = docsIn.filter(col("source") === BloomRefSource)
+      .select(md5(col("text").cast("binary")).as("h"))
+    ref.stat.bloomFilter("h", math.max(ref.count(), 64L), BloomFpp)
+  }
+
   def bloomFilterDedupFrom(sp: SparkSession, docsIn: DataFrame): DataFrame = {
     val docs = docsIn.select(col("doc_id"), col("source"),
       md5(col("text").cast("binary")).as("h"))
-    val ref = docs.filter(col("source") === BloomRefSource)
-    val bloom = ref.stat.bloomFilter("h", math.max(ref.count(), 64L), BloomFpp)
+    val bloom = refBloom(sp, docsIn)
     val bc = sp.sparkContext.broadcast(bloom)
     val might = udf((h: String) => bc.value.mightContainString(h))
     docs.filter(col("source") =!= BloomRefSource)

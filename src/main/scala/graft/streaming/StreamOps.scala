@@ -666,6 +666,37 @@ object StreamOps {
     spark.table("events_cdc_stream_sink")
   }
 
+  /** Streaming cross-corpus Bloom membership — the continuous-ingest
+    * twin of [[graft.operators.DedupOps.bloomFilterDedup]]: the
+    * reference corpus's sketch is a STATIC broadcast artifact (built
+    * batch-side once; in production, refreshed out-of-band) and the
+    * incoming stream probes it statelessly — no state store, no
+    * watermark, no corpus×corpus join ever, the exact posture a
+    * 100 TB firehose needs. Bloom bits are build-order-free (bit-OR
+    * merges, fixed seed), so the streaming probe's verdicts are
+    * BIT-IDENTICAL to the batch op's — the replay twin is spec-pinned
+    * to exact equality (StreamingSpec); the batch op's fp-rate gate
+    * covers the sketch itself. */
+  def bloomProbe(spark: SparkSession, docs: DataFrame,
+      bloom: org.apache.spark.util.sketch.BloomFilter): DataFrame = {
+    val bc = spark.sparkContext.broadcast(bloom)
+    val might = udf((h: String) => bc.value.mightContainString(h))
+    docs
+      .filter(col("source") =!= graft.operators.DedupOps.BloomRefSource)
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("h"))
+      .select(col("doc_id"), might(col("h")).as("maybe_in_reference"))
+  }
+
+  def bloomProbeReplay(spark: SparkSession, dir: String): DataFrame = {
+    val bloom = graft.operators.DedupOps.refBloom(
+      spark, graft.Engine.table(spark, dir, "documents"))
+    val q = bloomProbe(spark, readDocuments(spark, dir), bloom).writeStream
+      .outputMode("append").format("memory")
+      .queryName("docs_bloom_stream_sink").start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table("docs_bloom_stream_sink")
+  }
+
   /** Streaming exact-dedup replay twin. WHICH doc_id survives per
     * content hash is micro-batch-arrival-order-dependent (all rows of
     * a replay land in one batch, so "first seen" is partition order —
@@ -952,7 +983,8 @@ object StreamOps {
     "events_sessionize_stream" -> (sessionizeReplay _),
     "events_cdc_stream" -> (cdcCompactReplay _),
     "events_scd2_stream" -> (scd2Replay _),
-    "docs_dedup_stream" -> (dedupExactReplay _))
+    "docs_dedup_stream" -> (dedupExactReplay _),
+    "docs_bloom_stream" -> (bloomProbeReplay _))
 
   /** Oracles: the interval join shares the batch range-join SQL
     * (purchase×click pairs of one user within ±15 minutes); the as-of

@@ -57,6 +57,34 @@ class CurationSpec extends AnyFunSuite {
     assert(again == outIds)
   }
 
+  test("temperature mixing hits the sqrt targets and flattens source shares") {
+    val rows = CurationOps.mixTemperature(spark, sf).collect()
+      .map(r => (r.getString(1), r.getLong(2)))
+    val bySource = rows.groupBy(_._1).view
+      .mapValues(cs => (cs.length.toLong, cs.map(_._2).sum)).toMap
+    // driver-side targets with the SAME ordered sqrt accumulation
+    val ns = bySource.toSeq.sortBy(_._1).map { case (s, (n, _)) => (s, n) }
+    val z = ns.map { case (_, n) => math.sqrt(n.toDouble) }.sum
+    val nTotal = ns.map(_._2).sum
+    for ((s, n) <- ns) {
+      val k = math.floor(nTotal * math.sqrt(n.toDouble) / z).toLong
+      val got = bySource(s)._2
+      // hash slotting resolves the k mod n remainder approximately;
+      // base copies are exact, so the error is bounded by the
+      // remainder bucket's binomial noise
+      val tol = math.max(5.0, 4 * math.sqrt(n.toDouble))
+      assert(math.abs(got - k) <= tol, s"$s: epoch copies $got vs target $k")
+      assert(got >= (k / n) * n - tol, s"$s: base copies undershot")
+    }
+    // the recipe's point: copies-per-doc must be (weakly) larger for
+    // smaller sources
+    val smallest = ns.minBy(_._2)._1
+    val largest = ns.maxBy(_._2)._1
+    val perDoc = bySource.map { case (s, (n, c)) => s -> c.toDouble / n }
+    assert(perDoc(smallest) >= perDoc(largest),
+      s"upsampling inverted: $perDoc")
+  }
+
   test("sequence packing conserves tokens and fills bins contiguously") {
     val packed = CurationOps.packSequences(spark, sf).cache()
     try {

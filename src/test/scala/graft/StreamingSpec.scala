@@ -247,6 +247,17 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming bloom probe is bit-identical to the batch membership op") {
+    val got = StreamOps.bloomProbeReplay(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val want = graft.operators.DedupOps.bloomFilterDedup(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(got == want, {
+      val bad = want.collect { case (k, v) if got.get(k) != Some(v) => k }
+      s"bloom verdict divergence on ${bad.size} docs: ${bad.take(5)}"
+    })
+  }
+
   test("streaming CDC compaction matches the batch compaction on full replay") {
     val got = StreamOps.cdcCompactReplay(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
