@@ -80,7 +80,8 @@ object Bench {
     "embed_dim_profile", "text_compression_ratio",
     "media_mp4_meta", "dedup_cluster_star", "embed_covariance",
     "stats_ks_drift", "stats_vocab_growth", "events_asof_nearest",
-    "pipeline_split_leakage", "search_bm25_topk")
+    "pipeline_split_leakage", "search_bm25_topk",
+    "pipeline_mix_temperature", "events_interarrival", "sim_knn_graph")
 
   val Reps = 5
   /** Extra reps for queries whose 5-rep median is below [[SubSecond]] —

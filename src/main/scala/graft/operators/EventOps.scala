@@ -816,6 +816,67 @@ object EventOps {
       (d.dev > $MadK * a.mad) AS is_anomaly
     FROM dev d JOIN madd a USING (event_type)"""
 
+  /** Inter-arrival-time distribution per event type: exact p50/p90/p99
+    * of the gap between a user's consecutive events of the same type —
+    * the cadence audit behind bot detection (impossibly regular gaps)
+    * and session-gap calibration (where the 30-minute sessionize cut
+    * actually sits in the data). Scale shape: the lag window partitions
+    * by (user_id, event_type) — millions of small partitions, never a
+    * per-type global ordering — and the quantiles come from the
+    * (type, delta)-count DISTRIBUTION with a cumulative window over
+    * distinct gaps (the [[graft.operators.StatsOps.lengthQuantiles]]
+    * discipline), so no raw-delta sort ever runs. All integer (ms
+    * gaps, rank arithmetic via ceil on identical doubles) →
+    * hash-exact. */
+  def interArrival(sp: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ms"), col("event_id"))
+    val deltas = Engine.table(sp, dir, "events")
+      .select(col("event_type"), col("user_id"),
+        unix_millis(col("ts")).as("ms"), col("event_id"))
+      .withColumn("prev", lag(col("ms"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .select(col("event_type"), (col("ms") - col("prev")).as("delta"))
+    val counts = deltas.groupBy(col("event_type"), col("delta"))
+      .agg(count(lit(1)).as("c"))
+    val wCum = Window.partitionBy(col("event_type")).orderBy(col("delta"))
+    val wAll = Window.partitionBy(col("event_type"))
+    val cum = counts
+      .withColumn("cum", sum(col("c")).over(
+        wCum.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("tot", sum(col("c")).over(wAll))
+    val qs = Seq(("p50", 0.5), ("p90", 0.9), ("p99", 0.99)).map {
+      case (name, p) =>
+        min(when(col("cum") >= ceil(lit(p) * col("tot")), col("delta")))
+          .as(name)
+    }
+    val aggs = max(col("tot")).as("n_gaps") +: max(col("delta")).as("max_gap") +: qs
+    cum.groupBy(col("event_type")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  val interArrivalOracle: String = """
+    WITH d AS (
+      SELECT event_type,
+        epoch_ms(ts) - lag(epoch_ms(ts)) OVER (
+          PARTITION BY user_id, event_type
+          ORDER BY epoch_ms(ts), event_id) AS delta
+      FROM events),
+    counts AS (
+      SELECT event_type, delta, CAST(COUNT(*) AS BIGINT) AS c
+      FROM d WHERE delta IS NOT NULL GROUP BY event_type, delta),
+    cum AS (
+      SELECT event_type, delta,
+        SUM(c) OVER (PARTITION BY event_type ORDER BY delta
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        SUM(c) OVER (PARTITION BY event_type) AS tot
+      FROM counts)
+    SELECT event_type, CAST(MAX(tot) AS BIGINT) AS n_gaps,
+      MAX(delta) AS max_gap,
+      MIN(CASE WHEN cum >= CEIL(0.5 * tot) THEN delta END) AS p50,
+      MIN(CASE WHEN cum >= CEIL(0.9 * tot) THEN delta END) AS p90,
+      MIN(CASE WHEN cum >= CEIL(0.99 * tot) THEN delta END) AS p99
+    FROM cum GROUP BY event_type"""
+
   /** Longest consecutive-day activity streak per user — the classic
     * gaps-and-islands shape (engagement/retention feature for user
     * cohorting): distinct active DAYS per user, then `day − row_number`
@@ -858,6 +919,7 @@ object EventOps {
     FROM s GROUP BY user_id"""
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_interarrival" -> (interArrival _),
     "events_user_streaks" -> (userStreaks _),
     "events_scd2" -> (scd2 _),
     "events_anomaly_mad" -> (anomalyMad _),
@@ -880,6 +942,7 @@ object EventOps {
     "events_range_join" -> (rangeJoin _))
 
   val oracles: Map[String, String] = Map(
+    "events_interarrival" -> interArrivalOracle,
     "events_user_streaks" -> userStreaksOracle,
     "events_scd2" -> scd2Oracle,
     "events_anomaly_mad" -> anomalyMadOracle,

@@ -949,6 +949,68 @@ object SimilarityOps {
         THEN sqrt(n * sxx - sx * sx) / n ELSE 0.0 END AS std_x
     FROM agg"""
 
+  /** Neighbors per vector in [[knnGraph]]. */
+  val KnnGraphK = 5
+
+  /** Full approximate kNN GRAPH — every vector's top-k cosine
+    * neighbors, not just a fixed query set: the building block under
+    * SemDeDup-style curation, graph clustering, and diversity
+    * sampling. Candidates come from the same corpus-sized LSH
+    * bucketing as [[embeddingNearDupLsh]] (bucket-local pairs, the
+    * all-pairs product never forms), scored with the identical
+    * fold-order dot product, deduped across tables, and reduced to
+    * top-k per SOURCE vector by a rank-limited window
+    * (WindowGroupLimit trims before the final exchange). A vector
+    * whose buckets held fewer than k peers gets a shorter neighbor
+    * list — recall, not silent padding — which the per-round quality
+    * gate measures against an exact brute-force sample. No SQL
+    * oracle: the op is approximate by construction (rows-only +
+    * gate, the ANN family convention). */
+  def knnGraph(sp: SparkSession, dir: String): DataFrame = {
+    import sp.implicits._
+    val vv = vecs(sp, dir)
+    val (tables, bits) = lshConfig(vv.count())
+    val b = buckets(vv, tables, bits)
+    // every vector is a query: 1-bit-flip multi-probe on the probe
+    // side (the [[annLsh]] recall lever — exact-bucket collisions
+    // alone catch near-dups, not general top-k neighbors), candidate
+    // ids deduped BEFORE the vectors join back (the multi-probe
+    // duplication factor is tables × (bits+1), far too high to score
+    // through)
+    val probes = array(col("sig") +:
+      (0 until bits).map(bp => col("sig").bitwiseXOR(lit(1L << bp))): _*)
+    val probeSide = b
+      .select(col("vec_id").as("src"), col("tbl").as("qtbl"),
+        explode(probes).as("qsig"))
+    val cand = probeSide
+      .join(b.select(col("vec_id").as("dst"), col("tbl"), col("sig")),
+        col("tbl") === col("qtbl") && col("sig") === col("qsig") &&
+          col("src") =!= col("dst"))
+      .select(col("src"), col("dst")).distinct()
+      .join(vv.select(col("vec_id").as("src"), col("v").as("va"),
+        col("nrm").as("na")), "src")
+      .join(vv.select(col("vec_id").as("dst"), col("v").as("vb"),
+        col("nrm").as("nb")), "dst")
+      .select(col("src"), col("va"), col("na"), col("dst"), col("vb"), col("nb"))
+      .as[(Long, Seq[Double], Double, Long, Seq[Double], Double)]
+      .mapPartitions { it =>
+        it.map { case (src, vaSeq, na, dst, vbSeq, nb) =>
+          val va = vaSeq.toArray; val vb = vbSeq.toArray
+          var s = 0.0
+          var i = 0
+          while (i < va.length) { s += va(i) * vb(i); i += 1 }
+          (src, dst, s / (na * nb))
+        }
+      }
+      .toDF("src", "dst", "cosine")
+    val w = Window.partitionBy(col("src"))
+      .orderBy(col("cosine").desc, col("dst").asc)
+    cand.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= KnnGraphK)
+      .select(col("src").as("vec_id"), col("rk"),
+        col("dst").as("neighbor_id"), round(col("cosine"), 4).as("cosine_r"))
+  }
+
   /** Upper-triangle dimension COVARIANCE matrix — the input to
     * whitening transforms and OPQ-style rotation fits that
     * [[dimProfile]]'s diagonal can't provide. cov(i,j) =
@@ -1106,6 +1168,7 @@ object SimilarityOps {
     "embed_centroid_per_label" -> (centroidPerLabel _),
     "embed_dim_profile" -> (dimProfile _),
     "embed_covariance" -> (covariance _),
+    "sim_knn_graph" -> (knnGraph _),
     "embed_outlier_filter" -> (outlierFilter _),
     "sim_knn_bruteforce" -> (knnBruteForce _),
     "sim_ann_lsh" -> (annLsh _),

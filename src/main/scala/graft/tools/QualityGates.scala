@@ -123,6 +123,37 @@ object QualityGates {
     // stage can only lose candidates the probed lists contain
     annRecall("sim_ann_ivf_pq", SimilarityOps.annIvfPq(sp, dir), 0.25)
 
+    // ---- sim_knn_graph recall vs an exact driver-side brute force
+    // over a 100-vector sample (the graph covers EVERY vector; the
+    // sample keeps the exact twin a measurement, not a data path)
+    locally {
+      val sampleN = 100
+      val gotGr = SimilarityOps.knnGraph(sp, dir)
+        .filter(col("vec_id") < sampleN)
+        .select("vec_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val all = Engine.table(sp, dir, "embeddings")
+        .selectExpr("vec_id", "cast(embedding as array<double>) as v")
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      val norms = all.map { case (id, v) =>
+        id -> math.sqrt(v.map(x => x * x).sum) }.toMap
+      val exactGr = all.filter(_._1 < sampleN).flatMap { case (qid, qv) =>
+        all.filter(_._1 != qid).map { case (id, v) =>
+          var s = 0.0; var i = 0
+          while (i < v.length) { s += qv(i) * v(i); i += 1 }
+          (id, s / (norms(qid) * norms(id)))
+        }.sortBy { case (id, c) => (-c, id) }
+          .take(SimilarityOps.KnnGraphK)
+          .map { case (id, _) => (qid, id) }
+      }.toSet
+      gates += Gate("sim_knn_graph", "driver_brute_force_sample",
+        "recall_at_k",
+        if (exactGr.isEmpty) 1.0
+        else (gotGr & exactGr).size.toDouble / exactGr.size, 0.8,
+        gotGr.size, exactGr.size)
+    }
+
     // ---- sim_neardup_lsh vs the exact all-pairs cosine twin
     gates ++= recallPrecision("sim_neardup_lsh", "sim_embedding_neardup",
       pairSet(SimilarityOps.embeddingNearDupLsh(sp, dir)

@@ -238,6 +238,22 @@ class PlanQualitySpec extends AnyFunSuite {
       s"calibration planned a global sort:\n$plan")
   }
 
+  test("inter-arrival quantiles never globally sort raw deltas") {
+    val plan = planOf("events_interarrival").split("== Initial Plan ==")(0)
+    assert(!plan.contains("Exchange rangepartitioning"),
+      s"interarrival planned a global sort:\n$plan")
+    assert(plan.contains("HashAggregate") && plan.contains("Window"),
+      s"expected distribution aggregate + window in:\n$plan")
+  }
+
+  test("kNN graph limits window groups pre-shuffle and forms no cartesian product") {
+    val plan = planOf("sim_knn_graph").split("== Initial Plan ==")(0)
+    assert(!plan.contains("CartesianProduct"),
+      s"kNN graph planned a cartesian product:\n$plan")
+    assert(plan.contains("WindowGroupLimit"),
+      s"expected rank-limit pushdown in:\n$plan")
+  }
+
   test("covariance broadcasts the per-dim sums and forms no cartesian product") {
     val plan = planOf("embed_covariance").split("== Initial Plan ==")(0)
     assert(!plan.contains("CartesianProduct"),
