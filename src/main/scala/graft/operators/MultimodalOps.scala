@@ -380,6 +380,92 @@ object MultimodalOps {
       CAST(16 + (doc_id * 11) % 1009 AS INT) AS height
     FROM documents"""
 
+  /** A COMPLETE chunked PNG for doc_id — signature, IHDR, a
+    * variable-length tEXt chunk, IEND — with spec-correct CRC32 over
+    * (type ‖ data) for every chunk. Docs with doc_id % 7 == 3 get one
+    * tEXt payload byte flipped AFTER the CRC was computed: a
+    * bit-rotted blob whose envelope still parses — exactly what an
+    * integrity scan must catch (truncation checks and dimension
+    * parsers both miss it). */
+  private def synthPngChunked(docId: Long): Array[Byte] = {
+    import java.nio.ByteBuffer
+    import java.util.zip.CRC32
+    val (w, h) = dimsOf(docId)
+    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val t = typ.getBytes("US-ASCII")
+      val crc = new CRC32
+      crc.update(t); crc.update(data)
+      val b = ByteBuffer.allocate(12 + data.length)
+      b.putInt(data.length).put(t).put(data).putInt(crc.getValue.toInt)
+      b.array()
+    }
+    val ihdr = ByteBuffer.allocate(13)
+      .putInt(w).putInt(h).put(8.toByte).put(0.toByte)
+      .put(0.toByte).put(0.toByte).put(0.toByte).array()
+    val txt = (0 until (1 + docId % 13).toInt)
+      .map(i => ('a' + (docId + i) % 26).toByte).toArray
+    val sig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+      .map(_.toByte)
+    val blob = sig ++ chunk("IHDR", ihdr) ++ chunk("tEXt", txt) ++
+      chunk("IEND", Array.empty[Byte])
+    if (docId % 7 == 3) {
+      // flip one payload byte of tEXt (offset: sig 8 + IHDR chunk 25
+      // + tEXt len/type 8) — CRC now mismatches
+      val off = 8 + 25 + 8
+      blob(off) = (blob(off) ^ 0x40).toByte
+    }
+    blob
+  }
+
+  /** PNG chunk-CRC integrity scan — the ingest-time bit-rot detector:
+    * walk every chunk ([len u32][type][data][crc u32]), recompute
+    * CRC32 over type‖data, and flag blobs whose stored CRC disagrees
+    * (a corrupt blob often still "parses" — lengths and magics
+    * intact — so dimension parsers and size checks sail past it).
+    * The synth corpus plants corruption by the doc_id % 7 == 3 rule,
+    * so the oracle can state the expected verdicts arithmetically and
+    * a parser that walks chunks wrong, checksums the wrong span, or
+    * misses the flipped byte mismatches. Scale: row-local CRC pass,
+    * no shuffle. */
+  def crcCheck(sp: SparkSession, dir: String): DataFrame = {
+    import sp.implicits._
+    import java.util.zip.CRC32
+    Engine.table(sp, dir, "documents")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        val crc = new CRC32
+        it.map { id =>
+          val b = synthPngChunked(id)
+          var pos = 8
+          var n = 0L
+          var ok = true
+          while (pos + 12 <= b.length) {
+            val len = ((b(pos) & 0xff) << 24) | ((b(pos + 1) & 0xff) << 16) |
+              ((b(pos + 2) & 0xff) << 8) | (b(pos + 3) & 0xff)
+            if (pos + 12 + len > b.length) { ok = false; pos = b.length }
+            else {
+              crc.reset()
+              crc.update(b, pos + 4, 4 + len)
+              val stored = ((b(pos + 8 + len) & 0xffL) << 24) |
+                ((b(pos + 9 + len) & 0xffL) << 16) |
+                ((b(pos + 10 + len) & 0xffL) << 8) |
+                (b(pos + 11 + len) & 0xffL)
+              if (crc.getValue != stored) ok = false
+              n += 1
+              pos += 12 + len
+            }
+          }
+          (id, n, ok)
+        }
+      }
+      .toDF("doc_id", "n_chunks", "crc_ok")
+  }
+
+  val crcCheckOracle: String = """
+    SELECT doc_id, CAST(3 AS BIGINT) AS n_chunks,
+      (doc_id % 7 <> 3) AS crc_ok
+    FROM documents"""
+
   private def mp4ParamsOf(docId: Long): (Long, Long) =
     (600 + (docId * 37) % 46000, 1 + (docId * 7919) % 100000000L)
 
@@ -468,6 +554,7 @@ object MultimodalOps {
     FROM documents"""
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "media_crc_check" -> (crcCheck _),
     "media_mp4_meta" -> (mp4Meta _),
     "media_jpeg_dims" -> (jpegDims _),
     "media_wav_meta" -> (wavMeta _),
@@ -478,6 +565,7 @@ object MultimodalOps {
     "media_image_dims" -> (imageDims _))
 
   val oracles: Map[String, String] = Map(
+    "media_crc_check" -> crcCheckOracle,
     "media_mp4_meta" -> mp4MetaOracle,
     "media_jpeg_dims" -> jpegDimsOracle,
     "media_wav_meta" -> wavMetaOracle,

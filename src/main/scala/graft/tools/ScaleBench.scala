@@ -60,7 +60,12 @@ object ScaleBench {
     // row-local deflate scan
     "dedup_cluster_star", "embed_dim_profile", "embed_covariance",
     "pipeline_quality_calibrate", "events_user_streaks",
-    "text_compression_ratio")
+    "text_compression_ratio",
+    // round 8 (cont.): the multi-probe kNN graph (candidate volume ∝
+    // corpus × tables × probes, bucket-local), the distribution-
+    // aggregated inter-arrival quantiles, and the √-temperature epoch
+    // manifest (tiny agg + broadcast thresholds)
+    "sim_knn_graph", "events_interarrival", "pipeline_mix_temperature")
 
   /** ANN ops re-scored for recall@5 at the big corpus: the round-7 PQ
     * shortlist regression (recall 0.64 → 0.48 before the ∝-corpus fix)
