@@ -81,7 +81,8 @@ object Bench {
     "media_mp4_meta", "dedup_cluster_star", "embed_covariance",
     "stats_ks_drift", "stats_vocab_growth", "events_asof_nearest",
     "pipeline_split_leakage", "search_bm25_topk",
-    "pipeline_mix_temperature", "events_interarrival", "sim_knn_graph")
+    "pipeline_mix_temperature", "events_interarrival", "sim_knn_graph",
+    "orders_ship_latency", "media_crc_check")
 
   val Reps = 5
   /** Extra reps for queries whose 5-rep median is below [[SubSecond]] —

@@ -615,7 +615,64 @@ object Relational {
     WHERE o_orderpriority = '1-URGENT'
     GROUP BY date_trunc('month', o_orderdate)"""
 
+  /** Order-to-ship latency distribution per order priority: exact
+    * p50/p90/p99 of datediff(l_shipdate, o_orderdate) — the
+    * fulfillment-SLA audit ("do URGENT orders actually ship faster,
+    * and by how much at the tail?"). One PK-FK shuffle join
+    * (lineitem → orders on orderkey), then the
+    * [[graft.operators.StatsOps.lengthQuantiles]] distribution
+    * discipline: aggregate to (priority, days) counts — bounded by
+    * priorities × distinct latencies, never rows — and take discrete
+    * quantiles from the cumulative window over that tiny aggregate.
+    * All integer (day diffs, ceil-rank on identical doubles) →
+    * hash-exact. */
+  def shipLatency(sp: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val o = Engine.table(sp, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_orderdate"))
+    val l = Engine.table(sp, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_shipdate"))
+    val counts = l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderpriority").as("priority"),
+        datediff(col("l_shipdate"), col("o_orderdate")).cast("long").as("days"))
+      .groupBy(col("priority"), col("days")).agg(count(lit(1)).as("c"))
+    val wCum = Window.partitionBy(col("priority")).orderBy(col("days"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.partitionBy(col("priority"))
+    val cum = counts
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .withColumn("tot", sum(col("c")).over(wAll))
+    val qs = Seq(("p50", 0.5), ("p90", 0.9), ("p99", 0.99)).map {
+      case (name, p) =>
+        min(when(col("cum") >= ceil(lit(p) * col("tot")), col("days"))).as(name)
+    }
+    val aggs = max(col("tot")).as("n_items") +: max(col("days")).as("max_days") +: qs
+    cum.groupBy(col("priority")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  val shipLatencyOracle: String = """
+    WITH d AS (
+      SELECT o.o_orderpriority AS priority,
+        CAST(datediff('day', o.o_orderdate, l.l_shipdate) AS BIGINT) AS days
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+    counts AS (
+      SELECT priority, days, CAST(COUNT(*) AS BIGINT) AS c
+      FROM d GROUP BY priority, days),
+    cum AS (
+      SELECT priority, days,
+        SUM(c) OVER (PARTITION BY priority ORDER BY days
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        SUM(c) OVER (PARTITION BY priority) AS tot
+      FROM counts)
+    SELECT priority, CAST(MAX(tot) AS BIGINT) AS n_items,
+      MAX(days) AS max_days,
+      MIN(CASE WHEN cum >= CEIL(0.5 * tot) THEN days END) AS p50,
+      MIN(CASE WHEN cum >= CEIL(0.9 * tot) THEN days END) AS p90,
+      MIN(CASE WHEN cum >= CEIL(0.99 * tot) THEN days END) AS p99
+    FROM cum GROUP BY priority"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "orders_ship_latency" -> (shipLatency _),
     "join_bloom_prefilter" -> (joinBloomPrefilter _),
     "orders_running_total" -> (runningTotal _),
     "orders_pareto" -> (pareto _),
@@ -648,6 +705,7 @@ object Relational {
     "date_filter" -> (dateFilter _))
 
   val oracles: Map[String, String] = Map(
+    "orders_ship_latency" -> shipLatencyOracle,
     "join_bloom_prefilter" -> joinBloomPrefilterOracle,
     "orders_running_total" -> runningTotalOracle,
     "orders_pareto" -> paretoOracle,
