@@ -666,6 +666,85 @@ object StreamOps {
     spark.table("events_cdc_stream_sink")
   }
 
+  /** Streaming 1-hour trailing moving average — the continuous twin
+    * of [[graft.operators.EventOps.movingAvg]]: per user, a trailing
+    * buffer of the last hour's (ms, event_id, µ-unit value) triples;
+    * each event emits the count/exact-sum/average of its RANGE frame
+    * [t−1h, t] — INCLUDING same-millisecond peers, which the batch
+    * RANGE window also counts, so equal-ms runs are processed as one
+    * group sharing one frame. Values are quantized with the
+    * [[graft.operators.Exact]] discipline (rint(v·10⁶) longs, ÷10⁶ on
+    * emit) so the float sum is order-free and bit-equal to the batch
+    * window and the DuckDB decimal oracle. State is TTL'd by
+    * event-time timeout (one idle hour past the watermark); under
+    * cross-batch disorder a late event's frame sees only what the
+    * watermark retained — the usual bounded-disorder caveat, and the
+    * single-batch replay twin registered for the oracle is exact. */
+  final case class MaRow(user_id: Long, event_id: Long,
+      ts: java.sql.Timestamp, value: Double) {
+    def ts_ms: Long = ts.getTime
+  }
+  final case class MaState(ms: Array[Long], ids: Array[Long], u6: Array[Long])
+  final case class MaOut(event_id: Long, user_id: Long, ts_ms: Long,
+      n_win: Long, sum_win: Double, avg_win: Double)
+
+  def movingAvg(spark: SparkSession, events: DataFrame,
+      ttlMillis: Long = 3600000L): Dataset[MaOut] = {
+    import spark.implicits._
+    val WinMs = 3600000L
+    events
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .withWatermark("ts", "1 hour")
+      .as[MaRow]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[MaState, MaOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[MaRow], state: GroupState[MaState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val arr = rows.toArray.sortBy(r => (r.ts_ms, r.event_id))
+            var buf = state.getOption
+              .map(s => s.ms.indices.map(i => (s.ms(i), s.ids(i), s.u6(i))).toList)
+              .getOrElse(Nil)
+            val out = Seq.newBuilder[MaOut]
+            var i = 0
+            while (i < arr.length) {
+              var j = i
+              while (j < arr.length && arr(j).ts_ms == arr(i).ts_ms) j += 1
+              val t = arr(i).ts_ms
+              for (k <- i until j)
+                buf = (t, arr(k).event_id,
+                  math.rint(arr(k).value * 1e6).toLong) :: buf
+              buf = buf.filter(_._1 >= t - WinMs)
+              val n = buf.size.toLong
+              val sumWin = buf.map(_._3).sum.toDouble / 1e6
+              for (k <- i until j)
+                out += MaOut(arr(k).event_id, user, t, n, sumWin, sumWin / n)
+              i = j
+            }
+            val b = buf.toArray
+            state.update(MaState(b.map(_._1), b.map(_._2), b.map(_._3)))
+            if (arr.nonEmpty)
+              state.setTimeoutTimestamp(
+                math.max(arr.last.ts_ms, state.getCurrentWatermarkMs()) +
+                  ttlMillis)
+            out.result().iterator
+          }
+      }
+  }
+
+  /** Moving-average replay twin: single-batch replay = the batch op,
+    * sharing its oracle verbatim. */
+  def movingAvgReplay(spark: SparkSession, dir: String): DataFrame = {
+    val q = movingAvg(spark, readEvents(spark, dir)).toDF.writeStream
+      .outputMode("append").format("memory")
+      .queryName("events_moving_avg_stream_sink").start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table("events_moving_avg_stream_sink")
+  }
+
   /** Streaming cross-corpus Bloom membership — the continuous-ingest
     * twin of [[graft.operators.DedupOps.bloomFilterDedup]]: the
     * reference corpus's sketch is a STATIC broadcast artifact (built
@@ -983,6 +1062,7 @@ object StreamOps {
     "events_sessionize_stream" -> (sessionizeReplay _),
     "events_cdc_stream" -> (cdcCompactReplay _),
     "events_scd2_stream" -> (scd2Replay _),
+    "events_moving_avg_stream" -> (movingAvgReplay _),
     "docs_dedup_stream" -> (dedupExactReplay _),
     "docs_bloom_stream" -> (bloomProbeReplay _))
 
@@ -1004,6 +1084,7 @@ object StreamOps {
     "events_funnel_stream" -> graft.operators.EventOps.funnelOracle,
     "events_funnel_k_stream" -> graft.operators.EventOps.funnelKOracle,
     "events_cdc_stream" -> graft.operators.EventOps.cdcCompactOracle,
+    "events_moving_avg_stream" -> graft.operators.EventOps.movingAvgOracle,
     // the batch SCD2 restricted to closed intervals (the open tail
     // per user lives in streaming state, not the sink)
     "events_scd2_stream" -> """

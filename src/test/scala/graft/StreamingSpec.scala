@@ -247,6 +247,47 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming moving average is bit-identical to the batch RANGE window on replay") {
+    val got = StreamOps.movingAvgReplay(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5))).toSet
+    val want = SparkEntry.queries("events_moving_avg")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5))).toSet
+    assert(got == want, {
+      val bad = want -- got
+      s"moving-avg divergence on ${bad.size} events: ${bad.take(3)}"
+    })
+  }
+
+  test("streaming moving average evicts across micro-batch boundaries") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.{col, timestamp_millis}
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val t0 = 1700000000000L
+    val input = MemoryStream[(Long, Long, Double, Long)]
+    val events = input.toDF()
+      .toDF("event_id", "user_id", "value", "ms")
+      .withColumn("ts", timestamp_millis(col("ms")))
+    val q = StreamOps.movingAvg(spark, events).toDF.writeStream
+      .outputMode("append").format("memory").queryName("maxb").start()
+    try {
+      input.addData((1L, 1L, 2.0, t0), (2L, 1L, 4.0, t0 + 1000))
+      q.processAllAvailable()
+      // a later batch: event at t0+30min still sees both, event at
+      // t0+2h sees only itself (earlier entries evicted)
+      input.addData((3L, 1L, 6.0, t0 + 1800000))
+      input.addData((4L, 1L, 8.0, t0 + 7200000))
+      q.processAllAvailable()
+      val rows = spark.table("maxb").collect()
+        .map(r => r.getLong(0) -> ((r.getLong(3), r.getDouble(4)))).toMap
+      assert(rows(1L) == ((1L, 2.0)) && rows(2L) == ((2L, 6.0)), s"$rows")
+      assert(rows(3L) == ((3L, 12.0)), s"in-window batch-2 event: $rows")
+      assert(rows(4L) == ((1L, 8.0)), s"eviction failed: $rows")
+    } finally q.stop()
+  }
+
   test("streaming bloom probe is bit-identical to the batch membership op") {
     val got = StreamOps.bloomProbeReplay(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
