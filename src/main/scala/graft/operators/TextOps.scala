@@ -166,6 +166,55 @@ object TextOps {
       PERCENT_RANK() OVER (PARTITION BY source ORDER BY score) AS calibrated
     FROM s"""
 
+  /** Character-class profile per document: counts of ASCII letters,
+    * digits, punctuation, whitespace, and NON-ASCII codepoints, plus
+    * the non-ASCII ratio — the mojibake/binary-spill detector that
+    * runs before any tokenizer (a doc whose non-ASCII ratio spikes
+    * against its language's norm is mis-decoded, not multilingual).
+    * Counting is remove-and-measure with PURE-ASCII regex classes —
+    * the subset where RE2/Java/DuckDB regex semantics provably agree
+    * (no unicode property classes, whose engine tables drift) — so
+    * every count is exact integer arithmetic on both engines.
+    * Row-local, shuffle-free, codegen'd. */
+  def charClassProfile(sp: SparkSession, dir: String): DataFrame = {
+    def removed(c: Column, cls: String): Column =
+      (length(col("text")) - length(regexp_replace(c, cls, ""))).cast("long")
+    Engine.table(sp, dir, "documents")
+      .select(col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        removed(col("text"), "[A-Za-z]").as("n_letters"),
+        removed(col("text"), "[0-9]").as("n_digits"),
+        removed(col("text"), """[!-/:-@\[-`{-~]""").as("n_punct"),
+        removed(col("text"), """[ \t\n\r]""").as("n_space"),
+        removed(col("text"), """[\x00-\x7F]""").as("n_non_ascii"))
+      .withColumn("n_non_ascii",
+        col("n_chars") - col("n_non_ascii"))
+      .withColumn("non_ascii_ratio",
+        when(col("n_chars") > 0,
+          col("n_non_ascii").cast("double") / col("n_chars"))
+          .otherwise(lit(0.0)))
+  }
+
+  val charClassProfileOracle: String = """
+    SELECT doc_id, n_chars, n_letters, n_digits, n_punct, n_space,
+      n_chars - n_ascii AS n_non_ascii,
+      CASE WHEN n_chars > 0
+        THEN CAST(n_chars - n_ascii AS DOUBLE) / n_chars ELSE 0.0
+      END AS non_ascii_ratio
+    FROM (
+      SELECT doc_id, CAST(LENGTH(text) AS BIGINT) AS n_chars,
+        CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[A-Za-z]', '', 'g'))
+          AS BIGINT) AS n_letters,
+        CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[0-9]', '', 'g'))
+          AS BIGINT) AS n_digits,
+        CAST(LENGTH(text) - LENGTH(regexp_replace(text,
+          '[!-/:-@\[-`{-~]', '', 'g')) AS BIGINT) AS n_punct,
+        CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[ \t\n\r]', '', 'g'))
+          AS BIGINT) AS n_space,
+        CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[\x00-\x7F]', '', 'g'))
+          AS BIGINT) AS n_ascii
+      FROM documents)"""
+
   /** Corpus document-frequency table: how many documents contain each
     * token at least once, thresholded at df ≥ 5 (the inverted-index
     * statistic behind stopword discovery, boilerplate detection, and
@@ -888,6 +937,7 @@ object TextOps {
     "text_quality_score" -> (qualityScore _),
     "pipeline_quality_calibrate" -> (qualityCalibrate _),
     "text_compression_ratio" -> (compressionRatio _),
+    "text_charclass_profile" -> (charClassProfile _),
     "text_lang_id" -> (langId _),
     "text_fingerprint" -> (fingerprint _),
     "text_token_histogram" -> (tokenHistogram _),
@@ -911,6 +961,7 @@ object TextOps {
     "text_token_stats" -> tokenStatsOracle,
     "text_quality_score" -> qualityScoreOracle,
     "pipeline_quality_calibrate" -> qualityCalibrateOracle,
+    "text_charclass_profile" -> charClassProfileOracle,
     "text_lang_id" -> langIdOracle,
     "text_token_histogram" -> tokenHistogramOracle,
     "text_token_bpe" -> tokenBpeOracle,
