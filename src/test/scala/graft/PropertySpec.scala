@@ -31,6 +31,31 @@ class PropertySpec extends AnyFunSuite {
     Gen.oneOf(32, 64).map(MFloat(_)),
     for { p <- Gen.choose(1, 19); s <- Gen.choose(0, 6) } yield MDecimal(p, math.min(p, s)))
 
+  test("binary walkers never throw and terminate on arbitrary bytes") {
+    // the media parsers run inside codegen over UNTRUSTED blobs: any
+    // byte sequence must produce a verdict (-1 on garbage), never an
+    // exception or a hang — fuzz random buffers plus adversarial
+    // prefixes (valid magics with garbage tails, zero/huge size
+    // fields) through every walker
+    val genBytes: Gen[Array[Byte]] = for {
+      n <- Gen.choose(0, 512)
+      bs <- Gen.listOfN(n, Gen.choose(Byte.MinValue, Byte.MaxValue))
+    } yield bs.toArray
+    val magics = Seq(
+      Array[Byte](0xff.toByte, 0xd8.toByte),                   // JPEG SOI
+      "ftyp".getBytes("US-ASCII"),
+      Array[Byte](0, 0, 0, 0) ++ "ftyp".getBytes("US-ASCII"),  // size-0 ftyp
+      Array[Byte](0, 0, 0, 1) ++ "mdat".getBytes("US-ASCII"),  // largesize, no payload
+      Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+    forAll(Gen.zip(genBytes, Gen.oneOf(magics), Gen.oneOf(true, false))) {
+      case (tail, magic, prefixed) =>
+        val blob = if (prefixed) magic ++ tail else tail
+        // each call must return (any value) without throwing
+        graft.functions.JpegDims.dims(blob)
+        graft.functions.Mp4Meta.meta(blob)
+    }
+  }
+
   test("arithmetic_join is commutative over numerics") {
     forAll(genNumeric, genNumeric) { (a: graft.analyzer.MType, b: graft.analyzer.MType) =>
       assert(MTypes.arithmeticJoin(a, b) == MTypes.arithmeticJoin(b, a))
