@@ -877,6 +877,67 @@ object EventOps {
       MIN(CASE WHEN cum >= CEIL(0.99 * tot) THEN delta END) AS p99
     FROM cum GROUP BY event_type"""
 
+  /** Cadence-regularity bot scoring: a human's inter-event gaps are
+    * bursty (coefficient of variation ≈ 1 for Poisson-ish arrivals,
+    * usually higher); scripted traffic ticks — many events at
+    * near-constant gaps, CV² ≪ 1. Per user: second-granularity gaps
+    * capped at one hour (sub-hour cadence is the bot signature;
+    * overnight pauses would drown the statistic), exact integer
+    * first/second moments, CV² = (n·Σg² − (Σg)²)/(Σg)² evaluated on
+    * the [[graft.operators.StatsOps.valueCorr]] float discipline
+    * (sums cast to double AFTER exact integer aggregation, identical
+    * expression order on both engines, zero-mean guard), and the
+    * flag `is_bot` = (n ≥ 20 ∧ CV² < 0.1) written as the same CASE
+    * on both sides. One lag window per (user) + one aggregate —
+    * fully oracled. */
+  def botScore(sp: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ms"), col("event_id"))
+    val gaps = Engine.table(sp, dir, "events")
+      .select(col("user_id"), unix_millis(col("ts")).as("ms"), col("event_id"))
+      .withColumn("prev", lag(col("ms"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .select(col("user_id"),
+        least(expr("(ms - prev) div 1000"), lit(3600L)).as("g"))
+    gaps.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_gaps"),
+        sum(col("g")).cast("double").as("sg"),
+        sum(col("g") * col("g")).cast("double").as("sgg"))
+      .select(col("user_id"), col("n_gaps"),
+        when(col("sg") > 0,
+          (col("n_gaps") * col("sgg") - col("sg") * col("sg")) /
+            (col("sg") * col("sg"))).as("cv2"),
+        (col("n_gaps") >= 20 &&
+          when(col("sg") > 0,
+            (col("n_gaps") * col("sgg") - col("sg") * col("sg")) /
+              (col("sg") * col("sg"))).otherwise(lit(Double.MaxValue)) < 0.1)
+          .as("is_bot"))
+  }
+
+  val botScoreOracle: String = """
+    WITH d AS (
+      SELECT user_id,
+        epoch_ms(ts) - lag(epoch_ms(ts)) OVER (
+          PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) AS dms
+      FROM events),
+    -- the null first-event lag is dropped BEFORE the cap: DuckDB's
+    -- LEAST ignores NULL arguments, so capping first would turn every
+    -- user's first event into a spurious 3600 s gap
+    g AS (
+      SELECT user_id, LEAST(dms // 1000, 3600) AS g
+      FROM d WHERE dms IS NOT NULL),
+    s AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+        CAST(CAST(SUM(g) AS BIGINT) AS DOUBLE) AS sg,
+        CAST(CAST(SUM(g * g) AS BIGINT) AS DOUBLE) AS sgg
+      FROM g GROUP BY user_id)
+    SELECT user_id, n_gaps,
+      CASE WHEN sg > 0
+        THEN (n_gaps * sgg - sg * sg) / (sg * sg) END AS cv2,
+      (n_gaps >= 20 AND
+        CASE WHEN sg > 0 THEN (n_gaps * sgg - sg * sg) / (sg * sg)
+             ELSE 1e308 END < 0.1) AS is_bot
+    FROM s"""
+
   /** Longest consecutive-day activity streak per user — the classic
     * gaps-and-islands shape (engagement/retention feature for user
     * cohorting): distinct active DAYS per user, then `day − row_number`
@@ -920,6 +981,7 @@ object EventOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_interarrival" -> (interArrival _),
+    "events_bot_score" -> (botScore _),
     "events_user_streaks" -> (userStreaks _),
     "events_scd2" -> (scd2 _),
     "events_anomaly_mad" -> (anomalyMad _),
@@ -943,6 +1005,7 @@ object EventOps {
 
   val oracles: Map[String, String] = Map(
     "events_interarrival" -> interArrivalOracle,
+    "events_bot_score" -> botScoreOracle,
     "events_user_streaks" -> userStreaksOracle,
     "events_scd2" -> scd2Oracle,
     "events_anomaly_mad" -> anomalyMadOracle,
