@@ -1073,6 +1073,68 @@ object SimilarityOps {
     JOIN sums si ON si.d = p.i
     JOIN sums sj ON sj.d = p.j"""
 
+  /** Top principal component of the covariance matrix by driver-side
+    * power iteration — C is Dim² no matter the corpus (the DISTRIBUTED
+    * work is [[covariance]]; the eigensolve is a 64×64 loop), so this
+    * is the honest scale split: heavy pass in the cluster, O(Dim²)
+    * math on the driver. Deterministic: start vector = the row of the
+    * largest diagonal entry, fixed 200 sweeps, sign fixed by making
+    * the largest-|component| positive. */
+  def topEigen(sp: SparkSession, dir: String): (Array[Double], Array[Double], Double) = {
+    val covRows = covariance(sp, dir).collect()
+      .map(r => ((r.getLong(0).toInt, r.getLong(1).toInt), r.getDouble(3)))
+    val d = Dim
+    val c = Array.ofDim[Double](d, d)
+    covRows.foreach { case ((i, j), v) => c(i)(j) = v; c(j)(i) = v }
+    val means = dimProfile(sp, dir).collect()
+      .map(r => r.getLong(0).toInt -> r.getDouble(4)).sortBy(_._1).map(_._2)
+    var v = c(Array.tabulate(d)(identity).maxBy(i => c(i)(i))).clone()
+    var lambda = 0.0
+    for (_ <- 1 to 200) {
+      val w = new Array[Double](d)
+      var i = 0
+      while (i < d) {
+        var s = 0.0; var j = 0
+        while (j < d) { s += c(i)(j) * v(j); j += 1 }
+        w(i) = s; i += 1
+      }
+      val n = math.sqrt(w.map(x => x * x).sum)
+      lambda = n
+      v = w.map(_ / n)
+    }
+    val top = v.indices.maxBy(i => math.abs(v(i)))
+    if (v(top) < 0) v = v.map(-_)
+    (v, means, lambda)
+  }
+
+  /** PCA-1 projection: every embedding's coordinate along the corpus's
+    * top principal axis — the 1-d curriculum/visualization/diversity
+    * coordinate, and the sanity probe before a whitening transform.
+    * pc1(x) = Σ_k (x_k − mean_k)·v_k with a fixed k-ascending fold on
+    * both the op and the gate recompute. No SQL oracle (an eigensolve
+    * is not SQL); gated on (a) the projection variance DOMINATING
+    * every single dimension's variance — what "top component" means —
+    * and (b) exact driver-recompute equality on a sample. */
+  def pcaProject(sp: SparkSession, dir: String): DataFrame = {
+    import sp.implicits._
+    val (v, means, _) = topEigen(sp, dir)
+    val bcV = sp.sparkContext.broadcast(v)
+    val bcM = sp.sparkContext.broadcast(means)
+    Engine.table(sp, dir, "embeddings")
+      .selectExpr("vec_id", "cast(embedding as array<double>) as x")
+      .as[(Long, Seq[Double])]
+      .mapPartitions { it =>
+        val vv = bcV.value; val mm = bcM.value
+        it.map { case (id, xs) =>
+          val x = xs.toArray
+          var s = 0.0; var k = 0
+          while (k < x.length) { s += (x(k) - mm(k)) * vv(k); k += 1 }
+          (id, s)
+        }
+      }
+      .toDF("vec_id", "pc1")
+  }
+
   def centroidPerLabel(sp: SparkSession, dir: String): DataFrame =
     Engine.table(sp, dir, "embeddings")
       .select(col("label"), posexplode(col("embedding")).as(Seq("dim_idx", "x")))
@@ -1169,6 +1231,7 @@ object SimilarityOps {
     "embed_dim_profile" -> (dimProfile _),
     "embed_covariance" -> (covariance _),
     "sim_knn_graph" -> (knnGraph _),
+    "embed_pca_project" -> (pcaProject _),
     "embed_outlier_filter" -> (outlierFilter _),
     "sim_knn_bruteforce" -> (knnBruteForce _),
     "sim_ann_lsh" -> (annLsh _),

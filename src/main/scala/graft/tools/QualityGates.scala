@@ -154,6 +154,38 @@ object QualityGates {
         gotGr.size, exactGr.size)
     }
 
+    // ---- embed_pca_project: the projection's variance must dominate
+    // every single dimension's variance (that is what "top principal
+    // component" means), and a driver recompute with the same fixed
+    // fold order must match the distributed projection exactly
+    locally {
+      val proj = SimilarityOps.pcaProject(sp, dir).collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val n = proj.size.toDouble
+      val mean = proj.values.sum / n
+      val varProj = proj.values.map(x => (x - mean) * (x - mean)).sum / n
+      val maxDimVar = SimilarityOps.dimProfile(sp, dir).collect()
+        .map(r => r.getDouble(5)).map(s => s * s).max
+      gates += Gate("embed_pca_project", "per_dimension_variance",
+        "variance_dominance",
+        if (maxDimVar <= 0) 1.0 else varProj / maxDimVar, 1.0,
+        proj.size, proj.size)
+      val (v, means, _) = SimilarityOps.topEigen(sp, dir)
+      val sample = Engine.table(sp, dir, "embeddings")
+        .filter(col("vec_id") < 50)
+        .selectExpr("vec_id", "cast(embedding as array<double>)").collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      val pcaOk = sample.count { case (id, x) =>
+        var s = 0.0; var k = 0
+        while (k < x.length) { s += (x(k) - means(k)) * v(k); k += 1 }
+        proj.get(id).contains(s)
+      }
+      gates += Gate("embed_pca_project", "driver_exact_recompute",
+        "exact_match_rate",
+        if (sample.isEmpty) 1.0 else pcaOk.toDouble / sample.length, 1.0,
+        proj.size, sample.length)
+    }
+
     // ---- sim_neardup_lsh vs the exact all-pairs cosine twin
     gates ++= recallPrecision("sim_neardup_lsh", "sim_embedding_neardup",
       pairSet(SimilarityOps.embeddingNearDupLsh(sp, dir)

@@ -18,7 +18,7 @@ class QualityGatesSpec extends AnyFunSuite {
     val expected = Set("dedup_minhash_lsh", "dedup_simhash", "sim_ann_lsh",
       "sim_ann_ivf", "sim_ann_pq", "sim_neardup_lsh", "sim_pq_encode",
       "media_byte_entropy", "text_fingerprint", "text_compression_ratio",
-      "search_bm25_topk", "sim_knn_graph")
+      "search_bm25_topk", "sim_knn_graph", "embed_pca_project")
     assert(expected.subsetOf(noOracle), s"oracle status drifted: $noOracle")
     assert(expected.subsetOf(gated), s"ungated: ${expected -- gated}")
   }
