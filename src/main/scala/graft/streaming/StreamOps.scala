@@ -745,6 +745,76 @@ object StreamOps {
     spark.table("events_moving_avg_stream_sink")
   }
 
+  /** Streaming cadence-regularity bot scoring — the LIVE twin of
+    * [[graft.operators.EventOps.botScore]], and the state-size
+    * counterpoint to the buffer-holding moving average: the whole
+    * per-user state is FOUR numbers (last event position + exact
+    * integer gap moments n, Σg, Σg²), so a billion-user firehose
+    * carries ~32 B/user of state. Each micro-batch folds its sorted
+    * events into the moments and emits the user's refreshed
+    * (n_gaps, CV², is_bot) row in Update mode — the continuously
+    * current bot verdict. Gap arithmetic and the CV² expression
+    * mirror the batch op exactly (hour-capped second gaps, doubles
+    * only after exact integer sums), so a single-batch replay IS the
+    * batch output and shares its oracle. Cross-batch disorder folds a
+    * late event against the wrong predecessor — the usual
+    * watermark-bounded caveat; the replay twin is exact. */
+  final case class BotRow(user_id: Long, ts: java.sql.Timestamp, event_id: Long) {
+    def ts_ms: Long = ts.getTime
+  }
+  final case class BotState(last_ms: Long, last_id: Long,
+      n: Long, sg: Long, sgg: Long)
+  final case class BotOut(user_id: Long, n_gaps: Long,
+      cv2: Option[Double], is_bot: Boolean)
+
+  def botScore(spark: SparkSession, events: DataFrame): Dataset[BotOut] = {
+    import spark.implicits._
+    events
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .withWatermark("ts", "1 hour")
+      .as[BotRow]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[BotState, BotOut](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[BotRow], state: GroupState[BotState]) =>
+          val sorted = rows.toSeq.sortBy(r => (r.ts_ms, r.event_id))
+          var s = state.getOption.orNull
+          for (r <- sorted) {
+            if (s == null) s = BotState(r.ts_ms, r.event_id, 0L, 0L, 0L)
+            else {
+              val g = math.min((r.ts_ms - s.last_ms) / 1000L, 3600L)
+              s = BotState(r.ts_ms, r.event_id,
+                s.n + 1, s.sg + g, s.sgg + g * g)
+            }
+          }
+          if (s == null) Iterator.empty
+          else {
+            state.update(s)
+            // a single-event user has no gaps and no batch row yet —
+            // emit only once a gap exists, like the batch aggregate
+            if (s.n == 0) Iterator.empty
+            else {
+              val cv2 = if (s.sg > 0)
+                Some((s.n * s.sgg.toDouble - s.sg.toDouble * s.sg.toDouble) /
+                  (s.sg.toDouble * s.sg.toDouble))
+              else None
+              Iterator.single(BotOut(user, s.n,
+                cv2, s.n >= 20 && cv2.exists(_ < 0.1)))
+            }
+          }
+      }
+  }
+
+  /** Bot-score replay twin: one micro-batch in Update mode emits one
+    * current row per user — the batch op, sharing its oracle. */
+  def botScoreReplay(spark: SparkSession, dir: String): DataFrame = {
+    val q = botScore(spark, readEvents(spark, dir)).toDF.writeStream
+      .outputMode("update").format("memory")
+      .queryName("events_bot_stream_sink").start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table("events_bot_stream_sink")
+  }
+
   /** Streaming cross-corpus Bloom membership — the continuous-ingest
     * twin of [[graft.operators.DedupOps.bloomFilterDedup]]: the
     * reference corpus's sketch is a STATIC broadcast artifact (built
@@ -1063,6 +1133,7 @@ object StreamOps {
     "events_cdc_stream" -> (cdcCompactReplay _),
     "events_scd2_stream" -> (scd2Replay _),
     "events_moving_avg_stream" -> (movingAvgReplay _),
+    "events_bot_stream" -> (botScoreReplay _),
     "docs_dedup_stream" -> (dedupExactReplay _),
     "docs_bloom_stream" -> (bloomProbeReplay _))
 
@@ -1085,6 +1156,7 @@ object StreamOps {
     "events_funnel_k_stream" -> graft.operators.EventOps.funnelKOracle,
     "events_cdc_stream" -> graft.operators.EventOps.cdcCompactOracle,
     "events_moving_avg_stream" -> graft.operators.EventOps.movingAvgOracle,
+    "events_bot_stream" -> graft.operators.EventOps.botScoreOracle,
     // the batch SCD2 restricted to closed intervals (the open tail
     // per user lives in streaming state, not the sink)
     "events_scd2_stream" -> """

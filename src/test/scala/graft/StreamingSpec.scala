@@ -288,6 +288,41 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming bot score matches the batch op on replay") {
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)), r.getBoolean(3))
+    val got = StreamOps.botScoreReplay(spark, sf).collect().map(key).toSet
+    val want = SparkEntry.queries("events_bot_score")(spark, sf)
+      .collect().map(key).toSet
+    assert(got == want, s"bot-score divergence: ${(want -- got).take(3)}")
+  }
+
+  test("streaming bot score accumulates gap moments across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.{col, timestamp_millis}
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val t0 = 1700000000000L
+    val input = MemoryStream[(Long, Long, Long)]
+    val events = input.toDF().toDF("event_id", "user_id", "ms")
+      .withColumn("ts", timestamp_millis(col("ms")))
+    val q = StreamOps.botScore(spark, events).toDF.writeStream
+      .outputMode("update").format("memory").queryName("botxb").start()
+    try {
+      // batch 1: a perfectly regular 10 s tick (3 events → 2 gaps)
+      input.addData((1L, 1L, t0), (2L, 1L, t0 + 10000), (3L, 1L, t0 + 20000))
+      q.processAllAvailable()
+      // batch 2: the tick continues — the gap BETWEEN batches must
+      // count (state carries the last event), total 3 gaps, CV² = 0
+      input.addData((4L, 1L, t0 + 30000))
+      q.processAllAvailable()
+      val last = spark.table("botxb").collect()
+        .map(r => (r.getLong(1), r.getDouble(2))).maxBy(_._1)
+      assert(last == ((3L, 0.0)), s"expected 3 zero-variance gaps: $last")
+    } finally q.stop()
+  }
+
   test("streaming bloom probe is bit-identical to the batch membership op") {
     val got = StreamOps.bloomProbeReplay(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
