@@ -82,7 +82,8 @@ object Bench {
     "stats_ks_drift", "stats_vocab_growth", "events_asof_nearest",
     "pipeline_split_leakage", "search_bm25_topk",
     "pipeline_mix_temperature", "events_interarrival", "sim_knn_graph",
-    "orders_ship_latency", "media_crc_check")
+    "orders_ship_latency", "media_crc_check",
+    "text_charclass_profile", "events_bot_score", "embed_pca_project")
 
   val Reps = 5
   /** Extra reps for queries whose 5-rep median is below [[SubSecond]] —
