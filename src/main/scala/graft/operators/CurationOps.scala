@@ -464,6 +464,41 @@ object CurationOps {
                           < t.rem_thr THEN 1 ELSE 0 END) AS n_copies
     FROM documents d JOIN thr t USING (source)"""
 
+  /** Dataset release card: the one-row manifest a corpus ships with —
+    * document/source/language counts, size extremes and totals, the
+    * exact-duplicate rate (distinct content hashes vs rows), and mean
+    * document length. One pass over the corpus; the only shuffles
+    * carry distinct hashes/keys (COUNT(DISTINCT) expansion), the
+    * md5 stream is 32 B/row. All integers until two final divisions
+    * written identically on both engines — fully oracled. */
+  def datasetCard(sp: SparkSession, dir: String): DataFrame =
+    Engine.table(sp, dir, "documents")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("source")).as("n_sources"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(col("n_chars")).as("total_chars"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"),
+        countDistinct(md5(col("text").cast("binary"))).as("n_distinct_texts"))
+      .select(col("n_docs"), col("n_sources"), col("n_langs"),
+        col("total_chars"), col("min_chars"), col("max_chars"),
+        col("n_distinct_texts"),
+        ((col("n_docs") - col("n_distinct_texts")).cast("double") /
+          col("n_docs")).as("exact_dup_rate"),
+        (col("total_chars").cast("double") / col("n_docs")).as("mean_chars"))
+
+  val datasetCardOracle: String = """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+      CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+      CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+      CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+      MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars,
+      CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_distinct_texts,
+      CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS DOUBLE) / COUNT(*)
+        AS exact_dup_rate,
+      CAST(CAST(SUM(n_chars) AS BIGINT) AS DOUBLE) / COUNT(*) AS mean_chars
+    FROM documents"""
+
   /** Curriculum bucketing WITHOUT a global sort: assign each document
     * to a length decile by exact thresholds, not NTILE. NTILE needs a
     * total order over all rows (single-partition window at scale, and
@@ -611,6 +646,7 @@ object CurationOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_split_leakage" -> (splitLeakage _),
     "pipeline_mix_temperature" -> (mixTemperature _),
+    "pipeline_dataset_card" -> (datasetCard _),
     "pipeline_snapshot_diff" -> (snapshotDiff _),
     "pipeline_curriculum" -> (curriculum _),
     "pipeline_contamination_score" -> (contaminationScore _),
@@ -625,6 +661,7 @@ object CurationOps {
   val oracles: Map[String, String] = Map(
     "pipeline_split_leakage" -> splitLeakageOracle,
     "pipeline_mix_temperature" -> mixTemperatureOracle,
+    "pipeline_dataset_card" -> datasetCardOracle,
     "pipeline_snapshot_diff" -> snapshotDiffOracle,
     "pipeline_curriculum" -> curriculumOracle,
     "pipeline_contamination_score" -> contaminationScoreOracle,
