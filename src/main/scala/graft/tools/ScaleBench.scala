@@ -65,7 +65,13 @@ object ScaleBench {
     // corpus × tables × probes, bucket-local), the distribution-
     // aggregated inter-arrival quantiles, and the √-temperature epoch
     // manifest (tiny agg + broadcast thresholds)
-    "sim_knn_graph", "events_interarrival", "pipeline_mix_temperature")
+    "sim_knn_graph", "events_interarrival", "pipeline_mix_temperature",
+    // round 8 (cont.): BM25 (broadcast-pruned postings ∝ corpus), bot
+    // scoring (lag window + constant-width moments), the row-local
+    // charclass scan, and the PCA projection (distributed covariance
+    // + driver eigensolve + row-local projection)
+    "search_bm25_topk", "events_bot_score", "text_charclass_profile",
+    "embed_pca_project")
 
   /** ANN ops re-scored for recall@5 at the big corpus: the round-7 PQ
     * shortlist regression (recall 0.64 → 0.48 before the ∝-corpus fix)
