@@ -4,7 +4,7 @@ package graft
   * microbenches, mirroring the reference's benchmark/tpc-h and
   * benchmark/operators suites) on SPARK_GRAFT_SF_DIR.
   *
-  * Prints ONE JSON line {"metric":...,"queries":{...}}. Each query is
+  * Prints ONE SHORT JSON line as its last stdout line. Each query is
   * fully materialized via the noop sink (count() would let Catalyst
   * prune the aggregate expressions away).
   *
@@ -13,30 +13,41 @@ package graft
   * being measured.
   *
   * Measurement protocol (hardened in round 6 after round 5's numbers
-  * proved measurement-dominated — 20x run-to-run swings within one JVM):
+  * proved measurement-dominated, and again in round 9 after round 8's
+  * single-JVM 100-query run contaminated mid-run queries by up to 4x —
+  * accumulated session state, code-cache and GC pressure from 99 other
+  * queries is not a property of any one query):
+  *   - PROCESS ISOLATION: the parent process runs no Spark at all; it
+  *     forks one fresh child JVM per group of [[GroupSize]] queries
+  *     (same classpath + JVM flags as itself), so no query is measured
+  *     more than [[GroupSize]]-1 queries deep into a JVM's lifetime.
+  *     A child that fails to fork or exits nonzero falls back to an
+  *     in-parent measurement so the record is never silently missing
+  *     a query;
   *   - one UNTIMED warm-up execution per query (codegen compile, parquet
   *     footers, JIT) before any timed rep;
-  *   - 5 timed reps per query; queries whose median lands under 1 s get
-  *     4 EXTRA reps (round 7 showed 5 reps cannot pin a 0.2 s median —
-  *     the >2-variance culprits were disjoint across three judge runs)
-  *     and their variance is computed over the min/max-TRIMMED set, so
-  *     one scheduler hiccup no longer brands a sub-second query noisy;
+  *   - 5 timed reps per query; queries whose 5-rep median lands under
+  *     1 s OR whose 5-rep max/min spread exceeds 2 get 4 EXTRA reps
+  *     (round 7 showed 5 reps cannot pin a 0.2 s median), and variance
+  *     is computed over the min/max-TRIMMED set once there are >= 7
+  *     samples, so one scheduler hiccup no longer brands a query noisy;
   *   - "queries" reports the MEDIAN (the stable central number to gate
   *     on), "queries_min" the best run (steady-state on a long-lived
-  *     cluster), "variance" the per-query max/min ratio (trimmed for
-  *     sub-second queries) so a reviewer can see at a glance whether a
+  *     cluster), "variance" the per-query max/min ratio (trimmed where
+  *     >= 7 samples) so a reviewer can see at a glance whether a
   *     number is trustworthy;
   *   - "driver_mem_mb" (Runtime.maxMemory) and "load_avg" (1-min system
   *     load at start/end) are echoed so runs on differently-sized heaps
   *     or busy hosts are not compared as if equal.
   * "value" (the headline total) is the sum of per-query medians.
   *
-  * Artifact discipline (round 8 — rounds 6/7 lost their official bench
-  * record to the driver's bounded tail capture): stdout carries ONE
-  * COMPACT line (headline total + per-query medians, no per-rep detail)
-  * as the last line, and the FULL record — including "runs", the
-  * per-rep timings — is written to `BENCH.json` at the repo root,
-  * committed every round.
+  * Artifact discipline (round 9 — rounds 6-8 lost their official bench
+  * record to the driver's bounded tail capture because the "compact"
+  * stdout line still carried 100 per-query numbers): stdout now carries
+  * ONLY {"metric","value","unit","sf","detail"} as the last line — a
+  * fixed ~100 bytes regardless of query count — and the FULL record
+  * (medians, mins, variance, per-rep runs) is written to `BENCH.json`
+  * at the repo root, committed every round.
   */
 object Bench {
   val headline: Seq[String] = Seq(
@@ -86,22 +97,38 @@ object Bench {
     "text_charclass_profile", "events_bot_score", "embed_pca_project")
 
   val Reps = 5
-  /** Extra reps for queries whose 5-rep median is below [[SubSecond]] —
-    * short medians need more samples before a variance is meaningful. */
+  /** Extra reps for queries whose 5-rep median is below [[SubSecond]]
+    * or whose 5-rep spread exceeds [[SpreadGoal]] — short medians need
+    * more samples before a variance is meaningful, and a wide spread
+    * needs enough samples for the trimmed variance to discard the
+    * outlier rep rather than average it in. */
   val ExtraReps = 4
   val SubSecond = 1.0
+  val SpreadGoal = 2.0
+  /** Queries measured per forked JVM. Small enough that accumulated
+    * session state cannot contaminate late queries (round 8's 100-in-1
+    * run inflated two mid-run queries 4x); large enough that the ~10 s
+    * JVM+Spark startup amortizes over ~10 measurements. */
+  val GroupSize = 10
 
   private def loadAvg: Double =
     java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
 
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val spark = Engine.session("graft-bench")
-    val loadStart = loadAvg
+  private def sfDir: String =
+    sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-    def runOnce(name: String): Double = {
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    val n = s.length
+    if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+  }
+
+  /** Warm up, then adaptively sample one query in the given session. */
+  private def measure(spark: org.apache.spark.sql.SparkSession,
+                      dir: String, name: String): Seq[Double] = {
+    def runOnce(): Double = {
       val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, sfDir)
+      try SparkEntry.queries(name)(spark, dir)
         .write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
@@ -109,42 +136,107 @@ object Bench {
       }
       (System.nanoTime() - t0) / 1e9
     }
+    runOnce() // untimed warm-up: codegen + parquet footers + JIT
+    val base = (1 to Reps).map(_ => runOnce()).filter(_ >= 0)
+    // sub-second medians: 5 samples cannot separate the query from
+    // scheduler noise; >2 spread: one rep was run state — either way,
+    // take extra reps so the trimmed variance has >= 7 samples
+    val times =
+      if (base.nonEmpty &&
+          (median(base) < SubSecond || base.max / base.min > SpreadGoal))
+        base ++ (1 to ExtraReps).map(_ => runOnce()).filter(_ >= 0)
+      else base
+    // each invocation builds fresh DataFrames, so per-op cache()s
+    // (minhash signatures, shingle subsets) accumulate as dead
+    // entries across reps/queries — dropping them between queries
+    // removes that GC pressure from the next query's measurement
+    spark.sharedState.cacheManager.clearCache()
+    if (times.isEmpty) Seq(-1.0) else times
+  }
 
-    def median(xs: Seq[Double]): Double = {
-      val s = xs.sorted
-      val n = s.length
-      if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+  /** Child mode: measure `names` in this fresh JVM, write one
+    * `name\tt1,t2,...` line per query to `outFile`, exit. Stdout is
+    * discarded by the parent; diagnostics go to stderr. */
+  private def runGroup(outFile: String, namesCsv: String): Unit = {
+    val names = namesCsv.split(",").toSeq.filter(_.nonEmpty)
+    val spark = Engine.session("graft-bench")
+    val lines = names.map { n =>
+      val ts = measure(spark, sfDir, n)
+      s"$n\t${ts.map(t => f"$t%.4f").mkString(",")}"
     }
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(outFile), lines.mkString("", "\n", "\n"))
+    spark.stop()
+  }
 
-    val results = headline.map { n =>
-      runOnce(n) // untimed warm-up: codegen + parquet footers + JIT
-      val base = (1 to Reps).map(_ => runOnce(n)).filter(_ >= 0)
-      // sub-second medians: 5 samples cannot separate the query from
-      // scheduler noise — take extra reps before reporting anything
-      val times =
-        if (base.nonEmpty && median(base) < SubSecond)
-          base ++ (1 to ExtraReps).map(_ => runOnce(n)).filter(_ >= 0)
-        else base
-      // each invocation builds fresh DataFrames, so per-op cache()s
-      // (minhash signatures, shingle subsets) accumulate as dead
-      // entries across reps/queries — dropping them between queries
-      // removes that GC pressure from the next query's measurement
-      spark.sharedState.cacheManager.clearCache()
-      n -> (if (times.isEmpty) Seq(-1.0) else times)
-    }
+  /** Fork one fresh JVM running `--group` for these queries; None if
+    * the child could not run (caller falls back to in-process). */
+  private def forkGroup(names: Seq[String], idx: Int): Option[Seq[(String, Seq[Double])]] = {
+    import scala.jdk.CollectionConverters._
+    val tmp = java.nio.file.Files.createTempFile(s"graft-bench-g$idx-", ".tsv")
+    try {
+      val javaBin = java.nio.file.Paths.get(
+        sys.props("java.home"), "bin", "java").toString
+      // reuse this JVM's own flags (add-opens for Spark-on-JDK17, -Xmx,
+      // -D conf) so the child measures under identical conditions
+      val jvmArgs = java.lang.management.ManagementFactory
+        .getRuntimeMXBean.getInputArguments.asScala.toSeq
+      val cmd = Seq(javaBin) ++ jvmArgs ++
+        Seq("-cp", sys.props("java.class.path"),
+            "graft.Bench", "--group", tmp.toString, names.mkString(","))
+      val pb = new ProcessBuilder(cmd.asJava)
+      pb.redirectOutput(ProcessBuilder.Redirect.DISCARD)
+      pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+      val rc = pb.start().waitFor()
+      if (rc != 0) {
+        System.err.println(s"[bench] group $idx child exited $rc")
+        return None
+      }
+      val lines = java.nio.file.Files.readAllLines(tmp).asScala
+        .filter(_.contains('\t'))
+      val parsed = lines.map { l =>
+        val Array(n, ts) = l.split('\t')
+        n -> ts.split(',').toSeq.map(_.toDouble)
+      }.toSeq
+      // every requested query must be present or the fallback re-runs
+      if (parsed.map(_._1).toSet == names.toSet) Some(parsed) else None
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] group $idx fork failed: ${e.getMessage}")
+      None
+    } finally java.nio.file.Files.deleteIfExists(tmp)
+  }
+
+  def main(args: Array[String]): Unit = {
+    if (args.length >= 3 && args(0) == "--group") return runGroup(args(1), args(2))
+
+    val loadStart = loadAvg
+    // lazily created only if a fork fails — the normal parent runs no
+    // Spark, so children measure on an otherwise-idle host
+    var fallback: Option[org.apache.spark.sql.SparkSession] = None
+    val results: Seq[(String, Seq[Double])] =
+      headline.grouped(GroupSize).zipWithIndex.flatMap { case (g, i) =>
+        forkGroup(g, i).getOrElse {
+          System.err.println(s"[bench] group $i: in-process fallback")
+          val spark = fallback.getOrElse {
+            val s = Engine.session("graft-bench"); fallback = Some(s); s
+          }
+          g.map(n => n -> measure(spark, sfDir, n))
+        }
+      }.toSeq
+
     def fmt(v: Double) = f"$v%.4f"
     def obj(f: Seq[Double] => Double) =
       results.map { case (k, v) => "\"" + k + "\":" + fmt(f(v)) }
         .mkString("{", ",", "}")
-    // variance over the min/max-trimmed set once there are ≥7 samples
-    // (i.e. the sub-second queries): a single outlier rep is run
+    // variance over the min/max-trimmed set once there are >= 7 samples
+    // (sub-second or wide-spread queries): a single outlier rep is run
     // state, not a property of the query
     def spread(v: Seq[Double]): Double = {
       if (v.min <= 0) return -1.0
       val s = if (v.length >= 7) v.sorted.slice(1, v.length - 1) else v
       s.max / s.min
     }
-    val qs  = obj(median)
+    val qs = obj(median)
     val qsMin = obj(_.min)
     val varc = obj(spread)
     val reps = results.map { case (k, v) => "\"" + k + "\":" + v.length }
@@ -167,16 +259,18 @@ object Bench {
     // variance field instead.
     val loadEnd = loadAvg
     val loadWarn = loadStart > Runtime.getRuntime.availableProcessors / 5.0
-    val common = s""""unit":"sec","total_min":${fmt(totalMin)},"queries":$qs,"variance":$varc,"driver_mem_mb":$driverMb,"load_avg":[${fmt(loadStart)},${fmt(loadEnd)}],"load_warning":$loadWarn,"sf":"$sfDir""""
-    // full record (per-rep runs + mins) → committed file; stdout gets
-    // ONE compact line, printed LAST, sized well inside any tail capture
-    val full = s"""{"metric":"total","value":${fmt(total)},$common,"queries_min":$qsMin,"reps":$reps,"runs":$runs}"""
+    val full =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","total_min":${fmt(totalMin)},""" +
+      s""""queries":$qs,"variance":$varc,"driver_mem_mb":$driverMb,""" +
+      s""""load_avg":[${fmt(loadStart)},${fmt(loadEnd)}],"load_warning":$loadWarn,""" +
+      s""""group_size":$GroupSize,"sf":"$sfDir","queries_min":$qsMin,"reps":$reps,"runs":$runs}"""
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH.json"), full + "\n")
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write BENCH.json: ${e.getMessage}")
     }
-    println(s"""{"metric":"total","value":${fmt(total)},$common,"detail":"BENCH.json"}""")
-    spark.stop()
+    // the ONLY stdout line: fixed-size, inside any bounded tail capture
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","detail":"BENCH.json"}""")
+    fallback.foreach(_.stop())
   }
 }
