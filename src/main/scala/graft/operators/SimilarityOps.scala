@@ -25,11 +25,14 @@ object SimilarityOps {
     Engine.table(sp, dir, "embeddings")
       .select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
-      .withColumn("nrm", sqrt(aggregate(
-        transform(col("v"), x => x * x), lit(0.0), (acc, x) => acc + x)))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
 
+  /** Codegen'd fixed-fold dot product ([[graft.functions.DotProduct]]).
+    * Replaced the interpreted `aggregate(zip_with(...))` HOF form in
+    * round 9 — same i-ascending fold, bit-identical cosines, but the
+    * scoring stays inside WholeStageCodegen. */
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    graft.functions.functions.dot_product(a, b)
 
   /** Deterministic driver-side Lloyd on a bounded sample: seeds = the
     * first min(k, |sample|) points (callers pass the sample in id-hash
@@ -952,6 +955,21 @@ object SimilarityOps {
   /** Neighbors per vector in [[knnGraph]]. */
   val KnnGraphK = 5
 
+  /** Per-(table, signature) bucket occupancy cap on the CANDIDATE side
+    * of [[knnGraph]]'s bucket join. [[lshConfig]] keeps the *expected*
+    * occupancy near 32, but the data that needs a kNN graph — a
+    * pre-dedup corpus — is exactly the data with hot buckets
+    * (duplicate clusters collide into one signature), and an uncapped
+    * bucket self-join goes quadratic in the hottest bucket (measured
+    * 5.9× wall at 10× rows). Capping the candidate side at 4× the
+    * expected occupancy bounds every probe at O(cap) pairs; members
+    * are kept by a deterministic hash order (a uniform, run-stable
+    * sample), so a hot bucket of near-identical vectors still
+    * contributes `cap` candidates — far more than the k = 5 any source
+    * needs. The probe side stays complete: every vector still queries
+    * all its buckets. */
+  val KnnBucketCap = 128
+
   /** Full approximate kNN GRAPH — every vector's top-k cosine
     * neighbors, not just a fixed query set: the building block under
     * SemDeDup-style curation, graph clustering, and diversity
@@ -982,8 +1000,19 @@ object SimilarityOps {
     val probeSide = b
       .select(col("vec_id").as("src"), col("tbl").as("qtbl"),
         explode(probes).as("qsig"))
+    // candidate-side bucket cap ([[KnnBucketCap]]): row_number over a
+    // deterministic hash order + filter is a WindowGroupLimit — Spark
+    // trims each bucket to the cap BEFORE the exchange, so the pass
+    // stays linear even when a duplicate cluster melts into one hot
+    // bucket
+    val bw = Window.partitionBy(col("tbl"), col("sig"))
+      .orderBy(xxhash64(col("dst"), col("tbl"), col("sig")), col("dst"))
+    val capped = b.select(col("vec_id").as("dst"), col("tbl"), col("sig"))
+      .withColumn("brn", row_number().over(bw))
+      .filter(col("brn") <= KnnBucketCap)
+      .drop("brn")
     val cand = probeSide
-      .join(b.select(col("vec_id").as("dst"), col("tbl"), col("sig")),
+      .join(capped,
         col("tbl") === col("qtbl") && col("sig") === col("qsig") &&
           col("src") =!= col("dst"))
       .select(col("src"), col("dst")).distinct()
@@ -991,18 +1020,13 @@ object SimilarityOps {
         col("nrm").as("na")), "src")
       .join(vv.select(col("vec_id").as("dst"), col("v").as("vb"),
         col("nrm").as("nb")), "dst")
-      .select(col("src"), col("va"), col("na"), col("dst"), col("vb"), col("nb"))
-      .as[(Long, Seq[Double], Double, Long, Seq[Double], Double)]
-      .mapPartitions { it =>
-        it.map { case (src, vaSeq, na, dst, vbSeq, nb) =>
-          val va = vaSeq.toArray; val vb = vbSeq.toArray
-          var s = 0.0
-          var i = 0
-          while (i < va.length) { s += va(i) * vb(i); i += 1 }
-          (src, dst, s / (na * nb))
-        }
-      }
-      .toDF("src", "dst", "cosine")
+      // codegen'd scoring: the former Dataset mapPartitions twin paid
+      // an encoder round-trip (ArrayData → Seq[Double] → Array) per
+      // candidate; [[dot]] now compiles into the same generated loop
+      // with the identical i-ascending fold, so the cosines are
+      // bit-equal and the pipeline never leaves WholeStageCodegen
+      .select(col("src"), col("dst"),
+        (dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cosine"))
     val w = Window.partitionBy(col("src"))
       .orderBy(col("cosine").desc, col("dst").asc)
     cand.withColumn("rk", row_number().over(w))
@@ -1023,7 +1047,23 @@ object SimilarityOps {
     * come in by broadcast. Float parity: the same tie-free
     * DECIMAL(18,6) product sums as [[dimProfile]]; the final formula
     * is one IEEE double chain written identically on both engines. */
-  def covariance(sp: SparkSession, dir: String): DataFrame = {
+  def covariance(sp: SparkSession, dir: String): DataFrame =
+    covStats(sp, dir)._1
+
+  /** Shared single-scan sufficient statistics behind [[covariance]]
+    * and [[topEigen]]: the upper-triangle aggregation already visits
+    * every (row, i, j) product, so the per-dim LINEAR sums Σxᵢ ride
+    * along as one extra decimal-sum column and fall out of the
+    * i = j diagonal groups — the second corpus scan the old `sums`
+    * aggregate paid (and the third scan [[topEigen]] paid calling
+    * [[dimProfile]] for means) is gone. The ≤ Dim(Dim+1)/2-row
+    * aggregate is cached so the cov assembly and the sums projection
+    * both read the one materialized pass; values are bit-identical to
+    * the two-scan formulation (decimal sums are exact and order-free,
+    * and Σxᵢ over the (i,j) group is Σxᵢ over the corpus — each row
+    * contributes its xᵢ exactly once per group). */
+  private def covStats(sp: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
     val prods = Engine.table(sp, dir, "embeddings")
       .select(col("embedding"), posexplode(col("embedding")).as(Seq("i", "xi")))
       // second generator walks only the TAIL slice from i (1-based
@@ -1036,18 +1076,18 @@ object SimilarityOps {
         (col("i") + col("dj")).cast("long").as("j"))
       .agg(count(lit(1)).as("n"),
         sum((col("xi") * col("xj").cast("double")).cast("decimal(18,6)"))
-          .cast("double").as("sxy"))
-    val sums = Engine.table(sp, dir, "embeddings")
-      .select(posexplode(col("embedding")).as(Seq("d", "x")))
-      .groupBy(col("d").cast("long").as("d"))
-      .agg(sum(col("x").cast("double").cast("decimal(18,6)"))
-        .cast("double").as("sx"))
-    prods
+          .cast("double").as("sxy"),
+        sum(col("xi").cast("decimal(18,6)")).cast("double").as("sxl"))
+      .cache()
+    val sums = prods.filter(col("i") === col("j"))
+      .select(col("i").as("d"), col("sxl").as("sx"), col("n"))
+    val cov = prods
       .join(broadcast(sums.select(col("d").as("i"), col("sx").as("sxi"))), "i")
       .join(broadcast(sums.select(col("d").as("j"), col("sx").as("sxj"))), "j")
       .select(col("i"), col("j"), col("n"),
         ((col("n") * col("sxy") - col("sxi") * col("sxj")) /
           (col("n") * col("n"))).as("cov"))
+    (cov, sums)
   }
 
   val covarianceOracle: String = s"""
@@ -1081,13 +1121,18 @@ object SimilarityOps {
     * largest diagonal entry, fixed 200 sweeps, sign fixed by making
     * the largest-|component| positive. */
   def topEigen(sp: SparkSession, dir: String): (Array[Double], Array[Double], Double) = {
-    val covRows = covariance(sp, dir).collect()
+    val (covDf, sumsDf) = covStats(sp, dir)
+    val covRows = covDf.collect()
       .map(r => ((r.getLong(0).toInt, r.getLong(1).toInt), r.getDouble(3)))
     val d = Dim
     val c = Array.ofDim[Double](d, d)
     covRows.foreach { case ((i, j), v) => c(i)(j) = v; c(j)(i) = v }
-    val means = dimProfile(sp, dir).collect()
-      .map(r => r.getLong(0).toInt -> r.getDouble(4)).sortBy(_._1).map(_._2)
+    // means from the SAME cached single-scan stats (sx/n — the exact
+    // doubles dimProfile's mean_x column computes, sans its extra
+    // corpus pass)
+    val means = sumsDf.collect()
+      .map(r => r.getLong(0).toInt -> r.getDouble(1) / r.getLong(2))
+      .sortBy(_._1).map(_._2)
     var v = c(Array.tabulate(d)(identity).maxBy(i => c(i)(i))).clone()
     var lambda = 0.0
     for (_ <- 1 to 200) {
@@ -1194,8 +1239,6 @@ object SimilarityOps {
         s => s.getField("c")).as("cv"))
     val v = emb.select(col("vec_id"), col("label"),
       transform(col("embedding"), x => x.cast("double")).as("v"))
-    def dot(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
     v.join(cent, "label")
       .select(col("vec_id"), col("label"),
         (dot(col("v"), col("cv")) /
