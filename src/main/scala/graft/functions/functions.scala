@@ -288,9 +288,67 @@ object Mp4Meta {
 }
 
 /** Column-level entry points for graft's custom expressions. */
+/** Fixed-order dot product of two ARRAY<DOUBLE> columns — the
+  * similarity hot loop as a native codegen'd expression. The
+  * equivalent higher-order-function form
+  * `aggregate(zip_with(a, b, *), 0.0, +)` is evaluated INTERPRETED
+  * (Spark's HOFs have no doGenCode): every row pays lambda-variable
+  * boxing and breaks the surrounding WholeStageCodegen span, which is
+  * exactly where ANN re-rank scoring spends its time. Summation is the
+  * same i-ascending left fold as the HOF form and the mapPartitions
+  * twins, so cosines are bit-identical everywhere. Array elements must
+  * be non-null (embedding vectors are); arrays of unequal length fold
+  * over the shorter prefix. */
+case class DotProduct(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  import org.apache.spark.sql.types.{ArrayType, DoubleType}
+
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes() = {
+    def ok(t: DataType) = t match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"dot_product expects two ARRAY<DOUBLE>, got " +
+          s"${left.dataType} and ${right.dataType}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    java.lang.Double.valueOf(DotProduct.dot(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.DotProduct.dot($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+object DotProduct {
+  /** i-ascending left-fold Σ a(i)·b(i) over the common prefix. */
+  def dot(a: org.apache.spark.sql.catalyst.util.ArrayData,
+      b: org.apache.spark.sql.catalyst.util.ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += a.getDouble(i) * b.getDouble(i); i += 1 }
+    s
+  }
+}
+
 object functions {
   private def toCol(e: Expression): Column = GraftShim.column(e)
   private def expr(c: Column): Expression = GraftShim.expression(c)
+
+  /** Codegen'd fixed-fold dot product over two ARRAY<DOUBLE>s. */
+  def dot_product(a: Column, b: Column): Column =
+    toCol(DotProduct(expr(a), expr(b)))
 
   /** Winnowing-style min rolling-hash fingerprint over char k-grams. */
   def rolling_min_hash(c: Column, k: Int): Column =

@@ -33,6 +33,33 @@ class FunctionsSpec extends AnyFunSuite {
     assert(viaExpr.toSeq == direct)
   }
 
+  test("dot_product is bit-identical to the HOF fold and stays codegen'd") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val rows = Seq.fill(40)((Seq.fill(64)(rnd.nextDouble() * 2 - 1),
+      Seq.fill(64)(rnd.nextDouble() * 2 - 1)))
+    val df = rows.toDF("a", "b")
+    val got = df.select(
+      graft.functions.functions.dot_product(col("a"), col("b"))).collect()
+      .map(_.getDouble(0))
+    // the interpreted HOF twin: identical i-ascending left fold
+    val hof = df.select(aggregate(zip_with(col("a"), col("b"),
+      (x, y) => x * y), lit(0.0), (acc, x) => acc + x)).collect()
+      .map(_.getDouble(0))
+    assert(got.toSeq == hof.toSeq, "codegen'd dot diverged from HOF fold")
+    // unequal lengths fold over the common prefix; null array -> null
+    val edge = Seq((Seq(1.0, 2.0, 3.0), Seq(10.0, 20.0)))
+      .toDF("a", "b")
+      .select(graft.functions.functions.dot_product(col("a"), col("b")))
+      .collect().head.getDouble(0)
+    assert(edge == 50.0)
+    val withNull = Seq((Some(Seq(1.0)), Option.empty[Seq[Double]]))
+      .toDF("a", "b")
+      .select(graft.functions.functions.dot_product(col("a"), col("b")))
+      .collect().head
+    assert(withNull.isNullAt(0))
+  }
+
   test("JpegDims walks variable-length segment chains; rejects non-JPEG") {
     import graft.functions.JpegDims
     // minimal JPEG: SOI, APP0 (len 16), SOF0 h=7 w=9, EOI
