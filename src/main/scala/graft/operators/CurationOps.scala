@@ -433,7 +433,15 @@ object CurationOps {
         floor(col("n_total") * sqrt(col("n").cast("double")) / col("z"))
           .cast("long"))
       .select(col("source"), expr("k div n").as("base"),
-        expr(s"(k % n) * ${MixHashMod}L div n").as("rem_thr"))
+        // (k % n) < n, so the 2^32 product overflows signed 64-bit
+        // once one source holds >= 2^31 documents — a reachable corpus
+        // size for the op's 100 TB pitch. DECIMAL(38,0) gives the
+        // product 128-bit headroom (exact to n < 10^26); `div` floors
+        // back to the same BIGINT the oracle computes, and the result
+        // always fits (r·2^32/n < 2^32). Bit-identical to the old
+        // arithmetic wherever that didn't overflow.
+        expr(s"cast(k % n as decimal(38,0)) * ${MixHashMod} div n")
+          .as("rem_thr"))
     docs.join(broadcast(thr), "source")
       .select(col("doc_id"), col("source"),
         (col("base") + when(

@@ -43,4 +43,19 @@ object Exact {
     * modes produce exactly its values). */
   def sqlDsum(expr: String): String =
     s"CAST(SUM(CAST(($expr) AS DECIMAL(18,6))) AS DOUBLE)"
+
+  /** Scalar twin of [[dsum]]'s per-value quantization — the scaled
+    * long one value contributes to a sum, IN THE ACTIVE MODE. Imperative
+    * re-implementations of a dsum (the streaming state twins) must go
+    * through this, not a hardcoded rint: `long` mode rounds HALF_EVEN
+    * via rint, `decimal` mode rounds HALF_UP exactly as Spark's
+    * double→DECIMAL(18,6) cast does (BigDecimal.valueOf = the double's
+    * shortest decimal form, matching Cast's Decimal(BigDecimal(d))),
+    * and a value on a .0000005 midpoint differs between the two. */
+  def q6(v: Double): Long =
+    if (mode == "decimal")
+      java.math.BigDecimal.valueOf(v)
+        .setScale(6, java.math.RoundingMode.HALF_UP)
+        .unscaledValue().longValue()
+    else math.rint(v * 1e6).toLong
 }

@@ -93,6 +93,11 @@ object TextOps {
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         val d = new java.util.zip.Deflater(DeflateLevel, false)
+        // native zlib memory is not GC-tracked: release it when the
+        // task ends rather than at finalization, which on a long-lived
+        // executor running many tasks accumulates off-heap
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => d.end()))
         val buf = new Array[Byte](1 << 16)
         it.map { case (id, blob) =>
           d.reset()

@@ -673,9 +673,11 @@ object StreamOps {
     * [t−1h, t] — INCLUDING same-millisecond peers, which the batch
     * RANGE window also counts, so equal-ms runs are processed as one
     * group sharing one frame. Values are quantized with the
-    * [[graft.operators.Exact]] discipline (rint(v·10⁶) longs, ÷10⁶ on
-    * emit) so the float sum is order-free and bit-equal to the batch
-    * window and the DuckDB decimal oracle. State is TTL'd by
+    * [[graft.operators.Exact]] discipline ([[graft.operators.Exact.q6]]
+    * longs — mode-aware, so GRAFT_EXACT_SUM=decimal rounds HALF_UP
+    * exactly like the batch twin's DECIMAL cast — ÷10⁶ on emit) so the
+    * float sum is order-free and bit-equal to the batch window and the
+    * DuckDB decimal oracle in EITHER mode. State is TTL'd by
     * event-time timeout (one idle hour past the watermark); under
     * cross-batch disorder a late event's frame sees only what the
     * watermark retained — the usual bounded-disorder caveat, and the
@@ -716,7 +718,7 @@ object StreamOps {
               val t = arr(i).ts_ms
               for (k <- i until j)
                 buf = (t, arr(k).event_id,
-                  math.rint(arr(k).value * 1e6).toLong) :: buf
+                  graft.operators.Exact.q6(arr(k).value)) :: buf
               buf = buf.filter(_._1 >= t - WinMs)
               val n = buf.size.toLong
               val sumWin = buf.map(_._3).sum.toDouble / 1e6

@@ -243,6 +243,24 @@ object QualityGates {
       "fp_rate_headroom", 1.0 - bfFpr, 1.0 - 3 * DedupOps.BloomFpp,
       bfFlagged.size, bfMember.size)
 
+    // ---- docs_bloom_stream vs the batch membership op: the streaming
+    // probe broadcasts the SAME pre-built filter the batch op uses, so
+    // the replay must be verdict-for-verdict identical — a 1.0
+    // equality gate (mirrors StreamingSpec's bit-identity assertion;
+    // registered here so the round artifact carries the evidence like
+    // every other no_oracle op)
+    locally {
+      val streamed = graft.streaming.StreamOps.bloomProbeReplay(sp, dir)
+        .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+      val matches = bfRows.count { case (id, v) =>
+        streamed.get(id).contains(v) }
+      gates += Gate("docs_bloom_stream", "batch_bloom_membership",
+        "verdict_match",
+        if (bfRows.isEmpty) 1.0
+        else matches.toDouble / bfRows.length, 1.0,
+        streamed.size, bfRows.length)
+    }
+
     // ---- dedup_substring vs a driver-side exact recompute on a
     // bounded sample: every pair of the first 40 docs sharing ANY
     // 81-byte substring must be reported (the winnowing guarantee) —
@@ -399,7 +417,11 @@ object QualityGates {
       .toMap
     val corpus = Engine.table(sp, dir, "documents")
       .select(col("doc_id"), col("text")).collect()
-      .map(r => (r.getLong(0), r.getString(1).split(" ")))
+      // limit -1 keeps trailing empty tokens, matching both the op's
+      // space-count dl (spaces + 1) and Spark's split() tf semantics —
+      // limit 0 would silently drop trailing empties and make the gate
+      // diverge on any document ending in a space
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1)))
     val nDocs = corpus.length.toLong
     val avgdl = corpus.map(_._2.length.toLong).sum.toDouble / nDocs
     val vocabBm = SearchOps.QuerySet.flatMap(_._2).toSet

@@ -173,6 +173,19 @@ class GoldenCorpusSpec extends AnyFunSuite {
   private def hasOrderBy(q: String): Boolean =
     "(?is)ORDER\\s+BY".r.findFirstIn(q).isDefined
 
+  /** Reference specs whose goldens contradict their OWN fixture —
+    * pinned as positive expected-divergence tests (the suite stays at
+    * 0 canceled, and if the corpus is ever fixed upstream the pin
+    * fails loudly so it gets re-goldened instead of silently passing
+    * the wrong way). */
+  private val expectedDivergence: Map[String, String] = Map(
+    "ours/end2end-pos-select-join_comparable_bool" ->
+      ("the query references R.id/R.bool/S.bool, but the ours fixture " +
+        "(reference test/ours/data/schema.sql:1-13) defines R and S with " +
+        "only key/fkey/rfloat/rstring; the spec's own end2end golden is " +
+        "the literal '#TODO', i.e. the reference never executed it. " +
+        "Correct behavior on the real fixture is a sema rejection."))
+
   /** Run all statements, returning the concatenated printed rows of
     * every SELECT result. */
   private def runEnd2End(session: EngineSession, query: String): Seq[String] = {
@@ -207,7 +220,18 @@ class GoldenCorpusSpec extends AnyFunSuite {
       val spec = CorpusYaml.parse(path)
       val id = s"$corpus/${spec.name.stripSuffix(".yml")}"
 
-      test(id) {
+      if (expectedDivergence.contains(id)) test(id) {
+        // documented expected divergence (see [[expectedDivergence]]):
+        // assert the divergent behavior POSITIVELY — our sema must
+        // reject the query on the actual fixture
+        val session = templates(corpus).fork()
+        val r = try { semaCheck(session, spec.query); None }
+          catch { case e: Exception => Some(e) }
+        assert(r.isDefined,
+          s"pinned expected-divergence now sema-passes — unpin and " +
+            s"re-golden: ${expectedDivergence(id)}")
+      }
+      else test(id) {
         def soft(cond: => Boolean, msg: => String): Unit = {
           val ok = try cond catch {
             case e: Throwable =>
