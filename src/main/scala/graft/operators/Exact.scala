@@ -58,4 +58,41 @@ object Exact {
         .setScale(6, java.math.RoundingMode.HALF_UP)
         .unscaledValue().longValue()
     else math.rint(v * 1e6).toLong
+
+  /** Unscaled DECIMAL(18,6) quantization of one double — the exact
+    * long that Spark's `CAST(x AS DECIMAL(18,6))` contributes to a
+    * decimal sum — MODE-INDEPENDENT (always the decimal-cast
+    * semantics, for imperative twins of ops that hardcode the decimal
+    * form on both engines, e.g. the covariance sufficient-stats
+    * pass). Fast path: v·10⁶ in IEEE is within |s|·2⁻⁵² + ulp/2 of
+    * the true shortest-decimal value, so away from a .5 rounding
+    * midpoint plain floor arithmetic produces the identical integer
+    * (HALF_UP and nearest agree off-midpoint, for either sign);
+    * within the error band of a midpoint — or beyond 2⁵² where floor
+    * loses integers — fall back to the authoritative
+    * BigDecimal.valueOf path (valueOf = shortest decimal form,
+    * exactly Cast's Decimal(BigDecimal(d))). ~20× cheaper than
+    * Double.toString-ing every product in a Dim²-per-row loop. */
+  def q6dec(v: Double): Long = {
+    val s = v * 1e6
+    if (math.abs(s) < 4.0e15) {
+      val f = math.floor(s)
+      val frac = s - f
+      // tolerance ≫ the 3.4e-16 relative float error yet ≪ 0.5 for
+      // every magnitude this engine sums (products of embedding
+      // coordinates: |s| ≤ ~1e9)
+      if (math.abs(frac - 0.5) > 1e-9 + math.abs(s) * 1e-12)
+        return if (frac > 0.5) f.toLong + 1L else f.toLong
+    }
+    java.math.BigDecimal.valueOf(v)
+      .setScale(6, java.math.RoundingMode.HALF_UP)
+      .unscaledValue().longValue()
+  }
+
+  /** Inverse of [[q6dec]]'s scaling for an accumulated unscaled sum:
+    * exactly Spark's DECIMAL(…,6)→DOUBLE cast (BigDecimal
+    * .doubleValue — correctly rounded even past 2⁵³, where a plain
+    * `u / 1e6` double division is not). */
+  def q6decToDouble(u: Long): Double =
+    new java.math.BigDecimal(java.math.BigInteger.valueOf(u), 6).doubleValue()
 }

@@ -1039,54 +1039,95 @@ object SimilarityOps {
     * whitening transforms and OPQ-style rotation fits that
     * [[dimProfile]]'s diagonal can't provide. cov(i,j) =
     * (n·Σxᵢxⱼ − Σxᵢ·Σxⱼ) / n², j ≥ i.
-    * Scale shape: the double posexplode multiplies each row by
-    * Dim·(Dim+1)/2 — that CPU is inherent to a covariance pass (64²
-    * products per vector) — but hash partial-aggregation collapses
-    * every partition to ≤ 2080 accumulator rows before the one
-    * shuffle, and everything downstream is matrix-sized. Per-dim sums
-    * come in by broadcast. Float parity: the same tie-free
-    * DECIMAL(18,6) product sums as [[dimProfile]]; the final formula
-    * is one IEEE double chain written identically on both engines. */
+    * Scale shape: one scan, one fixed-size accumulator array per task
+    * (the Dim² products per vector are inherent CPU, but no
+    * intermediate row ever materializes — the old Generate×Generate
+    * plan paid a 2080× row blowup through the hash aggregate), one
+    * matrix-sized exchange, and everything downstream is Dim²-bounded.
+    * Float parity: per-product DECIMAL(18,6) quantization identical to
+    * the DuckDB oracle's cast ([[Exact.q6dec]]), exact order-free long
+    * sums, and a final IEEE double chain written identically on both
+    * engines. */
   def covariance(sp: SparkSession, dir: String): DataFrame =
     covStats(sp, dir)._1
 
   /** Shared single-scan sufficient statistics behind [[covariance]]
-    * and [[topEigen]]: the upper-triangle aggregation already visits
-    * every (row, i, j) product, so the per-dim LINEAR sums Σxᵢ ride
-    * along as one extra decimal-sum column and fall out of the
-    * i = j diagonal groups — the second corpus scan the old `sums`
-    * aggregate paid (and the third scan [[topEigen]] paid calling
-    * [[dimProfile]] for means) is gone. The ≤ Dim(Dim+1)/2-row
-    * aggregate is cached so the cov assembly and the sums projection
-    * both read the one materialized pass; values are bit-identical to
-    * the two-scan formulation (decimal sums are exact and order-free,
-    * and Σxᵢ over the (i,j) group is Σxᵢ over the corpus — each row
-    * contributes its xᵢ exactly once per group). */
+    * and [[topEigen]]: one mapPartitions pass accumulates both the
+    * upper-triangle product sums Σxᵢxⱼ and the per-dim linear sums
+    * Σxᵢ (plus the count) into one fixed-size unscaled-long array, so
+    * neither a second corpus scan for `sums` nor a [[dimProfile]]
+    * call for means ever runs. Values are bit-identical to the
+    * declarative decimal formulation (per-value quantization is the
+    * same DECIMAL(18,6) cast, long addition is exact and order-free,
+    * and the closing casts/arithmetic reuse the identical Column
+    * chain). */
   private def covStats(sp: SparkSession, dir: String)
       : (DataFrame, DataFrame) = {
-    val prods = Engine.table(sp, dir, "embeddings")
-      .select(col("embedding"), posexplode(col("embedding")).as(Seq("i", "xi")))
-      // second generator walks only the TAIL slice from i (1-based
-      // start i+1), so exactly the Dim·(Dim+1)/2 upper-triangle pairs
-      // materialize — no generate-then-filter half-waste
-      .select(col("i"), col("xi").cast("double").as("xi"),
-        posexplode(slice(col("embedding"), col("i") + 1, lit(Dim)))
-          .as(Seq("dj", "xj")))
-      .groupBy(col("i").cast("long").as("i"),
-        (col("i") + col("dj")).cast("long").as("j"))
-      .agg(count(lit(1)).as("n"),
-        sum((col("xi") * col("xj").cast("double")).cast("decimal(18,6)"))
-          .cast("double").as("sxy"),
-        sum(col("xi").cast("decimal(18,6)")).cast("double").as("sxl"))
-      .cache()
-    val sums = prods.filter(col("i") === col("j"))
-      .select(col("i").as("d"), col("sxl").as("sx"), col("n"))
-    val cov = prods
-      .join(broadcast(sums.select(col("d").as("i"), col("sx").as("sxi"))), "i")
-      .join(broadcast(sums.select(col("d").as("j"), col("sx").as("sxj"))), "j")
+    import sp.implicits._
+    val d = Dim
+    val nPairs = d * (d + 1) / 2
+    // One tight JVM loop per row instead of a Dim(Dim+1)/2-row
+    // Generate×Generate blowup: each task folds its rows into a single
+    // unscaled-long accumulator array (layout: [0,nPairs) = Σ q(xᵢxⱼ)
+    // upper triangle in (i, j≥i) order, [nPairs,nPairs+d) = Σ q(xᵢ),
+    // last slot = row count). Exact.q6dec reproduces bit-for-bit the
+    // DECIMAL(18,6) cast the old declarative plan (and the DuckDB
+    // oracle) applies per product, and long addition is exact and
+    // order-free, so the sums are identical to the decimal aggregation
+    // — this is MLlib's RowMatrix Gramian shape (treeAggregate over a
+    // per-partition accumulator), the idiomatic Spark form for
+    // fixed-size sufficient statistics. Overflow bound: |xᵢxⱼ| ≤ B →
+    // safe while n·B·10⁶ < 2⁶³ (B = 100 → 9e13 rows; the declarative
+    // decimal plan this replaces had precision 28 ≈ the same bound).
+    val partials = Engine.table(sp, dir, "embeddings")
+      .select(col("embedding").cast("array<double>").as("e"))
+      .as[Array[Double]]
+      .mapPartitions { it =>
+        val acc = new Array[Long](nPairs + d + 1)
+        it.foreach { e =>
+          var k = 0; var i = 0
+          while (i < d) {
+            val xi = e(i)
+            acc(nPairs + i) += Exact.q6dec(xi)
+            var j = i
+            while (j < d) { acc(k) += Exact.q6dec(xi * e(j)); k += 1; j += 1 }
+            i += 1
+          }
+          acc(nPairs + d) += 1L
+        }
+        if (acc(nPairs + d) == 0L) Iterator.empty else Iterator.single(acc)
+      }
+    // Combine the ≤ one-row-per-task partials declaratively (explode →
+    // partial-agg collapses each partition to ≤ nPairs+d+1 rows before
+    // the one matrix-sized exchange — no driver fold over a
+    // partition-count-sized collect), then assemble the Dim²-sized
+    // result on the driver like the eigensolve: bounded by the matrix,
+    // not the corpus.
+    val agg = partials.toDF("value")
+      .select(posexplode(col("value")).as(Seq("k", "u")))
+      .groupBy(col("k")).agg(sum(col("u")).as("su"))
+      .collect()
+    val acc = new Array[Long](nPairs + d + 1)
+    agg.foreach(r => acc(r.getInt(0)) = r.getLong(1))
+    val n = acc(nPairs + d)
+    val sxD = Array.tabulate(d)(i => Exact.q6decToDouble(acc(nPairs + i)))
+    // decimal→double casts via q6decToDouble = BigDecimal.doubleValue,
+    // then the IDENTICAL Column chain the declarative plan ran — the
+    // final covariance doubles are bit-equal to the old plan's
+    val covRows =
+      if (n == 0L) Seq.empty[(Long, Long, Long, Double, Double, Double)]
+      else for { i <- 0 until d; j <- i until d } yield {
+        val k = i * d - i * (i - 1) / 2 + (j - i)
+        (i.toLong, j.toLong, n, Exact.q6decToDouble(acc(k)), sxD(i), sxD(j))
+      }
+    val cov = covRows.toDF("i", "j", "n", "sxy", "sxi", "sxj")
       .select(col("i"), col("j"), col("n"),
         ((col("n") * col("sxy") - col("sxi") * col("sxj")) /
           (col("n") * col("n"))).as("cov"))
+    val sums =
+      (if (n == 0L) Seq.empty[(Long, Double, Long)]
+       else (0 until d).map(i => (i.toLong, sxD(i), n)))
+        .toDF("d", "sx", "n")
     (cov, sums)
   }
 

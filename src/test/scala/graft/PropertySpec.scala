@@ -182,4 +182,37 @@ class PropertySpec extends AnyFunSuite {
     assert(parseExpr("-a * b") ==
       Binary("*", Unary("-", Id(None, "a")), Id(None, "b")))
   }
+
+  test("q6dec fast path equals the BigDecimal DECIMAL(18,6) cast") {
+    // the covariance sufficient-stats loop relies on the floor-based
+    // fast path agreeing with BigDecimal.valueOf(v).setScale(6,
+    // HALF_UP) — the semantics of Spark's double→DECIMAL(18,6) cast —
+    // on EVERY double, including exact .5 midpoints, negatives, and
+    // float-noise neighbors of midpoints
+    def slow(v: Double): Long = java.math.BigDecimal.valueOf(v)
+      .setScale(6, java.math.RoundingMode.HALF_UP)
+      .unscaledValue().longValue()
+    val adversarial = Seq(
+      0.0, -0.0, 1.0, -1.0, 0.1234565, -0.1234565, 2.5e-6, -2.5e-6,
+      0.9999995, -0.9999995, 1.0000005, 123.4567895, -123.4567895,
+      1e-7, -1e-7, 4.9e-7, 5.1e-7, 0.5e-6, 1.5e-6,
+      987654.3210985, -987654.3210985, 1e9 + 0.5e-6, 3.14159265358979)
+    adversarial.foreach { v =>
+      assert(operators.Exact.q6dec(v) == slow(v), s"q6dec($v)")
+    }
+    forAll(Gen.chooseNum(-1e9, 1e9), 2000) { v =>
+      assert(operators.Exact.q6dec(v) == slow(v), s"q6dec($v)")
+    }
+    // products of small embedding-like coordinates (the actual domain)
+    forAll(Gen.zip(Gen.chooseNum(-4.0, 4.0), Gen.chooseNum(-4.0, 4.0)), 2000) { t =>
+      val v = t._1 * t._2
+      assert(operators.Exact.q6dec(v) == slow(v), s"q6dec($v)")
+    }
+    // round-trip of the unscaled sum back to double equals the
+    // decimal→double cast for magnitudes past 2^53 where plain /1e6
+    // double division would mis-round
+    assert(operators.Exact.q6decToDouble(9007199254740993L * 3L) ==
+      new java.math.BigDecimal(
+        java.math.BigInteger.valueOf(9007199254740993L * 3L), 6).doubleValue())
+  }
 }
