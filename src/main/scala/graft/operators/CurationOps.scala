@@ -398,6 +398,62 @@ object CurationOps {
     WHERE (d.doc_id * $MixHashMul) % $MixHashMod < f.thr"""
   }
 
+  /** Sample size per language for [[weightedSample]]. */
+  val WeightedSampleK = 40
+
+  /** Probability-proportional-to-size sampling per language:
+    * sequential Poisson sampling (Ohlsson '98, the PPS scheme used by
+    * official statistics) — each document gets priority uᵢ/wᵢ with
+    * uᵢ a per-id uniform variate and wᵢ its weight (n_chars: longer
+    * documents carry proportionally more training tokens, so a
+    * token-budget-aware subsample should prefer them); the k smallest
+    * priorities per stratum win. Everything is INTEGER: uᵢ is the
+    * same Knuth-hash variate as [[mixSources]], and the priority is
+    * the floor-scaled ratio (uᵢ·10⁶) div wᵢ — u < 2³² keeps the
+    * product < 2⁵², so both engines evaluate the identical BIGINT
+    * (no float division, no libm — the repo-wide exactness
+    * discipline). Scale shape: the per-stratum top-k is the
+    * [[graft.operators.TextOps.samplePerLang]] two-phase prune —
+    * per-partition row_number keeps ≤ k·P rows per language
+    * (WindowGroupLimit trims before the exchange), the global window
+    * ranks only survivors; the corpus itself never shuffles or
+    * sorts. Same ≳2³¹-doc_id caveat as the other Knuth-hash cuts. */
+  def weightedSample(sp: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Engine.table(sp, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        greatest(col("n_chars").cast("long"), lit(1L)).as("w"))
+      .withColumn("priority", expr(
+        s"((doc_id * $MixHashMul) % $MixHashMod) * 1000000 div w"))
+    val local = docs.withColumn("pid", spark_partition_id())
+    val perPart = Window.partitionBy(col("pid"), col("lang"))
+      .orderBy(col("priority").asc, col("doc_id").asc)
+    val pruned = local
+      .withColumn("r1", row_number().over(perPart))
+      .filter(col("r1") <= WeightedSampleK)
+      .drop("pid", "r1")
+    val global = Window.partitionBy(col("lang"))
+      .orderBy(col("priority").asc, col("doc_id").asc)
+    pruned
+      .withColumn("rank", row_number().over(global).cast("long"))
+      .filter(col("rank") <= WeightedSampleK)
+      .select(col("lang"), col("doc_id"), col("w"), col("priority"),
+        col("rank"))
+  }
+
+  val weightedSampleOracle: String = s"""
+    SELECT lang, doc_id, w, priority, rank FROM (
+      SELECT lang, doc_id, w, priority,
+        CAST(ROW_NUMBER() OVER (PARTITION BY lang
+          ORDER BY priority, doc_id) AS BIGINT) AS rank
+      FROM (
+        SELECT lang, doc_id,
+          GREATEST(CAST(n_chars AS BIGINT), 1) AS w,
+          (((doc_id * $MixHashMul) % $MixHashMod) * 1000000)
+            // GREATEST(CAST(n_chars AS BIGINT), 1) AS priority
+        FROM documents))
+    WHERE rank <= $WeightedSampleK"""
+
   /** Temperature-scaled source mixing (α = 0.5): the √-upsampling
     * recipe LLM pretraining uses to keep big crawls from drowning
     * small high-quality sources — source s gets a target of
@@ -664,6 +720,7 @@ object CurationOps {
     "pipeline_shard_manifest" -> (shardManifest _),
     "pipeline_pack_sequences" -> (packSequences _),
     "pipeline_split_stratified" -> (splitStratified _),
+    "pipeline_weighted_sample" -> (weightedSample _),
     "text_ngram_familiarity" -> (ngramFamiliarity _))
 
   val oracles: Map[String, String] = Map(
@@ -679,5 +736,6 @@ object CurationOps {
     "pipeline_shard_manifest" -> shardManifestOracle,
     "pipeline_pack_sequences" -> packSequencesOracle,
     "pipeline_split_stratified" -> splitStratifiedOracle,
+    "pipeline_weighted_sample" -> weightedSampleOracle,
     "text_ngram_familiarity" -> ngramFamiliarityOracle)
 }

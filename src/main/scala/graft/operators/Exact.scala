@@ -89,6 +89,16 @@ object Exact {
       .unscaledValue().longValue()
   }
 
+  /** Driver-side scalar fold twin of [[dsum]], IN THE ACTIVE MODE —
+    * for exact-recompute quality gates that must reproduce a
+    * distributed dsum bit-for-bit: `long` mode ends with the same
+    * long→double divide-by-10⁶ Spark's plan runs; `decimal` mode ends
+    * with the same decimal→double cast. */
+  def dsumScalar(vs: Iterable[Double]): Double =
+    if (mode == "decimal")
+      q6decToDouble(vs.foldLeft(0L)((a, v) => a + q6dec(v)))
+    else vs.foldLeft(0L)((a, v) => a + math.rint(v * 1e6).toLong) / 1e6
+
   /** Inverse of [[q6dec]]'s scaling for an accumulated unscaled sum:
     * exactly Spark's DECIMAL(…,6)→DOUBLE cast (BigDecimal
     * .doubleValue — correctly rounded even past 2⁵³, where a plain

@@ -1221,6 +1221,120 @@ object SimilarityOps {
       .toDF("vec_id", "pc1")
   }
 
+  /** Cluster count / Lloyd sweeps for [[kmeans]]; k is
+    * conf-overridable (`spark.graft.kmeans.k`) because the right
+    * cluster granularity is a corpus property, not an engine one. */
+  val KmeansK = 16
+  val KmeansIters = 5
+
+  /** Distributed Lloyd fit over the FULL corpus: (final centroids,
+    * per-iteration inertias). Unlike the ANN coarse quantizers (which
+    * deliberately train on a ≤10k sample — routing only needs an
+    * approximate partition), a clustering op's centroids are the
+    * deliverable, so every iteration is a real corpus pass: broadcast
+    * the k×Dim centroid matrix, fold each task's rows into ONE
+    * fixed-size accumulator (per-cluster Σ q(xᵢ) unscaled longs +
+    * counts + a quantized inertia sum — the [[covStats]] shape), and
+    * combine declaratively before a matrix-sized driver assembly.
+    * Exactness: quantized long sums are order-free, so the centroid
+    * trajectory is bit-reproducible on ANY partitioning — the
+    * property the exact-recompute gate pins. Seeding is the
+    * deterministic D²-weighted [[kppSeeds]] over the id-hash sample.
+    * Empty clusters keep their previous center ([[localLloyd]]'s
+    * rule). Scale: per-iteration cost is one scan + k·Dim work per
+    * row; nothing materialized grows with the corpus. */
+  def kmeansFit(sp: SparkSession, dir: String)
+      : (Array[Array[Double]], Array[Double]) = {
+    import sp.implicits._
+    val d = Dim
+    val k = sp.conf.getOption("spark.graft.kmeans.k")
+      .map(_.toInt).getOrElse(KmeansK)
+    val all = vecs(sp, dir)
+    val seeds = kppSeeds(
+      lloydSample(sp, all, "spark.graft.kmeans.sampleMod", k), k)
+    var cents = seeds
+    val inertias = new Array[Double](KmeansIters)
+    val vv = all.select(col("v")).as[Seq[Double]]
+    for (t <- 0 until KmeansIters) {
+      val kk = cents.length
+      val bc = sp.sparkContext.broadcast(cents)
+      // accumulator layout: [j·Dim+i) per-cluster coordinate sums,
+      // [kk·Dim+j) counts, last slot quantized inertia
+      val partials = vv.mapPartitions { it =>
+        val c = bc.value
+        val acc = new Array[Long](kk * d + kk + 1)
+        var any = false
+        it.foreach { vs =>
+          val x = vs.toArray
+          var best = 0; var bestD = Double.MaxValue
+          var j = 0
+          while (j < kk) {
+            var s = 0.0; var i = 0
+            while (i < d) { val t0 = x(i) - c(j)(i); s += t0 * t0; i += 1 }
+            if (s < bestD) { bestD = s; best = j }
+            j += 1
+          }
+          var i = 0
+          while (i < d) { acc(best * d + i) += Exact.q6dec(x(i)); i += 1 }
+          acc(kk * d + best) += 1L
+          acc(kk * d + kk) += Exact.q6dec(bestD)
+          any = true
+        }
+        if (any) Iterator.single(acc) else Iterator.empty
+      }
+      val agg = partials.toDF("value")
+        .select(posexplode(col("value")).as(Seq("p", "u")))
+        .groupBy(col("p")).agg(sum(col("u")).as("su"))
+        .collect()
+      val acc = new Array[Long](kk * d + kk + 1)
+      agg.foreach(r => acc(r.getInt(0)) = r.getLong(1))
+      inertias(t) = Exact.q6decToDouble(acc(kk * d + kk))
+      cents = Array.tabulate(kk) { j =>
+        val cnt = acc(kk * d + j)
+        if (cnt == 0L) cents(j)
+        else Array.tabulate(d)(i =>
+          Exact.q6decToDouble(acc(j * d + i)) / cnt)
+      }
+      bc.destroy()
+    }
+    (cents, inertias)
+  }
+
+  /** Full-corpus k-means ASSIGNMENT — the clustering primitive under
+    * diversity sampling, per-cluster quota curation, and SemDeDup-
+    * style semantic grouping (cluster first, dedup within clusters).
+    * One broadcast map pass after [[kmeansFit]]; ties break to the
+    * lowest cluster id (strict `<` in the argmin). No SQL oracle (an
+    * iterative fit is not SQL); gated on exact driver recompute of a
+    * sampled assignment against the fit's centroids plus the Lloyd
+    * inertia-descent invariant. */
+  def kmeans(sp: SparkSession, dir: String): DataFrame = {
+    import sp.implicits._
+    val d = Dim
+    val (cents, _) = kmeansFit(sp, dir)
+    val bc = sp.sparkContext.broadcast(cents)
+    vecs(sp, dir).select(col("vec_id"), col("v"))
+      .as[(Long, Seq[Double])]
+      .mapPartitions { it =>
+        val c = bc.value
+        it.map { case (id, vs) =>
+          val x = vs.toArray
+          var best = 0; var bestD = Double.MaxValue
+          var j = 0
+          while (j < c.length) {
+            var s = 0.0; var i = 0
+            while (i < d) { val t0 = x(i) - c(j)(i); s += t0 * t0; i += 1 }
+            if (s < bestD) { bestD = s; best = j }
+            j += 1
+          }
+          (id, best.toLong, bestD)
+        }
+      }
+      .toDF("vec_id", "cluster", "dist2")
+      .select(col("vec_id"), col("cluster"),
+        round(col("dist2"), 4).as("dist2_r"))
+  }
+
   def centroidPerLabel(sp: SparkSession, dir: String): DataFrame =
     Engine.table(sp, dir, "embeddings")
       .select(col("label"), posexplode(col("embedding")).as(Seq("dim_idx", "x")))
@@ -1325,6 +1439,7 @@ object SimilarityOps {
     "sim_ann_ivf_pq" -> (annIvfPq _),
     "sim_embedding_neardup" -> ((s, d) => embeddingNearDup(s, d)),
     "sim_neardup_lsh" -> (embeddingNearDupLsh _),
+    "sim_kmeans" -> (kmeans _),
     "dedup_semantic" -> (semanticDedup _))
 
   val oracles: Map[String, String] = Map(

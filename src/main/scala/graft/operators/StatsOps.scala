@@ -409,7 +409,54 @@ object StatsOps {
         AS cum_vocab
     FROM generate_series(1, 10) AS s(bucket) LEFT JOIN pb USING (bucket)"""
 
+  /** Ranks fitted by [[zipfSlope]] — the Zipf head, where the
+    * power-law regime lives (the tail bends for every real corpus). */
+  val ZipfTopR = 100
+
+  /** Per-source Zipf power-law fit: least-squares slope/intercept of
+    * ln(freq) on ln(rank) over each source's [[ZipfTopR]] most
+    * frequent tokens — the corpus-health diagnostic that catches
+    * machine-generated or template text (natural language sits near
+    * slope −1; boilerplate floods flatten the head, mojibake steepens
+    * it). Scale shape: token counting is the [[graft.operators
+    * .TextOps.tokenDf]] partial-agg shuffle (vocabulary-sized, never
+    * raw occurrences); the per-source top-R is a WindowGroupLimit;
+    * the regression runs over ≤ sources × R tiny rows. Determinism:
+    * ln via the JVM's Math.log on both the op and the gate (libm log
+    * differs across ENGINES in the last ulp — the reason this op is
+    * gate-verified by driver recompute, not SQL-oracled — but within
+    * one JVM it is a fixed function), and the four regression sums go
+    * through [[Exact.dsum]], so they are order-free and the closing
+    * slope/intercept chain is one deterministic IEEE expression. */
+  def zipfSlope(sp: SparkSession, dir: String): DataFrame = {
+    val tf = Engine.table(sp, dir, "documents")
+      .select(col("source"), explode(split(col("text"), " ")).as("token"))
+      .groupBy(col("source"), col("token")).agg(count(lit(1)).as("freq"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("freq").desc, col("token").asc)
+    val xy = tf
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= ZipfTopR)
+      .select(col("source"),
+        log(col("rank").cast("double")).as("x"),
+        log(col("freq").cast("double")).as("y"))
+    xy.groupBy(col("source")).agg(
+        count(lit(1)).as("n_ranks"),
+        graft.operators.Exact.dsum(col("x")).as("sx"),
+        graft.operators.Exact.dsum(col("y")).as("sy"),
+        graft.operators.Exact.dsum(col("x") * col("y")).as("sxy"),
+        graft.operators.Exact.dsum(col("x") * col("x")).as("sxx"))
+      .withColumn("slope",
+        (col("n_ranks") * col("sxy") - col("sx") * col("sy")) /
+          (col("n_ranks") * col("sxx") - col("sx") * col("sx")))
+      .withColumn("intercept",
+        (col("sy") - col("slope") * col("sx")) / col("n_ranks"))
+      .select(col("source"), col("n_ranks"), col("slope"),
+        col("intercept"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stats_zipf_slope" -> (zipfSlope _),
     "stats_vocab_growth" -> (vocabGrowth _),
     "stats_ks_drift" -> (ksDrift _),
     "stats_source_drift" -> (sourceDrift _),

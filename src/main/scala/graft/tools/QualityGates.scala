@@ -186,6 +186,44 @@ object QualityGates {
         proj.size, sample.length)
     }
 
+    // ---- sim_kmeans: (a) exact driver recompute of a sampled
+    // assignment against the fit's own centroids (same strict-<
+    // argmin, same i-ascending fold — the op's quantized long sums
+    // make the centroid trajectory partitioning-independent, so a
+    // fresh fit here reproduces the op's centroids bit-for-bit);
+    // (b) the Lloyd invariant: inertia must not grow from the first
+    // sweep to the last
+    locally {
+      val got = SimilarityOps.kmeans(sp, dir).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      val (cents, inertias) = SimilarityOps.kmeansFit(sp, dir)
+      val sample = Engine.table(sp, dir, "embeddings")
+        .filter(col("vec_id") < 50)
+        .selectExpr("vec_id", "cast(embedding as array<double>)").collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      val okN = sample.count { case (id, x) =>
+        var best = 0; var bestD = Double.MaxValue
+        var j = 0
+        while (j < cents.length) {
+          var s = 0.0; var i = 0
+          while (i < x.length) { val t = x(i) - cents(j)(i); s += t * t; i += 1 }
+          if (s < bestD) { bestD = s; best = j }
+          j += 1
+        }
+        got.get(id).contains((best.toLong,
+          BigDecimal(bestD).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+            .toDouble))
+      }
+      gates += Gate("sim_kmeans", "driver_exact_recompute",
+        "exact_match_rate",
+        if (sample.isEmpty) 1.0 else okN.toDouble / sample.length, 1.0,
+        got.size, sample.length)
+      gates += Gate("sim_kmeans", "lloyd_inertia_descent",
+        "first_to_last_inertia_ratio",
+        if (inertias.last <= 0) 1.0 else inertias.head / inertias.last, 1.0,
+        inertias.length, inertias.length)
+    }
+
     // ---- sim_neardup_lsh vs the exact all-pairs cosine twin
     gates ++= recallPrecision("sim_neardup_lsh", "sim_embedding_neardup",
       pairSet(SimilarityOps.embeddingNearDupLsh(sp, dir)
@@ -359,6 +397,43 @@ object QualityGates {
     gates += Gate("stats_approx_quantiles", "stats_length_quantiles",
       "worst_quantile_accuracy", qAcc, 0.9,
       approxQ.size, exactQ.size)
+
+    // ---- stats_zipf_slope: exact driver recompute — same tokenizer
+    // (split " " keeping empties), same JVM Math.log, same dsum
+    // quantization, same closing IEEE chain. Tie-ORDER among equal
+    // frequencies cannot move the sums (tied tokens share y, and any
+    // rank permutation of a tie yields the same (x, y) multiset), so
+    // exact equality is well-defined despite window tie-breaks.
+    locally {
+      val gotZ = StatsOps.zipfSlope(sp, dir).collect()
+        .map(r => r.getString(0) ->
+          (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+      val bySrc = Engine.table(sp, dir, "documents")
+        .select(col("source"), col("text")).collect()
+        .groupBy(_.getString(0))
+      val okZ = bySrc.count { case (src, rows) =>
+        val freq = scala.collection.mutable.HashMap.empty[String, Long]
+        rows.foreach(_.getString(1).split(" ", -1)
+          .foreach(t => freq(t) = freq.getOrElse(t, 0L) + 1L))
+        val top = freq.toSeq.sortBy { case (t, f) => (-f, t) }
+          .take(StatsOps.ZipfTopR)
+        val n = top.length.toLong
+        val xs = top.indices.map(i => math.log((i + 1).toDouble))
+        val ys = top.map { case (_, f) => math.log(f.toDouble) }
+        val sx = graft.operators.Exact.dsumScalar(xs)
+        val sy = graft.operators.Exact.dsumScalar(ys)
+        val sxy = graft.operators.Exact.dsumScalar(
+          xs.zip(ys).map { case (a, b) => a * b })
+        val sxx = graft.operators.Exact.dsumScalar(xs.map(a => a * a))
+        val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+        val intercept = (sy - slope * sx) / n
+        gotZ.get(src).contains((n, slope, intercept))
+      }
+      gates += Gate("stats_zipf_slope", "driver_exact_recompute",
+        "exact_match_rate",
+        if (bySrc.isEmpty) 1.0 else okZ.toDouble / bySrc.size, 1.0,
+        gotZ.size, bySrc.size)
+    }
 
     // ---- media_byte_entropy vs a driver-side exact recompute
     // (bounded sample, same shape as MultimodalSpec)

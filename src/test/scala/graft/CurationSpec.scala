@@ -129,4 +129,35 @@ class CurationSpec extends AnyFunSuite {
       col("familiarity") > nDocs.toDouble).count()
     assert(bad == 0)
   }
+
+  test("weighted sampling is PPS-biased, ranked correctly, and deterministic") {
+    import graft.Engine
+    val docs = Engine.table(spark, sf, "documents")
+    val out = CurationOps.weightedSample(spark, sf).collect()
+    val k = CurationOps.WeightedSampleK
+    // structural: ranks are 1..min(k, n_lang) dense per language and
+    // priorities non-decreasing in rank
+    out.groupBy(_.getString(0)).foreach { case (lang, rows) =>
+      val sorted = rows.sortBy(_.getLong(4))
+      assert(sorted.map(_.getLong(4)).toSeq == (1L to sorted.length).toSeq,
+        s"$lang ranks not dense")
+      assert(sorted.length <= k)
+      val prios = sorted.map(_.getLong(3)).toSeq
+      assert(prios == prios.sorted, s"$lang priorities out of rank order")
+    }
+    // the PPS property: selection prefers heavy documents — the mean
+    // weight of the sample must exceed the language's corpus mean
+    // (u/w priorities: P(selected) grows with w)
+    val corpusMean = docs.groupBy("lang")
+      .agg(avg(greatest(col("n_chars"), lit(1L))).as("m")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    out.groupBy(_.getString(0)).foreach { case (lang, rows) =>
+      val sampleMean = rows.map(_.getLong(2)).sum.toDouble / rows.length
+      assert(sampleMean > corpusMean(lang),
+        s"$lang: sample mean $sampleMean not above corpus ${corpusMean(lang)}")
+    }
+    // deterministic: a second run is identical
+    val again = CurationOps.weightedSample(spark, sf).collect()
+    assert(out.map(_.toSeq).toSet == again.map(_.toSeq).toSet)
+  }
 }

@@ -317,4 +317,50 @@ class DedupSimilaritySpec extends AnyFunSuite {
       assert(!newIds.contains(b), s"ref_id $b is in batch source")
     }
   }
+
+  test("k-means: Lloyd descends, runs are reproducible, assignment is exact") {
+    val (cents, inertias) = SimilarityOps.kmeansFit(spark, sf)
+    assert(inertias.head >= inertias.last,
+      s"Lloyd inertia rose: ${inertias.toSeq}")
+    // partitioning-independence claim: the quantized long centroid
+    // sums are order-free, so a second fit (fresh jobs, fresh task
+    // splits) must reproduce the centroid matrix BIT-FOR-BIT
+    val (cents2, inertias2) = SimilarityOps.kmeansFit(spark, sf)
+    assert(cents.length == cents2.length &&
+      cents.indices.forall(j => cents(j).sameElements(cents2(j))),
+      "refit centroids differ — trajectory not partitioning-independent")
+    assert(inertias.sameElements(inertias2))
+    val assigned = SimilarityOps.kmeans(spark, sf).collect()
+    val nVec = Engine.table(spark, sf, "embeddings").count()
+    assert(assigned.length == nVec, "every vector assigned exactly once")
+    val used = assigned.map(_.getLong(1)).distinct
+    assert(used.forall(c => c >= 0 && c < cents.length))
+    assert(used.length > 1, "degenerate single-cluster fit")
+    def argmin(x: Array[Double], c: Array[Array[Double]]): (Int, Double) = {
+      var best = 0; var bestD = Double.MaxValue
+      var j = 0
+      while (j < c.length) {
+        var s = 0.0; var i = 0
+        while (i < x.length) { val t = x(i) - c(j)(i); s += t * t; i += 1 }
+        if (s < bestD) { bestD = s; best = j }
+        j += 1
+      }
+      (best, bestD)
+    }
+    val xs = Engine.table(spark, sf, "embeddings")
+      .selectExpr("vec_id", "cast(embedding as array<double>)").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    // reassigning against the final centroids cannot exceed the last
+    // sweep's inertia (the Lloyd half-step invariant)
+    val reInertia = graft.operators.Exact.dsumScalar(
+      xs.map(x => argmin(x._2, cents)._2).toSeq)
+    assert(reInertia <= inertias.last + 1e-9,
+      s"reassignment worsened inertia: $reInertia > ${inertias.last}")
+    // and the emitted assignment matches the driver argmin everywhere
+    val gotById = assigned.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val mismatches = xs.count { case (id, x) =>
+      gotById(id) != argmin(x, cents)._1.toLong
+    }
+    assert(mismatches == 0, s"$mismatches assignment mismatches")
+  }
 }

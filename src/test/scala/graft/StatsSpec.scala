@@ -108,4 +108,23 @@ class StatsSpec extends AnyFunSuite {
       assert(math.abs(gc - want) < 1e-9, s"$et corr $gc vs $want")
     }
   }
+
+  test("zipf slope is negative, head-sized, and reproducible") {
+    val out = StatsOps.zipfSlope(spark, sf).collect()
+    val srcN = Engine.table(spark, sf, "documents")
+      .select("source").distinct().count()
+    assert(out.length == srcN, "one fit per source")
+    out.foreach { r =>
+      val (src, n, slope) = (r.getString(0), r.getLong(1), r.getDouble(2))
+      assert(n > 1 && n <= StatsOps.ZipfTopR, s"$src n_ranks $n")
+      // token frequencies are non-increasing in rank, so the LS slope
+      // over the log-log head is necessarily <= 0; natural-ish text
+      // sits well below (the -1 Zipf regime)
+      assert(slope <= 0.0, s"$src slope $slope not <= 0")
+      assert(java.lang.Double.isFinite(r.getDouble(3)), s"$src intercept")
+    }
+    val again = StatsOps.zipfSlope(spark, sf).collect()
+    assert(out.map(_.toSeq).toSet == again.map(_.toSeq).toSet,
+      "zipf fit not deterministic across runs")
+  }
 }
