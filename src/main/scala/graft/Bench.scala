@@ -94,7 +94,9 @@ object Bench {
     "pipeline_split_leakage", "search_bm25_topk",
     "pipeline_mix_temperature", "events_interarrival", "sim_knn_graph",
     "orders_ship_latency", "media_crc_check",
-    "text_charclass_profile", "events_bot_score", "embed_pca_project")
+    "text_charclass_profile", "events_bot_score", "embed_pca_project",
+    // round-9 additions
+    "sim_kmeans", "pipeline_weighted_sample", "stats_zipf_slope")
 
   val Reps = 5
   /** Extra reps for queries whose 5-rep median is below [[SubSecond]]

@@ -342,6 +342,7 @@ object DotProduct {
   }
 }
 
+
 object functions {
   private def toCol(e: Expression): Column = GraftShim.column(e)
   private def expr(c: Column): Expression = GraftShim.expression(c)

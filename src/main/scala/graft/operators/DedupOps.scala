@@ -63,72 +63,49 @@ object DedupOps {
     * hashes are unchanged; the oracle SQL applies the same cap. */
   val ShingleDfCap = 1000
 
-  /** Per-document shingle SETS in global rarity order — the shared
-    * candidate/verify structure behind [[ngramJaccard]] and
-    * [[containment]], replacing their former full inverted-index
-    * self-joins with SSJoin-style prefix filtering (Chaudhuri et al.
-    * ICDE'06; Bayardo et al. WWW'07; Xiao et al. WWW'08 — all public
-    * literature). Each doc's (hot-capped) shingles are sorted by
-    * (global document frequency asc, shingle asc) — a TOTAL order
-    * identical for every doc — so a doc's PREFIX holds its rarest
-    * tokens, candidate buckets are keyed by rare tokens (tiny df),
-    * and the quadratic bucket product of corpus-common shingles never
-    * forms. Downstream joins carry 8-byte xxhash64 token keys, not
-    * ~40-byte shingle strings; a hash collision can only ADD a
-    * candidate (verification intersects the true string arrays), so
-    * exactness is untouched. */
-  private def docShingleSets(sp: SparkSession, dir: String): DataFrame = {
-    val shAll = shingles(sp, dir)
-    val dfs = shAll.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-    // inner-join keeps df <= cap — same token set the old hot-set
-    // anti-join kept, now carrying the df the rarity order needs
-    shAll.join(dfs.filter(col("df") <= ShingleDfCap), "shingle")
-      .groupBy(col("doc_id"))
-      .agg(sort_array(collect_list(struct(col("df"), col("shingle"))))
-        .as("toks"))
-      .select(col("doc_id"), col("toks.shingle").as("shs"),
-        size(col("toks")).as("n_sh"))
-  }
-
-  /** Prefix tokens of each doc under overlap bound α(n) = ceil(t·n):
-    * a pair with |A∩B| >= α must share a token among each side's first
-    * n − α + 1 (the prefix-filtering principle — the intersection
-    * cannot hide entirely in the last α − 1 positions). The ceil is
-    * taken with an ε so float noise can only LENGTHEN the prefix
-    * (false candidates, never false negatives). */
-  private def prefixTokens(ds: DataFrame, t: Double): DataFrame = {
-    val p = greatest((col("n_sh") -
-      ceil(lit(t) * col("n_sh") - lit(1e-9)) + 1).cast("int"), lit(1))
-    ds.select(col("doc_id"), col("n_sh"),
-        explode(slice(col("shs"), lit(1), p)).as("tok"))
-      .select(col("doc_id"), col("n_sh"), xxhash64(col("tok")).as("h"))
-  }
-
-  /** Exact n-gram Jaccard near-dup pairs (threshold 0.5): prefix-join
-    * candidates (both sides prefix-filtered + the t·|A| <= |B| length
-    * filter), then EXACT verification — |A∩B| by array_intersect over
-    * the true shingle arrays, Jaccard as the same int/int division as
-    * before → oracle-identical output, candidate volume bounded by
-    * rare-token buckets instead of every shared shingle. */
+  /** Exact n-gram Jaccard near-dup pairs (threshold 0.5) via inverted
+    * index: shingle self-join → intersection counts → |A∪B| from per-doc
+    * set sizes. Jaccard is exact int/int division → oracle-safe.
+    *
+    * NEGATIVE RESULT, measured and kept on record: round 9 replaced
+    * this with SSJoin prefix filtering (Chaudhuri ICDE'06 / Bayardo
+    * WWW'07 — join only each doc's rarest-df prefix, verify candidate
+    * pairs against the full shingle arrays) expecting to cut the
+    * Σ df² candidate volume. On this corpus it was catastrophically
+    * SLOWER (the sf0.1 base+10× sweep went from ~25 s to a >10 min
+    * timeout, even after moving verification from Spark's interpreted
+    * per-row-hash-set array_intersect to a codegen'd sorted-merge
+    * count): template-generated text has a small shingle vocabulary,
+    * so the "rarest" prefix tokens still sit near the df cap and the
+    * prefix join degenerates toward all-pairs — and every candidate
+    * pair then pays O(|A|+|B|) verification where the inverted-index
+    * aggregation pays only O(|A∩B|) counting rows that actually
+    * share a shingle. Prefix filtering wins on Zipfian natural-text
+    * vocabularies; on bounded-vocabulary corpora the inverted index
+    * is the right exact twin. (At 100× rows this op's wall grows
+    * ~linearly with the corpus — Σ df² with the hot cap holding
+    * per-shingle df constant — which is the honest floor for an
+    * exact pair op whose OUTPUT grows with the corpus.) */
   def ngramJaccard(sp: SparkSession, dir: String): DataFrame = {
-    val t = 0.5
-    val ds = docShingleSets(sp, dir).cache()
-    val pre = prefixTokens(ds, t)
-    val cand = pre.as("x").join(pre.as("y"),
-        col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id") &&
-          lit(t) * col("x.n_sh") <= col("y.n_sh") + lit(0.5) &&
-          lit(t) * col("y.n_sh") <= col("x.n_sh") + lit(0.5))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
-    cand
-      .join(ds.select(col("doc_id").as("doc_a"), col("shs").as("sa"),
-        col("n_sh").as("na")), "doc_a")
-      .join(ds.select(col("doc_id").as("doc_b"), col("shs").as("sb"),
-        col("n_sh").as("nb")), "doc_b")
-      .withColumn("c", size(array_intersect(col("sa"), col("sb"))).cast("long"))
+    val shAll = shingles(sp, dir)
+    // hot shingles are a tiny, bounded set (each needs > DfCap docs);
+    // the anti-join is AQE-broadcast at runtime — no driver collect
+    val hot = shAll.groupBy(col("shingle"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") > ShingleDfCap)
+      .select(col("shingle"))
+    val sh = shAll.join(hot, Seq("shingle"), "left_anti").cache()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val inter = sh.as("x").join(sh.as("y"),
+        col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("c"))
+    val j = inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "na"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "nb"), "doc_b")
       .withColumn("jaccard",
         col("c").cast("double") / (col("na") + col("nb") - col("c")))
-      .filter(col("jaccard") >= t)
+    j.filter(col("jaccard") >= 0.5)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
@@ -164,33 +141,31 @@ object DedupOps {
     * document whose shingle set is mostly inside another's — the
     * quotation/sub-document duplication Jaccard misses when lengths
     * differ (|A∩B|/|A∪B| shrinks with the larger doc, |A∩B|/|A| does
-    * not). Directed pairs, both directions emitted. Same SSJoin
-    * prefix-filter shape as [[ngramJaccard]], asymmetric: the overlap
-    * bound τ·|A| constrains only the PROBE side's prefix (B's share of
-    * the intersection can sit anywhere in B), so probes join their
-    * rarest n − ceil(τ·n) + 1 tokens against the full index, with the
-    * τ·|A| <= |B| length filter. Verification is the same exact
-    * array-intersection int/int division → oracle-safe; candidate
-    * volume is probe-prefix × df, skew still bounded by the hot cap. */
+    * not). Directed pairs, both directions emitted. Same inverted-index
+    * shape as [[ngramJaccard]] — shingle-key self-join with the hot-DF
+    * cap, intersection counts, one join to per-doc sizes — so the same
+    * 100 TB posture: no all-pairs product, skew bounded by the cap.
+    * Exact int/int division → oracle-safe. (The SSJoin prefix-filter
+    * variant was tried and reverted — see [[ngramJaccard]]'s measured
+    * negative result; it degenerates on bounded-vocabulary corpora.) */
   def containment(sp: SparkSession, dir: String): DataFrame = {
-    val tau = ContainmentTau
-    val ds = docShingleSets(sp, dir).cache()
-    val probe = prefixTokens(ds, tau)
-    val index = ds.select(col("doc_id"), col("n_sh"),
-        explode(col("shs")).as("tok"))
-      .select(col("doc_id"), col("n_sh"), xxhash64(col("tok")).as("h"))
-    val cand = probe.as("x").join(index.as("y"),
-        col("x.h") === col("y.h") && col("x.doc_id") =!= col("y.doc_id") &&
-          lit(tau) * col("x.n_sh") <= col("y.n_sh") + lit(0.5))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
-    cand
-      .join(ds.select(col("doc_id").as("doc_a"), col("shs").as("sa"),
-        col("n_sh").as("na")), "doc_a")
-      .join(ds.select(col("doc_id").as("doc_b"), col("shs").as("sb")), "doc_b")
-      .withColumn("c", size(array_intersect(col("sa"), col("sb"))).cast("long"))
+    val shAll = shingles(sp, dir)
+    val hot = shAll.groupBy(col("shingle"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") > ShingleDfCap)
+      .select(col("shingle"))
+    val sh = shAll.join(hot, Seq("shingle"), "left_anti").cache()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val inter = sh.as("x").join(sh.as("y"),
+        col("x.shingle") === col("y.shingle") &&
+          col("x.doc_id") =!= col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("c"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("n_sh", "na"), "doc_a")
       .withColumn("containment", col("c").cast("double") / col("na"))
-      .filter(col("containment") >= tau)
+      .filter(col("containment") >= ContainmentTau)
       .select(col("doc_a"), col("doc_b"), col("containment"))
   }
 

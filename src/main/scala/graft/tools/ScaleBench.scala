@@ -71,7 +71,12 @@ object ScaleBench {
     // charclass scan, and the PCA projection (distributed covariance
     // + driver eigensolve + row-local projection)
     "search_bm25_topk", "events_bot_score", "text_charclass_profile",
-    "embed_pca_project")
+    "embed_pca_project",
+    // round 9: full-corpus distributed Lloyd (per-sweep scan +
+    // fixed-size accumulator — must grow ∝ rows), PPS weighted
+    // sampling (two-phase WindowGroupLimit prune — near-flat), and
+    // the rank-head Zipf fit (vocabulary-sized aggregate)
+    "sim_kmeans", "pipeline_weighted_sample", "stats_zipf_slope")
 
   /** ANN ops re-scored for recall@5 at the big corpus: the round-7 PQ
     * shortlist regression (recall 0.64 → 0.48 before the ∝-corpus fix)
@@ -173,7 +178,65 @@ object ScaleBench {
     else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
   }
 
+  /** Child mode: measure `names` (base then N×) in THIS fresh JVM and
+    * write one `op\tbase\txN` line each. Same isolation rationale as
+    * [[graft.Bench]]'s per-group forks: round 9 caught the first op
+    * measured after the in-JVM 10×-corpus derivation at 7× its
+    * fresh-JVM time — a single long-lived session contaminates
+    * whatever runs behind the heaviest stage. */
+  private def groupRun(outFile: String, baseDir: String, scratch: String,
+      reps: Int, namesCsv: String): Unit = {
+    val names = namesCsv.split(",").toSeq.filter(_.nonEmpty)
+    val spark = Engine.session("graft-scalebench")
+    val lines = names.map { op =>
+      runOnce(spark, op, baseDir) // warm-up at base
+      val base = median((1 to reps).map(_ => runOnce(spark, op, baseDir)))
+      runOnce(spark, op, scratch) // warm-up at Nx
+      val xN = median((1 to reps).map(_ => runOnce(spark, op, scratch)))
+      f"$op\t$base%.4f\t$xN%.4f"
+    }
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(outFile), lines.mkString("", "\n", "\n"))
+    spark.stop()
+  }
+
+  /** Ops measured per forked JVM (the [[graft.Bench.GroupSize]]
+    * trade-off at scale-bench rep counts). */
+  val GroupSize = 4
+
+  private def forkGroup(names: Seq[String], idx: Int, baseDir: String,
+      scratch: String, reps: Int): Option[Seq[(String, Double, Double)]] = {
+    import scala.jdk.CollectionConverters._
+    val tmp = java.nio.file.Files.createTempFile(s"graft-scale-g$idx-", ".tsv")
+    try {
+      val javaBin = java.nio.file.Paths.get(
+        sys.props("java.home"), "bin", "java").toString
+      val jvmArgs = java.lang.management.ManagementFactory
+        .getRuntimeMXBean.getInputArguments.asScala.toSeq
+      val cmd = Seq(javaBin) ++ jvmArgs ++
+        Seq("-cp", sys.props("java.class.path"), "graft.tools.ScaleBench",
+          "--group", tmp.toString, baseDir, scratch, reps.toString,
+          names.mkString(","))
+      val pb = new ProcessBuilder(cmd.asJava)
+      pb.redirectOutput(ProcessBuilder.Redirect.DISCARD)
+      pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+      val p = pb.start()
+      if (p.waitFor() != 0) return None
+      val lines = java.nio.file.Files.readAllLines(tmp).asScala
+      val parsed = lines.map { l =>
+        val parts = l.split("\t")
+        (parts(0), parts(1).toDouble, parts(2).toDouble)
+      }.toSeq
+      if (parsed.map(_._1) == names) Some(parsed) else None
+    } catch { case e: Throwable =>
+      System.err.println(s"[scalebench] group $idx fork failed: ${e.getMessage}")
+      None
+    } finally java.nio.file.Files.deleteIfExists(tmp)
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.length >= 6 && args(0) == "--group")
+      return groupRun(args(1), args(2), args(3), args(4).toInt, args(5))
     val baseDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val scratch = args.lift(1).getOrElse("/tmp/graft_scale/sf1")
     val outPath = args.lift(2).getOrElse("SCALEBENCH.json")
@@ -191,18 +254,28 @@ object ScaleBench {
 
     // dev loop: SCALEBENCH_RECALL_ONLY=1 skips the timing sweep so ANN
     // parameter changes can be recall-scored in ~a minute; the driver
-    // and the committed SCALEBENCH.json always run the full sweep
+    // and the committed SCALEBENCH.json always run the full sweep.
+    // Timings come from forked fresh-JVM groups (fallback: in-process)
+    // while the parent session sits idle.
     val recallOnly = sys.env.contains("SCALEBENCH_RECALL_ONLY")
-    val results = (if (recallOnly) Seq.empty[String] else Ops).map { op =>
-      runOnce(spark, op, baseDir) // warm-up at base
-      val base = median((1 to reps).map(_ => runOnce(spark, op, baseDir)))
-      runOnce(spark, op, scratch) // warm-up at Nx
-      val xN = median((1 to reps).map(_ => runOnce(spark, op, scratch)))
-      val ratio = xN / base
-      System.err.println(
-        f"[scalebench] $op%-26s base $base%7.2f s   ${copies}x $xN%7.2f s   ratio $ratio%5.2f")
-      (op, base, xN, ratio)
-    }
+    val results = (if (recallOnly) Seq.empty[String] else Ops)
+      .grouped(GroupSize).zipWithIndex.flatMap { case (g, i) =>
+        forkGroup(g, i, baseDir, scratch, reps).getOrElse {
+          System.err.println(s"[scalebench] group $i: in-process fallback")
+          g.map { op =>
+            runOnce(spark, op, baseDir)
+            val base = median((1 to reps).map(_ => runOnce(spark, op, baseDir)))
+            runOnce(spark, op, scratch)
+            val xN = median((1 to reps).map(_ => runOnce(spark, op, scratch)))
+            (op, base, xN)
+          }
+        }
+      }.map { case (op, base, xN) =>
+        val ratio = xN / base
+        System.err.println(
+          f"[scalebench] $op%-26s base $base%7.2f s   ${copies}x $xN%7.2f s   ratio $ratio%5.2f")
+        (op, base, xN, ratio)
+      }.toSeq
 
     // recall@5 at the big corpus vs brute force over the same queries
     // (query ids < 10 live in copy 0, unperturbed). Driver-side sets
