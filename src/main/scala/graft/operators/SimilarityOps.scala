@@ -997,9 +997,23 @@ object SimilarityOps {
     // through)
     val probes = array(col("sig") +:
       (0 until bits).map(bp => col("sig").bitwiseXOR(lit(1L << bp))): _*)
+    // hash-spread the probe rows by src BEFORE the candidate join: the
+    // capped bucket side is small enough that AQE broadcasts it, so
+    // without an explicit exchange the join (and the partial distinct
+    // behind it) inherits the scan's partitioning — a handful of
+    // parquet splits exploding into ~56M candidate pairs inside one
+    // task (measured: 400 MB single-task sorter allocations, GC-locker
+    // stalls, 60+ s wall at 10× where the spread plan runs 3× faster).
+    // src is the right key: every vector carries exactly
+    // tables×(bits+1) probes and each probe matches ≤ KnnBucketCap
+    // members, so per-task pair production is bounded even when a
+    // duplicate cluster melts into one hot bucket. The shuffled rows
+    // are 3 skinny columns; the final top-k window re-uses the same
+    // src hashing.
     val probeSide = b
       .select(col("vec_id").as("src"), col("tbl").as("qtbl"),
         explode(probes).as("qsig"))
+      .repartition(col("src"))
     // candidate-side bucket cap ([[KnnBucketCap]]): row_number over a
     // deterministic hash order + filter is a WindowGroupLimit — Spark
     // trims each bucket to the cap BEFORE the exchange, so the pass
@@ -1011,22 +1025,42 @@ object SimilarityOps {
       .withColumn("brn", row_number().over(bw))
       .filter(col("brn") <= KnnBucketCap)
       .drop("brn")
-    val cand = probeSide
+    // cosine is symmetric, so candidates dedup to UNORDERED pairs
+    // before the expensive part: the distinct keys on (lo, hi), the
+    // two vector joins and the dot products run once per pair instead
+    // of once per direction, and a 2-row explode mirrors each scored
+    // pair back to both directions for the per-src top-k (explode, not
+    // union — union would re-execute the scoring subtree). The
+    // unordered set is the UNION of both probe directions (pair (a,b)
+    // survives if a probes a bucket holding capped b OR b probes one
+    // holding capped a), a superset of the directed candidates, so
+    // recall only rises. dot's i-ascending fold is direction-blind
+    // (x·y per slot commutes), so both mirrored rows carry the
+    // bit-identical cosine.
+    val scored = probeSide
       .join(capped,
         col("tbl") === col("qtbl") && col("sig") === col("qsig") &&
           col("src") =!= col("dst"))
-      .select(col("src"), col("dst")).distinct()
-      .join(vv.select(col("vec_id").as("src"), col("v").as("va"),
-        col("nrm").as("na")), "src")
-      .join(vv.select(col("vec_id").as("dst"), col("v").as("vb"),
-        col("nrm").as("nb")), "dst")
+      .select(least(col("src"), col("dst")).as("lo"),
+        greatest(col("src"), col("dst")).as("hi"))
+      .distinct()
+      .join(vv.select(col("vec_id").as("lo"), col("v").as("va"),
+        col("nrm").as("na")), "lo")
+      .join(vv.select(col("vec_id").as("hi"), col("v").as("vb"),
+        col("nrm").as("nb")), "hi")
       // codegen'd scoring: the former Dataset mapPartitions twin paid
       // an encoder round-trip (ArrayData → Seq[Double] → Array) per
       // candidate; [[dot]] now compiles into the same generated loop
       // with the identical i-ascending fold, so the cosines are
       // bit-equal and the pipeline never leaves WholeStageCodegen
-      .select(col("src"), col("dst"),
+      .select(col("lo"), col("hi"),
         (dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cosine"))
+    val cand = scored
+      .select(explode(array(
+        struct(col("lo").as("src"), col("hi").as("dst")),
+        struct(col("hi").as("src"), col("lo").as("dst")))).as("p"),
+        col("cosine"))
+      .select(col("p.src").as("src"), col("p.dst").as("dst"), col("cosine"))
     val w = Window.partitionBy(col("src"))
       .orderBy(col("cosine").desc, col("dst").asc)
     cand.withColumn("rk", row_number().over(w))
