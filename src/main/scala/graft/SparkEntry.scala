@@ -24,7 +24,7 @@ object SparkEntry {
       DedupOps.queries ++ SimilarityOps.queries ++ MultimodalOps.queries ++
       DialectQueries.queries ++ IndexOps.queries ++ CurationOps.queries ++
       ChunkOps.queries ++ StatsOps.queries ++ SearchOps.queries ++
-      MiningOps.queries ++
+      MiningOps.queries ++ MlOps.queries ++
       graft.streaming.StreamOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -34,6 +34,6 @@ object SparkEntry {
       DedupOps.oracles ++ SimilarityOps.oracles ++ MultimodalOps.oracles ++
       DialectQueries.oracles ++ IndexOps.oracles ++ CurationOps.oracles ++
       ChunkOps.oracles ++ StatsOps.oracles ++ SearchOps.oracles ++
-      MiningOps.oracles ++
+      MiningOps.oracles ++ MlOps.oracles ++
       graft.streaming.StreamOps.oracles
 }

@@ -1369,6 +1369,30 @@ object SimilarityOps {
         round(col("dist2"), 4).as("dist2_r"))
   }
 
+  /** Prototypes kept per cluster by [[clusterSample]]. */
+  val ClusterSampleM = 10
+
+  /** Cluster-prototype DIVERSITY SAMPLE — the k-means companion to
+    * quota curation: keep the [[ClusterSampleM]] vectors closest to
+    * each centroid, so a downstream pipeline can train/seed/inspect on
+    * a corpus-shaped coreset instead of a uniform sample (SemDeDup-
+    * style curation runs exactly this shape: cluster, then act within
+    * clusters). One broadcast assignment pass after [[kmeansFit]],
+    * then a per-cluster top-m by (dist², vec_id) — row_number + filter
+    * is a WindowGroupLimit, so each task trims to m BEFORE the
+    * exchange and the shuffle carries ≤ k·m·tasks rows, never the
+    * corpus. Ties break on vec_id: deterministic on any partitioning.
+    * No SQL oracle (the fit is iterative); gated on an exact driver
+    * recompute of the selected set in QualityGates. */
+  def clusterSample(sp: SparkSession, dir: String): DataFrame = {
+    val assigned = kmeans(sp, dir)
+    val w = Window.partitionBy(col("cluster"))
+      .orderBy(col("dist2_r").asc, col("vec_id").asc)
+    assigned.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= ClusterSampleM)
+      .select(col("cluster"), col("rk"), col("vec_id"), col("dist2_r"))
+  }
+
   def centroidPerLabel(sp: SparkSession, dir: String): DataFrame =
     Engine.table(sp, dir, "embeddings")
       .select(col("label"), posexplode(col("embedding")).as(Seq("dim_idx", "x")))
@@ -1474,6 +1498,7 @@ object SimilarityOps {
     "sim_embedding_neardup" -> ((s, d) => embeddingNearDup(s, d)),
     "sim_neardup_lsh" -> (embeddingNearDupLsh _),
     "sim_kmeans" -> (kmeans _),
+    "pipeline_cluster_sample" -> (clusterSample _),
     "dedup_semantic" -> (semanticDedup _))
 
   val oracles: Map[String, String] = Map(

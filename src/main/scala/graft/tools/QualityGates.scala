@@ -222,6 +222,74 @@ object QualityGates {
         "first_to_last_inertia_ratio",
         if (inertias.last <= 0) 1.0 else inertias.head / inertias.last, 1.0,
         inertias.length, inertias.length)
+
+      // ---- pipeline_cluster_sample: exact driver recompute of the
+      // whole selected set — assign every vector to the same (bit-
+      // reproducible) centroids, take the same (dist², id)-ordered
+      // top-m per cluster, and require set equality with the op
+      locally {
+        val gotS = SimilarityOps.clusterSample(sp, dir).collect()
+          .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+        val all = Engine.table(sp, dir, "embeddings")
+          .selectExpr("vec_id", "cast(embedding as array<double>)").collect()
+          .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+        val assigned = all.map { case (id, x) =>
+          var best = 0; var bestD = Double.MaxValue
+          var j = 0
+          while (j < cents.length) {
+            var s = 0.0; var i = 0
+            while (i < x.length) { val t = x(i) - cents(j)(i); s += t * t; i += 1 }
+            if (s < bestD) { bestD = s; best = j }
+            j += 1
+          }
+          (best.toLong, id,
+            BigDecimal(bestD).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+              .toDouble)
+        }
+        val expS = assigned.groupBy(_._1).toSeq.flatMap { case (cl, xs) =>
+          xs.sortBy { case (_, id, d2) => (d2, id) }
+            .take(SimilarityOps.ClusterSampleM)
+            .zipWithIndex
+            .map { case ((_, id, _), i) => (cl, i + 1, id) }
+        }.toSet
+        gates += Gate("pipeline_cluster_sample", "driver_exact_recompute",
+          "exact_match_rate",
+          if (expS.isEmpty) 1.0
+          else (gotS & expS).size.toDouble / (gotS | expS).size, 1.0,
+          gotS.size, expS.size)
+      }
+    }
+
+    // ---- pipeline_quality_classifier: (a) bit-exact driver refit —
+    // an independent plain-loop trainer over the collected features
+    // must reproduce the distributed weight trajectory EXACTLY (this
+    // is what the order-free quantized gradient sums promise);
+    // (b) ROC-AUC of the scores against the language label
+    locally {
+      import graft.operators.MlOps
+      val (wDist, lossDist) = MlOps.logregFit(sp, dir)
+      val rows = Engine.table(sp, dir, "documents")
+        .select(col("n_chars"), col("text")).collect()
+        .map(r => (if (r.getLong(0) >= MlOps.LrLabelChars) 1.0 else 0.0,
+          MlOps.featurize(r.getString(1))))
+      val (wLocal, lossLocal) = MlOps.localFit(rows)
+      val wOk = wDist.sameElements(wLocal) &&
+        lossDist.sameElements(lossLocal)
+      gates += Gate("pipeline_quality_classifier", "driver_exact_refit",
+        "weight_trajectory_match", if (wOk) 1.0 else 0.0, 1.0,
+        wDist.length, wLocal.length)
+      val scored = MlOps.qualityClassifier(sp, dir).collect()
+        .map(r => (r.getLong(1), r.getDouble(2)))
+      val pos = scored.filter(_._1 == 1L).map(_._2)
+      val neg = scored.filter(_._1 == 0L).map(_._2)
+      // rank-sum AUC with 0.5 credit for ties
+      val auc =
+        if (pos.isEmpty || neg.isEmpty) 1.0
+        else pos.map(p => neg.map(q =>
+          if (p > q) 1.0 else if (p == q) 0.5 else 0.0).sum).sum /
+          (pos.length.toDouble * neg.length)
+      gates += Gate("pipeline_quality_classifier", "length_label_ranking",
+        "roc_auc", auc, 0.95, pos.length, neg.length)
     }
 
     // ---- sim_neardup_lsh vs the exact all-pairs cosine twin
