@@ -96,7 +96,9 @@ object Bench {
     "orders_ship_latency", "media_crc_check",
     "text_charclass_profile", "events_bot_score", "embed_pca_project",
     // round-9 additions
-    "sim_kmeans", "pipeline_weighted_sample", "stats_zipf_slope")
+    "sim_kmeans", "pipeline_weighted_sample", "stats_zipf_slope",
+    "pipeline_quality_classifier", "pipeline_cluster_sample",
+    "pipeline_end_to_end", "sim_graph_centrality")
 
   val Reps = 5
   /** Extra reps for queries whose 5-rep median is below [[SubSecond]]

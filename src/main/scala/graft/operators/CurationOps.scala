@@ -707,7 +707,149 @@ object CurationOps {
     WHERE (${splitOf("doc_a")}) <> (${splitOf("doc_b")})"""
   }
 
+  /** [[endToEnd]] quality-filter thresholds (integer-exact: the
+    * comparisons are pure BIGINT arithmetic in both engines). */
+  val E2eMinTokens = 30L
+  val E2eMinStopPct = 4L
+
+  /** The WHOLE curation pipeline as ONE declarative, fully-oracled
+    * query — exact dedup → quality filter → language rebalancing →
+    * sequence packing — the composition a user actually runs, proving
+    * the stages chain without materialization barriers:
+    *
+    *   1. exact dedup: keep the lowest doc_id per md5(text) — a
+    *      row_number over the hash, trimmed per partition BEFORE the
+    *      exchange (WindowGroupLimit), never a self-join;
+    *   2. quality filter: whitespace token count ≥ [[E2eMinTokens]]
+    *      and stopword share ≥ [[E2eMinStopPct]]% — all-BIGINT
+    *      comparisons, no float thresholds to diverge on;
+    *   3. language rebalancing: the [[mixSources]] Knuth-hash cut with
+    *      [[MixWeights]], with per-language counts computed over the
+    *      FILTERED survivors (the stages genuinely feed each other);
+    *   4. packing: global doc_id-ordered token prefix sums →
+    *      fixed-[[SeqLen]] bin assignment, via the same
+    *      range-partition + driver-offset pass as [[packSequences]]
+    *      (the only driver state is one subtotal per partition).
+    *
+    * Catalyst sees the whole DAG at once, so the text column is
+    * pruned after stage 2 and the survivor set flows through without
+    * a single intermediate write. Scale posture: two corpus scans
+    * (the per-language survivor census that prices the mix cut, and
+    * the main pass — the same shape as [[mixSources]]), two hash
+    * exchanges (dedup window, final range partition), one broadcast
+    * (per-lang thresholds), and the packing cache holds three
+    * token-count columns, never text. */
+  def endToEnd(sp: SparkSession, dir: String): DataFrame = {
+    import sp.implicits._
+    val padded = concat(lit(" "), col("text"), lit(" "))
+    def occ(w: String) =
+      ((length(padded) - length(replace(padded, lit(s" $w "), lit(" ")))) /
+        (w.length + 1)).cast("long")
+    val deduped = Engine.table(sp, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("text"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(md5(col("text").cast("binary")))
+          .orderBy(col("doc_id"))))
+      .filter(col("rk") === 1)
+    val filtered = deduped
+      .withColumn("n_tokens",
+        (length(col("text")) - length(replace(col("text"), lit(" "), lit(""))) + 1)
+          .cast("long"))
+      .withColumn("n_stop", occ("the") + occ("a"))
+      .filter(col("n_tokens") >= E2eMinTokens &&
+        col("n_stop") * 100 >= col("n_tokens") * E2eMinStopPct)
+      .select(col("doc_id"), col("lang"), col("n_tokens"))
+    val w = sp.createDataFrame(MixWeights).toDF("lang", "wt")
+    val cnt = filtered.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      .join(broadcast(w), "lang")
+    val budget = cnt.agg(min(expr("n * 1000 div wt")).as("bud"))
+    val thr = cnt.crossJoin(broadcast(budget))
+      .withColumn("thr", expr(s"(wt * bud div 1000) * $MixHashMod div n"))
+      .select(col("lang"), col("thr"))
+    val mixed = filtered.join(broadcast(thr), "lang")
+      .filter((col("doc_id") * MixHashMul) % MixHashMod < col("thr"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"))
+    // global prefix sum over the survivors (packSequences' machinery:
+    // range-partition by doc_id, driver-side per-partition offsets,
+    // one ordered in-partition pass)
+    val parts = sp.sparkContext.defaultParallelism
+    val sorted = mixed
+      .repartitionByRange(parts, col("doc_id"))
+      .sortWithinPartitions(col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+      .cache()
+    val subtotals = sorted
+      .groupBy(col("pid")).agg(sum(col("n_tokens")).as("sub"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+    val offsets: Map[Int, Long] = subtotals.map { case (pid, _) =>
+      pid -> subtotals.collect { case (p2, s2) if p2 < pid => s2 }.sum
+    }.toMap
+    val bc = sp.sparkContext.broadcast(offsets)
+    sorted.select(col("doc_id"), col("lang"), col("n_tokens"), col("pid"))
+      .as[(Long, String, Long, Int)]
+      .mapPartitions { it =>
+        var curPid = -1
+        var run = 0L
+        it.map { case (id, lang, nt, pid) =>
+          if (pid != curPid) { curPid = pid; run = bc.value.getOrElse(pid, 0L) }
+          val start = run
+          run += nt
+          (id, lang, nt, start / SeqLen, start % SeqLen,
+            (run - 1) / SeqLen - start / SeqLen + 1)
+        }
+      }
+      .toDF("doc_id", "lang", "n_tokens", "bin_id", "bin_offset", "n_bins")
+  }
+
+  val endToEndOracle: String = {
+    val values = MixWeights
+      .map { case (l, wt) => s"('$l', $wt)" }.mkString(", ")
+    s"""
+    WITH dd AS (
+      SELECT doc_id, lang, text,
+        ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rk
+      FROM documents),
+    q AS (
+      SELECT doc_id, lang,
+        CAST(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS BIGINT)
+          AS n_tokens,
+        CAST((LENGTH(padded) - LENGTH(REPLACE(padded, ' the ', ' '))) / 4
+          AS BIGINT) +
+        CAST((LENGTH(padded) - LENGTH(REPLACE(padded, ' a ', ' '))) / 2
+          AS BIGINT) AS n_stop
+      FROM (SELECT *, ' ' || text || ' ' AS padded FROM dd WHERE rk = 1)),
+    f AS (
+      SELECT doc_id, lang, n_tokens FROM q
+      WHERE n_tokens >= $E2eMinTokens
+        AND n_stop * 100 >= n_tokens * $E2eMinStopPct),
+    w(lang, wt) AS (VALUES $values),
+    cnt AS (
+      SELECT f.lang, CAST(COUNT(*) AS BIGINT) AS n, MAX(w.wt) AS wt
+      FROM f JOIN w ON f.lang = w.lang GROUP BY f.lang),
+    b AS (SELECT MIN(n * 1000 // wt) AS bud FROM cnt),
+    thr AS (
+      SELECT lang, ((wt * bud // 1000) * $MixHashMod) // n AS thr
+      FROM cnt CROSS JOIN b),
+    m AS (
+      SELECT f.doc_id, f.lang, f.n_tokens
+      FROM f JOIN thr ON f.lang = thr.lang
+      WHERE (f.doc_id * $MixHashMul) % $MixHashMod < thr.thr),
+    p AS (
+      SELECT doc_id, lang, n_tokens,
+        CAST(SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+          AS BIGINT) AS cum
+      FROM m)
+    SELECT doc_id, lang, n_tokens,
+      CAST((cum - n_tokens) // $SeqLen AS BIGINT) AS bin_id,
+      CAST((cum - n_tokens) % $SeqLen AS BIGINT) AS bin_offset,
+      CAST((cum - 1) // $SeqLen - (cum - n_tokens) // $SeqLen + 1 AS BIGINT)
+        AS n_bins
+    FROM p"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_end_to_end" -> (endToEnd _),
     "pipeline_split_leakage" -> (splitLeakage _),
     "pipeline_mix_temperature" -> (mixTemperature _),
     "pipeline_dataset_card" -> (datasetCard _),
@@ -724,6 +866,7 @@ object CurationOps {
     "text_ngram_familiarity" -> (ngramFamiliarity _))
 
   val oracles: Map[String, String] = Map(
+    "pipeline_end_to_end" -> endToEndOracle,
     "pipeline_split_leakage" -> splitLeakageOracle,
     "pipeline_mix_temperature" -> mixTemperatureOracle,
     "pipeline_dataset_card" -> datasetCardOracle,

@@ -231,6 +231,7 @@ object SimilarityOps {
           val v = vSeq.toArray
           (0 until nt).iterator.map { t =>
             var sig = 0L
+            val margin = new Array[Double](bt)
             var p = 0
             while (p < bt) {
               val plane = pl(t)(p)
@@ -238,13 +239,24 @@ object SimilarityOps {
               var i = 0
               while (i < dim) { s += v(i) * plane(i); i += 1 }
               if (s >= 0) sig |= 1L << p
+              margin(p) = math.abs(s)
               p += 1
             }
-            (id, vSeq, nrm, t, sig)
+            // `ord` packs the bit indices ascending by |projection
+            // margin| (ties on index), 4 bits each — the Lv et al.
+            // multi-probe order: flipping the least-confident bits
+            // first recovers most neighbors per probe, so probers can
+            // stop at a CONSTANT probe count as bits grow with the
+            // corpus. bt ≤ MaxBits = 16 keeps 16 indices in one long.
+            val idx = (0 until bt).sortBy(p2 => (margin(p2), p2))
+            var ord = 0L
+            var q = 0
+            while (q < bt) { ord |= idx(q).toLong << (q * 4); q += 1 }
+            (id, vSeq, nrm, t, sig, ord)
           }
         }
       }
-      .toDF("vec_id", "v", "nrm", "tbl", "sig")
+      .toDF("vec_id", "v", "nrm", "tbl", "sig", "ord")
   }
 
   /** ANN: L hash tables + 1-bit-flip multi-probe on the query side,
@@ -955,20 +967,34 @@ object SimilarityOps {
   /** Neighbors per vector in [[knnGraph]]. */
   val KnnGraphK = 5
 
+  /** Multi-probe flips per (vector, table) in [[knnGraph]] — CONSTANT
+    * as the corpus (and so [[lshConfig]]'s bits) grows: probes flip
+    * the [[buckets]] margin-ordered least-confident bits first (Lv et
+    * al. multi-probe), so a fixed probe budget keeps most of the
+    * all-bit-flip recall while candidate work per vector stays
+    * O(tables · (flips+1) · cap) — independent of n. With
+    * bits ∝ log n flips-per-bit probing would make the graph
+    * O(n log n); this pins it to O(n). */
+  val KnnProbeFlips = 4
+
   /** Per-(table, signature) bucket occupancy cap on the CANDIDATE side
     * of [[knnGraph]]'s bucket join. [[lshConfig]] keeps the *expected*
     * occupancy near 32, but the data that needs a kNN graph — a
     * pre-dedup corpus — is exactly the data with hot buckets
     * (duplicate clusters collide into one signature), and an uncapped
     * bucket self-join goes quadratic in the hottest bucket (measured
-    * 5.9× wall at 10× rows). Capping the candidate side at 4× the
+    * 5.9× wall at 10× rows). Capping the candidate side at 2× the
     * expected occupancy bounds every probe at O(cap) pairs; members
     * are kept by a deterministic hash order (a uniform, run-stable
     * sample), so a hot bucket of near-identical vectors still
     * contributes `cap` candidates — far more than the k = 5 any source
     * needs. The probe side stays complete: every vector still queries
-    * all its buckets. */
-  val KnnBucketCap = 128
+    * all its buckets. Sized WITH [[KnnProbeFlips]] on the 10×
+    * dup-heavy ScaleBench corpus: margin-ordered probes concentrate
+    * on exactly the dense buckets, so probe count and cap trade
+    * against each other — (4 flips, cap 64) holds the sf0.01 recall
+    * gate at 0.878 and cuts the 10× wall ~2× vs (all-flips, 128). */
+  val KnnBucketCap = 64
 
   /** Full approximate kNN GRAPH — every vector's top-k cosine
     * neighbors, not just a fixed query set: the building block under
@@ -989,14 +1015,17 @@ object SimilarityOps {
     val vv = vecs(sp, dir)
     val (tables, bits) = lshConfig(vv.count())
     val b = buckets(vv, tables, bits)
-    // every vector is a query: 1-bit-flip multi-probe on the probe
-    // side (the [[annLsh]] recall lever — exact-bucket collisions
-    // alone catch near-dups, not general top-k neighbors), candidate
-    // ids deduped BEFORE the vectors join back (the multi-probe
-    // duplication factor is tables × (bits+1), far too high to score
+    // every vector is a query: margin-ordered multi-probe on the probe
+    // side (exact-bucket collisions alone catch near-dups, not general
+    // top-k neighbors; [[KnnProbeFlips]] least-confident flips keep
+    // the probe budget CONSTANT as bits grow with the corpus),
+    // candidate ids deduped BEFORE the vectors join back (the
+    // duplication factor is tables × (flips+1), far too high to score
     // through)
+    val flips = math.min(bits, KnnProbeFlips)
     val probes = array(col("sig") +:
-      (0 until bits).map(bp => col("sig").bitwiseXOR(lit(1L << bp))): _*)
+      (0 until flips).map(q => expr(
+        s"sig ^ shiftleft(1L, cast((ord >> ${q * 4}) & 15 as int))")): _*)
     // hash-spread the probe rows by src BEFORE the candidate join: the
     // capped bucket side is small enough that AQE broadcasts it, so
     // without an explicit exchange the join (and the partial distinct
@@ -1288,7 +1317,13 @@ object SimilarityOps {
       lloydSample(sp, all, "spark.graft.kmeans.sampleMod", k), k)
     var cents = seeds
     val inertias = new Array[Double](KmeansIters)
-    val vv = all.select(col("v")).as[Seq[Double]]
+    // cache the projected vectors across the sweeps: every iteration
+    // re-reading + re-casting the parquet costs more than the Lloyd
+    // arithmetic itself at bench scale, and the cached column is the
+    // Dim-double vector only — the same footprint posture as the
+    // logreg trainer's cached feature table
+    val vv = all.select(col("v")).as[Seq[Double]].persist()
+    try {
     for (t <- 0 until KmeansIters) {
       val kk = cents.length
       val bc = sp.sparkContext.broadcast(cents)
@@ -1331,6 +1366,7 @@ object SimilarityOps {
       }
       bc.destroy()
     }
+    } finally vv.unpersist()
     (cents, inertias)
   }
 
@@ -1367,6 +1403,64 @@ object SimilarityOps {
       .toDF("vec_id", "cluster", "dist2")
       .select(col("vec_id"), col("cluster"),
         round(col("dist2"), 4).as("dist2_r"))
+  }
+
+  /** Power-iteration sweeps in [[graphCentrality]]. */
+  val CentIters = 8
+  /** Damping factor (the standard 0.85), applied as a per-row double
+    * multiply — deterministic scalar arithmetic on any plan. */
+  val CentDamp = 0.85
+
+  /** PageRank-style CENTRALITY over the kNN graph — the graph-based
+    * data-curation signal (central documents are prototypical;
+    * low-centrality ones are outliers or bridge spam): fixed
+    * [[CentIters]] power-iteration sweeps of
+    * r′(v) = (1−d)/n + d·Σ_{u→v} r(u)/deg(u) over [[knnGraph]]'s
+    * edges. Determinism contract (the kmeans/logreg pattern): each
+    * node's contribution r/deg is [[Exact.q6dec]]-quantized ONCE per
+    * sweep, in-neighbor sums are exact order-free long addition
+    * (groupBy + SUM(long)), and the closing (1−d)/n + d·(s/10⁶)
+    * chain is per-row scalar arithmetic — bit-reproducible on any
+    * partitioning, which the driver-recompute gate checks exactly.
+    * Dangling mass (a vector whose buckets held no peers) is dropped,
+    * not redistributed — the op is a ranking signal, not a
+    * probability distribution, and redistribution would add an
+    * all-to-all term for no curation value. Scale shape: the edge
+    * list is k·n rows cached WITHOUT vectors; each sweep is two
+    * key-hashed exchanges (ranks⋈degree, group-by-dst) — textbook
+    * distributed PageRank. */
+  def graphCentrality(sp: SparkSession, dir: String): DataFrame = {
+    import sp.implicits._
+    val edges = knnGraph(sp, dir)
+      .select(col("vec_id").as("src"), col("neighbor_id").as("dst"))
+      .persist()
+    try {
+      val nodes = vecs(sp, dir).select(col("vec_id"))
+      val n = nodes.count()
+      val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      val base = (1.0 - CentDamp) / n
+      var ranks = nodes.withColumn("r", lit(1.0 / n))
+      for (_ <- 0 until CentIters) {
+        val contribs = ranks
+          .join(outdeg, ranks("vec_id") === outdeg("src"))
+          .select(col("src"), (col("r") / col("deg")).as("c"))
+          .as[(Long, Double)]
+          .map { case (src, c) => (src, Exact.q6dec(c)) }
+          .toDF("src", "cq")
+        val sums = edges.join(contribs, "src")
+          .groupBy(col("dst")).agg(sum(col("cq")).as("s"))
+        ranks = nodes
+          .join(sums, nodes("vec_id") === sums("dst"), "left")
+          .select(nodes("vec_id"),
+            (lit(base) + lit(CentDamp) *
+              (coalesce(col("s"), lit(0L)).cast("double") / 1e6)).as("r"))
+      }
+      // eager local checkpoint truncates the 8-sweep lineage before
+      // the edge cache is released (the dedup_cluster_star pattern:
+      // reliable checkpoint on a cluster, truncated plan locally)
+      ranks.select(col("vec_id"), col("r").as("centrality"))
+        .localCheckpoint(true)
+    } finally edges.unpersist()
   }
 
   /** Prototypes kept per cluster by [[clusterSample]]. */
@@ -1499,6 +1593,7 @@ object SimilarityOps {
     "sim_neardup_lsh" -> (embeddingNearDupLsh _),
     "sim_kmeans" -> (kmeans _),
     "pipeline_cluster_sample" -> (clusterSample _),
+    "sim_graph_centrality" -> (graphCentrality _),
     "dedup_semantic" -> (semanticDedup _))
 
   val oracles: Map[String, String] = Map(

@@ -154,6 +154,37 @@ object QualityGates {
         gotGr.size, exactGr.size)
     }
 
+    // ---- sim_graph_centrality: exact driver recompute of the whole
+    // power iteration from the op's own (deterministic) edge list —
+    // same per-sweep q6dec contribution quantization, same order-free
+    // long sums, same closing scalar chain → every rank bit-equal
+    locally {
+      val gotC = SimilarityOps.graphCentrality(sp, dir).collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val edges = SimilarityOps.knnGraph(sp, dir)
+        .select("vec_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      val nodes = Engine.table(sp, dir, "embeddings")
+        .select(col("vec_id")).collect().map(_.getLong(0))
+      val n = nodes.length
+      val deg = edges.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+      val base = (1.0 - SimilarityOps.CentDamp) / n
+      var r = nodes.map(_ -> 1.0 / n).toMap
+      for (_ <- 0 until SimilarityOps.CentIters) {
+        val cq = deg.map { case (u, dg) =>
+          u -> graft.operators.Exact.q6dec(r(u) / dg) }
+        val s = scala.collection.mutable.HashMap.empty[Long, Long]
+        edges.foreach { case (u, v) =>
+          s(v) = s.getOrElse(v, 0L) + cq(u) }
+        r = nodes.map(v => v -> (base + SimilarityOps.CentDamp *
+          (s.getOrElse(v, 0L).toDouble / 1e6))).toMap
+      }
+      val okC = nodes.count(v => gotC.get(v).contains(r(v)))
+      gates += Gate("sim_graph_centrality", "driver_exact_recompute",
+        "exact_match_rate",
+        if (n == 0) 1.0 else okC.toDouble / n, 1.0, gotC.size, n)
+    }
+
     // ---- embed_pca_project: the projection's variance must dominate
     // every single dimension's variance (that is what "top principal
     // component" means), and a driver recompute with the same fixed

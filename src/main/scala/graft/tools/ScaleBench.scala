@@ -76,7 +76,16 @@ object ScaleBench {
     // fixed-size accumulator — must grow ∝ rows), PPS weighted
     // sampling (two-phase WindowGroupLimit prune — near-flat), and
     // the rank-head Zipf fit (vocabulary-sized aggregate)
-    "sim_kmeans", "pipeline_weighted_sample", "stats_zipf_slope")
+    "sim_kmeans", "pipeline_weighted_sample", "stats_zipf_slope",
+    // round 9 (cont.): logreg training (30 sweeps over a cached D=7
+    // feature table — per-sweep cost ∝ rows, accumulator fixed-size)
+    // and the per-centroid prototype sample (assignment scan +
+    // WindowGroupLimit top-m)
+    "pipeline_quality_classifier", "pipeline_cluster_sample",
+    // round 9 (cont.): the one-query curation DAG (dedup window +
+    // filter + mix cut + prefix-sum pack — every stage ∝ rows) and
+    // kNN-graph centrality (edge list ∝ k·n, two exchanges per sweep)
+    "pipeline_end_to_end", "sim_graph_centrality")
 
   /** ANN ops re-scored for recall@5 at the big corpus: the round-7 PQ
     * shortlist regression (recall 0.64 → 0.48 before the ∝-corpus fix)
