@@ -254,17 +254,18 @@ class PlanQualitySpec extends AnyFunSuite {
       s"expected rank-limit pushdown in:\n$plan")
   }
 
-  test("covariance broadcasts the per-dim sums and forms no cartesian product") {
+  test("covariance returns a Dim²-bounded local result, no row blowup") {
+    // round 9 replaced the Generate×Generate plan with a per-task
+    // accumulator pass: the distributed work is a fixed-size long
+    // aggregate that runs EAGERLY inside covStats, and the returned
+    // frame is the driver-assembled Dim(Dim+1)/2-row matrix — its
+    // plan must be a bare LocalTableScan with no joins, exchanges, or
+    // explodes left (the 2080× Generate blowup must never come back)
     val plan = planOf("embed_covariance").split("== Initial Plan ==")(0)
-    assert(!plan.contains("CartesianProduct"),
-      s"covariance planned a cartesian product:\n$plan")
-    // the sums side is the cached single-scan stats (round 9): AQE
-    // renders its broadcast as a BroadcastHashJoin over a query stage,
-    // not a literal BroadcastExchange node in the final-plan section
-    assert(plan.contains("BroadcastExchange") ||
-        plan.contains("BroadcastHashJoin"),
-      s"per-dim sums should broadcast:\n$plan")
-    assert(plan.contains("Generate"), s"expected posexplode in:\n$plan")
+    assert(plan.contains("LocalTableScan"),
+      s"expected driver-assembled matrix rows:\n$plan")
+    for (bad <- Seq("CartesianProduct", "Generate", "Exchange", "Join"))
+      assert(!plan.contains(bad), s"covariance plan regressed ($bad):\n$plan")
   }
 
   test("curriculum bucketing never globally sorts the corpus") {
