@@ -838,6 +838,41 @@ object StreamOps {
       .select(col("doc_id"), might(col("h")).as("maybe_in_reference"))
   }
 
+  /** Streaming quality scoring — the continuous-ingest twin of
+    * [[graft.operators.MlOps.qualityClassifier]]: the weights are a
+    * STATIC batch-trained artifact (fit once corpus-side; in
+    * production, refreshed out-of-band exactly like [[bloomProbe]]'s
+    * sketch) broadcast into a stateless per-row probe — no state
+    * store, no watermark, the right posture for scoring a 100 TB
+    * firehose at ingest. Featurization, dot product, and sigmoid are
+    * the SAME JVM functions the batch op runs, so the stream's scores
+    * are BIT-IDENTICAL to the batch query's — gated at 1.0 equality
+    * in QualityGates and spec-pinned in StreamingSpec. */
+  def qualityScore(spark: SparkSession, docs: DataFrame,
+      w: Array[Double]): DataFrame = {
+    val bc = spark.sparkContext.broadcast(w)
+    val score = udf((nChars: Long, text: String) => {
+      val x = graft.operators.MlOps.featurize(text)
+      val ww = bc.value
+      var z = 0.0; var j = 0
+      while (j < ww.length) { z += ww(j) * x(j); j += 1 }
+      (if (nChars >= graft.operators.MlOps.LrLabelChars) 1L else 0L,
+        graft.operators.MlOps.sigmoid(z))
+    })
+    docs
+      .select(col("doc_id"), score(col("n_chars"), col("text")).as("s"))
+      .select(col("doc_id"), col("s._1").as("label"), col("s._2").as("score"))
+  }
+
+  def qualityScoreReplay(spark: SparkSession, dir: String): DataFrame = {
+    val (w, _) = graft.operators.MlOps.logregFit(spark, dir)
+    val q = qualityScore(spark, readDocuments(spark, dir), w).writeStream
+      .outputMode("append").format("memory")
+      .queryName("docs_quality_stream_sink").start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table("docs_quality_stream_sink")
+  }
+
   def bloomProbeReplay(spark: SparkSession, dir: String): DataFrame = {
     val bloom = graft.operators.DedupOps.refBloom(
       spark, graft.Engine.table(spark, dir, "documents"))
@@ -1137,7 +1172,8 @@ object StreamOps {
     "events_moving_avg_stream" -> (movingAvgReplay _),
     "events_bot_stream" -> (botScoreReplay _),
     "docs_dedup_stream" -> (dedupExactReplay _),
-    "docs_bloom_stream" -> (bloomProbeReplay _))
+    "docs_bloom_stream" -> (bloomProbeReplay _),
+    "docs_quality_stream" -> (qualityScoreReplay _))
 
   /** Oracles: the interval join shares the batch range-join SQL
     * (purchase×click pairs of one user within ±15 minutes); the as-of

@@ -398,6 +398,24 @@ object QualityGates {
         streamed.size, bfRows.length)
     }
 
+    // ---- docs_quality_stream vs the batch classifier: the stream
+    // broadcasts the SAME batch-trained weights and scores through
+    // the same featurize/sigmoid JVM code, so the replay must be
+    // score-for-score bit-identical — a 1.0 equality gate
+    locally {
+      import graft.operators.MlOps
+      val batchQ = MlOps.qualityClassifier(sp, dir).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+      val streamQ = graft.streaming.StreamOps.qualityScoreReplay(sp, dir)
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+      val okQ = batchQ.count { case (id, v) => streamQ.get(id).contains(v) }
+      gates += Gate("docs_quality_stream", "batch_classifier_scores",
+        "score_match",
+        if (batchQ.isEmpty) 1.0 else okQ.toDouble / batchQ.size, 1.0,
+        streamQ.size, batchQ.size)
+    }
+
     // ---- dedup_substring vs a driver-side exact recompute on a
     // bounded sample: every pair of the first 40 docs sharing ANY
     // 81-byte substring must be reported (the winnowing guarantee) —

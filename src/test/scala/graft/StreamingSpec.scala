@@ -334,6 +334,17 @@ class StreamingSpec extends AnyFunSuite {
     })
   }
 
+  test("streaming quality scoring is bit-identical to the batch classifier") {
+    val got = StreamOps.qualityScoreReplay(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val want = graft.operators.MlOps.qualityClassifier(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got == want, {
+      val bad = want.collect { case (k, v) if got.get(k) != Some(v) => k }
+      s"quality score divergence on ${bad.size} docs: ${bad.take(5)}"
+    })
+  }
+
   test("streaming CDC compaction matches the batch compaction on full replay") {
     val got = StreamOps.cdcCompactReplay(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
