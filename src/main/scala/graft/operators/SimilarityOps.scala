@@ -1013,7 +1013,8 @@ object SimilarityOps {
   def knnGraph(sp: SparkSession, dir: String): DataFrame = {
     import sp.implicits._
     val vv = vecs(sp, dir)
-    val (tables, bits) = lshConfig(vv.count())
+    val n = vv.count()
+    val (tables, bits) = lshConfig(n)
     val b = buckets(vv, tables, bits)
     // every vector is a query: margin-ordered multi-probe on the probe
     // side (exact-bucket collisions alone catch near-dups, not general
@@ -1039,10 +1040,20 @@ object SimilarityOps {
     // duplicate cluster melts into one hot bucket. The shuffled rows
     // are 3 skinny columns; the final top-k window re-uses the same
     // src hashing.
+    // partition count scales with expected PAIR volume (probes ×
+    // expected occupancy 32), not a fixed 32: at the 100× corpus one
+    // task otherwise owns ~17M pairs and the partial-distinct's sort
+    // pages OOM an 8 GiB heap (measured) — exactly the failure a
+    // fixed shuffle width hits on a real cluster when the corpus
+    // outgrows the config. ~5M pairs per task keeps the per-task
+    // working set ~100 MB regardless of n.
+    val pairsPerTask = 5e6
+    val parts = math.max(sp.sparkContext.defaultParallelism,
+      math.ceil(n.toDouble * tables * (flips + 1) * 32 / pairsPerTask).toInt)
     val probeSide = b
       .select(col("vec_id").as("src"), col("tbl").as("qtbl"),
         explode(probes).as("qsig"))
-      .repartition(col("src"))
+      .repartition(parts, col("src"))
     // candidate-side bucket cap ([[KnnBucketCap]]): row_number over a
     // deterministic hash order + filter is a WindowGroupLimit — Spark
     // trims each bucket to the cap BEFORE the exchange, so the pass

@@ -267,16 +267,33 @@ object ScaleBench {
     // Timings come from forked fresh-JVM groups (fallback: in-process)
     // while the parent session sits idle.
     val recallOnly = sys.env.contains("SCALEBENCH_RECALL_ONLY")
-    val results = (if (recallOnly) Seq.empty[String] else Ops)
+    // explicit (never silent) op skip list for a constrained sweep —
+    // anything excluded is named on stderr so the record's coverage
+    // is auditable
+    val skip = sys.env.get("SCALEBENCH_SKIP")
+      .map(_.split(',').map(_.trim).toSet).getOrElse(Set.empty)
+    if (skip.nonEmpty)
+      System.err.println(s"[scalebench] EXPLICITLY SKIPPED: ${
+        skip.toSeq.sorted.mkString(", ")}")
+    val results = (if (recallOnly) Seq.empty[String] else Ops.filterNot(skip))
       .grouped(GroupSize).zipWithIndex.flatMap { case (g, i) =>
         forkGroup(g, i, baseDir, scratch, reps).getOrElse {
           System.err.println(s"[scalebench] group $i: in-process fallback")
-          g.map { op =>
-            runOnce(spark, op, baseDir)
-            val base = median((1 to reps).map(_ => runOnce(spark, op, baseDir)))
-            runOnce(spark, op, scratch)
-            val xN = median((1 to reps).map(_ => runOnce(spark, op, scratch)))
-            (op, base, xN)
+          // per-op Try: one op that cannot run at this scale (e.g. an
+          // OOM that already killed its child JVM) must not take the
+          // whole sweep's record with it — skip it, keep the rest
+          g.flatMap { op =>
+            try {
+              runOnce(spark, op, baseDir)
+              val base = median((1 to reps).map(_ => runOnce(spark, op, baseDir)))
+              runOnce(spark, op, scratch)
+              val xN = median((1 to reps).map(_ => runOnce(spark, op, scratch)))
+              Some((op, base, xN))
+            } catch { case e: Throwable =>
+              System.err.println(
+                s"[scalebench] $op skipped (fallback failed): ${e.getMessage}")
+              None
+            }
           }
         }
       }.map { case (op, base, xN) =>
