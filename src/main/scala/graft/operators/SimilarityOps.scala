@@ -1024,77 +1024,69 @@ object SimilarityOps {
     // duplication factor is tables × (flips+1), far too high to score
     // through)
     val flips = math.min(bits, KnnProbeFlips)
-    val probes = array(col("sig") +:
-      (0 until flips).map(q => expr(
-        s"sig ^ shiftleft(1L, cast((ord >> ${q * 4}) & 15 as int))")): _*)
-    // hash-spread the probe rows by src BEFORE the candidate join: the
-    // capped bucket side is small enough that AQE broadcasts it, so
-    // without an explicit exchange the join (and the partial distinct
-    // behind it) inherits the scan's partitioning — a handful of
-    // parquet splits exploding into ~56M candidate pairs inside one
-    // task (measured: 400 MB single-task sorter allocations, GC-locker
-    // stalls, 60+ s wall at 10× where the spread plan runs 3× faster).
-    // src is the right key: every vector carries exactly
-    // tables×(bits+1) probes and each probe matches ≤ KnnBucketCap
-    // members, so per-task pair production is bounded even when a
-    // duplicate cluster melts into one hot bucket. The shuffled rows
-    // are 3 skinny columns; the final top-k window re-uses the same
-    // src hashing.
-    // partition count scales with expected PAIR volume (probes ×
-    // expected occupancy 32), not a fixed 32: at the 100× corpus one
-    // task otherwise owns ~17M pairs and the partial-distinct's sort
-    // pages OOM an 8 GiB heap (measured) — exactly the failure a
-    // fixed shuffle width hits on a real cluster when the corpus
-    // outgrows the config. ~5M pairs per task keeps the per-task
-    // working set ~100 MB regardless of n.
+    // hash-spread the probe rows by src BEFORE the candidate join
+    // (pre-explode, so the exchange carries one vector per (vec,
+    // table), not per probe): when the capped bucket side is small
+    // enough that AQE broadcasts it, the join would otherwise inherit
+    // the scan's few-split partitioning and produce every candidate
+    // pair inside one task (measured: 400 MB single-task sorter
+    // allocations, GC-locker stalls, 60+ s wall at 10× where the
+    // spread plan runs 3× faster). Width scales with expected pair
+    // volume (probes × expected occupancy 32, ~5M pairs per task) —
+    // a fixed 32 put ~17M pairs in one task at the 100× corpus.
     val pairsPerTask = 5e6
     val parts = math.max(sp.sparkContext.defaultParallelism,
       math.ceil(n.toDouble * tables * (flips + 1) * 32 / pairsPerTask).toInt)
     val probeSide = b
       .select(col("vec_id").as("src"), col("tbl").as("qtbl"),
-        explode(probes).as("qsig"))
+        col("sig").as("psig"), col("ord"),
+        col("v").as("va"), col("nrm").as("na"))
       .repartition(parts, col("src"))
+      .select(col("src"), col("qtbl"),
+        explode(array(col("psig") +:
+          (0 until flips).map(q => expr(
+            s"psig ^ shiftleft(1L, cast((ord >> ${q * 4}) & 15 as int))")): _*))
+          .as("qsig"),
+        col("va"), col("na"))
     // candidate-side bucket cap ([[KnnBucketCap]]): row_number over a
     // deterministic hash order + filter is a WindowGroupLimit — Spark
     // trims each bucket to the cap BEFORE the exchange, so the pass
     // stays linear even when a duplicate cluster melts into one hot
-    // bucket
+    // bucket. The member VECTOR rides along (528 B/row over a
+    // tables·n-row table — bounded), so scoring can happen inside the
+    // join stage.
     val bw = Window.partitionBy(col("tbl"), col("sig"))
       .orderBy(xxhash64(col("dst"), col("tbl"), col("sig")), col("dst"))
-    val capped = b.select(col("vec_id").as("dst"), col("tbl"), col("sig"))
+    val capped = b.select(col("vec_id").as("dst"), col("tbl"), col("sig"),
+        col("v").as("vb"), col("nrm").as("nb"))
       .withColumn("brn", row_number().over(bw))
       .filter(col("brn") <= KnnBucketCap)
       .drop("brn")
-    // cosine is symmetric, so candidates dedup to UNORDERED pairs
-    // before the expensive part: the distinct keys on (lo, hi), the
-    // two vector joins and the dot products run once per pair instead
-    // of once per direction, and a 2-row explode mirrors each scored
-    // pair back to both directions for the per-src top-k (explode, not
-    // union — union would re-execute the scoring subtree). The
-    // unordered set is the UNION of both probe directions (pair (a,b)
-    // survives if a probes a bucket holding capped b OR b probes one
-    // holding capped a), a superset of the directed candidates, so
-    // recall only rises. dot's i-ascending fold is direction-blind
-    // (x·y per slot commutes), so both mirrored rows carry the
-    // bit-identical cosine.
+    // score INSIDE the join stage, then reduce to narrow rows before
+    // anything shuffles again: the earlier distinct-then-join-vectors
+    // form shipped two 64-double vectors per candidate pair through
+    // the dedup and join exchanges — ~300 GB of spill at the 100×
+    // corpus (measured to disk exhaustion). Here the wide join output
+    // is consumed by the same-stage projection ([[dot]] stays inside
+    // WholeStageCodegen with the fixed i-ascending fold), and only
+    // (lo, hi, cosine) — 24 B — ever leaves the stage. A duplicate
+    // candidate (a pair colliding in several tables/probes) is scored
+    // more than once — redundant CPU, bit-identical results (the fold
+    // is direction-blind: x·y per slot commutes) — and
+    // dropDuplicates(lo, hi) then keeps exactly one narrow row. The
+    // unordered set is the UNION of both probe directions, a superset
+    // of the directed candidates, so recall only rises; a 2-row
+    // explode mirrors each pair back to both directions for the
+    // per-src top-k (explode, not union — union would re-execute the
+    // scoring subtree).
     val scored = probeSide
       .join(capped,
         col("tbl") === col("qtbl") && col("sig") === col("qsig") &&
           col("src") =!= col("dst"))
       .select(least(col("src"), col("dst")).as("lo"),
-        greatest(col("src"), col("dst")).as("hi"))
-      .distinct()
-      .join(vv.select(col("vec_id").as("lo"), col("v").as("va"),
-        col("nrm").as("na")), "lo")
-      .join(vv.select(col("vec_id").as("hi"), col("v").as("vb"),
-        col("nrm").as("nb")), "hi")
-      // codegen'd scoring: the former Dataset mapPartitions twin paid
-      // an encoder round-trip (ArrayData → Seq[Double] → Array) per
-      // candidate; [[dot]] now compiles into the same generated loop
-      // with the identical i-ascending fold, so the cosines are
-      // bit-equal and the pipeline never leaves WholeStageCodegen
-      .select(col("lo"), col("hi"),
+        greatest(col("src"), col("dst")).as("hi"),
         (dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cosine"))
+      .dropDuplicates("lo", "hi")
     val cand = scored
       .select(explode(array(
         struct(col("lo").as("src"), col("hi").as("dst")),
