@@ -363,10 +363,13 @@ object CurationOps {
     * count aggregate the op is a map-side filter — no shuffle of the
     * corpus, no per-class sort, trivially parallel at 100 TB.
     * All arithmetic is integer (div = floor division on both
-    * engines) → exact DuckDB oracle. At ≳2³¹ rows per class the
-    * threshold product take·2³² needs 128-bit — move the two div
-    * lines to DECIMAL(38,0) on both engines (same exactness
-    * argument); int64 is fine at every test SF. */
+    * engines) → exact DuckDB oracle. The threshold product take·2³²
+    * runs through DECIMAL(38,0) on both engines (the
+    * [[mixTemperature]] pattern): at ≳2³¹ kept rows per class —
+    * reachable at the op's pitched 100 TB — the int64 product wraps
+    * (Spark silently, DuckDB raising); the 128-bit intermediate is
+    * exact to n < 10²⁶ and `div` floors back to the same BIGINT
+    * everywhere int64 didn't overflow. */
   def mixSources(sp: SparkSession, dir: String): DataFrame = {
     val docs = Engine.table(sp, dir, "documents")
     val w = sp.createDataFrame(MixWeights).toDF("lang", "wt")
@@ -374,7 +377,8 @@ object CurationOps {
       .join(broadcast(w), "lang")
     val budget = cnt.agg(min(expr("n * 1000 div wt")).as("bud"))
     val thr = cnt.crossJoin(broadcast(budget))
-      .withColumn("thr", expr(s"(wt * bud div 1000) * $MixHashMod div n"))
+      .withColumn("thr",
+        expr(s"cast(wt * bud div 1000 as decimal(38,0)) * $MixHashMod div n"))
       .select(col("lang"), col("thr"))
     docs.join(broadcast(thr), "lang")
       .filter((col("doc_id") * MixHashMul) % MixHashMod < col("thr"))
@@ -391,7 +395,8 @@ object CurationOps {
       FROM documents d JOIN w ON d.lang = w.lang GROUP BY d.lang),
     b AS (SELECT MIN(n * 1000 // wt) AS bud FROM cnt),
     f AS (
-      SELECT lang, ((wt * bud // 1000) * $MixHashMod) // n AS thr
+      SELECT lang,
+        (CAST(wt * bud // 1000 AS DECIMAL(38,0)) * $MixHashMod) // n AS thr
       FROM cnt CROSS JOIN b)
     SELECT d.doc_id, d.lang, d.source
     FROM documents d JOIN f ON d.lang = f.lang
@@ -764,7 +769,8 @@ object CurationOps {
       .join(broadcast(w), "lang")
     val budget = cnt.agg(min(expr("n * 1000 div wt")).as("bud"))
     val thr = cnt.crossJoin(broadcast(budget))
-      .withColumn("thr", expr(s"(wt * bud div 1000) * $MixHashMod div n"))
+      .withColumn("thr",
+        expr(s"cast(wt * bud div 1000 as decimal(38,0)) * $MixHashMod div n"))
       .select(col("lang"), col("thr"))
     val mixed = filtered.join(broadcast(thr), "lang")
       .filter((col("doc_id") * MixHashMul) % MixHashMod < col("thr"))
@@ -829,7 +835,8 @@ object CurationOps {
       FROM f JOIN w ON f.lang = w.lang GROUP BY f.lang),
     b AS (SELECT MIN(n * 1000 // wt) AS bud FROM cnt),
     thr AS (
-      SELECT lang, ((wt * bud // 1000) * $MixHashMod) // n AS thr
+      SELECT lang,
+        (CAST(wt * bud // 1000 AS DECIMAL(38,0)) * $MixHashMod) // n AS thr
       FROM cnt CROSS JOIN b),
     m AS (
       SELECT f.doc_id, f.lang, f.n_tokens

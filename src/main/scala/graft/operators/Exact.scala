@@ -80,8 +80,12 @@ object Exact {
       val frac = s - f
       // tolerance ≫ the 3.4e-16 relative float error yet ≪ 0.5 for
       // every magnitude this engine sums (products of embedding
-      // coordinates: |s| ≤ ~1e9)
-      if (math.abs(frac - 0.5) > 1e-9 + math.abs(s) * 1e-12)
+      // coordinates: |s| ≤ ~1e9); capped at 0.499 so the band can
+      // never swallow the whole fraction — beyond |s| ≈ 5e11 the
+      // uncapped band would exceed 0.5 and silently route EVERY value
+      // down the BigDecimal slow path (still correct, just 20× slower)
+      if (math.abs(frac - 0.5) >
+          math.min(0.499, 1e-9 + math.abs(s) * 1e-12))
         return if (frac > 0.5) f.toLong + 1L else f.toLong
     }
     java.math.BigDecimal.valueOf(v)

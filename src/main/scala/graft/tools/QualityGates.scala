@@ -295,7 +295,9 @@ object QualityGates {
     // an independent plain-loop trainer over the collected features
     // must reproduce the distributed weight trajectory EXACTLY (this
     // is what the order-free quantized gradient sums promise);
-    // (b) ROC-AUC of the scores against the language label
+    // (b) ROC-AUC of the scores against the length label (the
+    // n_chars >= LrLabelChars threshold the trainer fits — the
+    // language label would sit at AUC 0.5 by construction)
     locally {
       import graft.operators.MlOps
       val (wDist, lossDist) = MlOps.logregFit(sp, dir)

@@ -275,32 +275,44 @@ object ScaleBench {
     if (skip.nonEmpty)
       System.err.println(s"[scalebench] EXPLICITLY SKIPPED: ${
         skip.toSeq.sorted.mkString(", ")}")
+    // skips are recorded IN the JSON (not just stderr): the committed
+    // record must carry its own coverage statement
+    val skipped = scala.collection.mutable.ListBuffer.empty[(String, String)]
+    skip.toSeq.sorted.foreach(op => skipped += ((op, "env:SCALEBENCH_SKIP")))
     val results = (if (recallOnly) Seq.empty[String] else Ops.filterNot(skip))
       .grouped(GroupSize).zipWithIndex.flatMap { case (g, i) =>
-        forkGroup(g, i, baseDir, scratch, reps).getOrElse {
+        forkGroup(g, i, baseDir, scratch, reps)
+          .map(_.map { case (op, b, x) => (op, b, x, false) })
+          .getOrElse {
           System.err.println(s"[scalebench] group $i: in-process fallback")
           // per-op Try: one op that cannot run at this scale (e.g. an
           // OOM that already killed its child JVM) must not take the
-          // whole sweep's record with it — skip it, keep the rest
+          // whole sweep's record with it — skip it, keep the rest.
+          // Fallback timings run in the long-lived parent JVM — the
+          // exact contamination the fork isolates against (see the
+          // groupRun scaladoc) — so each is tagged "in_process":true
+          // in the JSON: mixed-isolation timings stay auditable.
           g.flatMap { op =>
             try {
               runOnce(spark, op, baseDir)
               val base = median((1 to reps).map(_ => runOnce(spark, op, baseDir)))
               runOnce(spark, op, scratch)
               val xN = median((1 to reps).map(_ => runOnce(spark, op, scratch)))
-              Some((op, base, xN))
+              Some((op, base, xN, true))
             } catch { case e: Throwable =>
               System.err.println(
                 s"[scalebench] $op skipped (fallback failed): ${e.getMessage}")
+              skipped += ((op, s"fallback_failed: ${e.getClass.getSimpleName}"))
               None
             }
           }
         }
-      }.map { case (op, base, xN) =>
+      }.map { case (op, base, xN, inProc) =>
         val ratio = xN / base
         System.err.println(
-          f"[scalebench] $op%-26s base $base%7.2f s   ${copies}x $xN%7.2f s   ratio $ratio%5.2f")
-        (op, base, xN, ratio)
+          f"[scalebench] $op%-26s base $base%7.2f s   ${copies}x $xN%7.2f s   ratio $ratio%5.2f" +
+            (if (inProc) "   [in-process]" else ""))
+        (op, base, xN, ratio, inProc)
       }.toSeq
 
     // recall@5 at the big corpus vs brute force over the same queries
@@ -324,9 +336,13 @@ object ScaleBench {
     val json = s"""{"copies":$copies,"reps":$reps,"base":"$baseDir","rows":{""" +
       rows.map { case (t, (b, x)) => s""""$t":[$b,$x]""" }.mkString(",") +
       s"""},"ops":{""" +
-      results.map { case (op, b, x, r) =>
-        s""""$op":{"base_s":${fmt(b)},"x${copies}_s":${fmt(x)},"ratio":${fmt(r)}}"""
-      }.mkString(",") + s"""},"recall_at_5":{""" +
+      results.map { case (op, b, x, r, inProc) =>
+        s""""$op":{"base_s":${fmt(b)},"x${copies}_s":${fmt(x)},"ratio":${fmt(r)}""" +
+          (if (inProc) ""","in_process":true}""" else "}")
+      }.mkString(",") + s"""},"skipped":[""" +
+      skipped.map { case (op, why) =>
+        s"""{"op":"$op","reason":"$why"}"""
+      }.mkString(",") + s"""],"recall_at_5":{""" +
       recalls.map { case (op, r, th) =>
         s""""$op":{"recall":${fmt(r)},"threshold":${fmt(th)},"pass":${r + 1e-12 >= th}}"""
       }.mkString(",") + "}}"

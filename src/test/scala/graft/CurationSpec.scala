@@ -85,6 +85,26 @@ class CurationSpec extends AnyFunSuite {
       s"upsampling inverted: $perDoc")
   }
 
+  test("mix thresholds survive >= 2^31 rows per class (DECIMAL(38,0) headroom)") {
+    // the threshold products take·2^32 (mixSources/endToEnd) and
+    // (k % n)·2^32 (mixTemperature) wrap signed 64-bit once a class
+    // holds >= 2^31 kept rows — reachable at 100 TB. All three route
+    // the product through DECIMAL(38,0); assert the SQL form matches
+    // the BigInt floor (and that the int64 form really would wrap) at
+    // counts straddling the 2^31 boundary.
+    val mod = BigInt(CurationOps.MixHashMod)
+    for (take <- Seq(1L << 31, 3L * (1L << 30), 1L << 40);
+         n <- Seq(take, take * 3 / 2)) {
+      val expected = (BigInt(take) * mod / BigInt(n)).toLong
+      val got = spark.sql(
+        s"SELECT cast($take as decimal(38,0)) * ${CurationOps.MixHashMod} " +
+        s"div $n AS thr").collect()(0).getLong(0)
+      assert(got == expected, s"take=$take n=$n: got $got, want $expected")
+      assert(BigInt(take * CurationOps.MixHashMod) != BigInt(take) * mod,
+        s"take=$take no longer overflows int64 — test premise broken")
+    }
+  }
+
   test("sequence packing conserves tokens and fills bins contiguously") {
     val packed = CurationOps.packSequences(spark, sf).cache()
     try {

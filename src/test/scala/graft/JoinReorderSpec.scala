@@ -40,6 +40,37 @@ class JoinReorderSpec extends AnyFunSuite {
     solve((0 until g.rels.length).toSet)._1
   }
 
+  /** Exhaustive optimum over the REFERENCE DP plan space: connected
+    * subsets joined via connected splits only (ref PlanEnumerator.cpp
+    * :92-93, :225 — cross products live only in PEall, ref :33).
+    * Assumes a connected input graph. */
+  private def bruteForceConnected(g: JoinGraph): Double = {
+    val memo = collection.mutable.Map.empty[Set[Int], Option[(Double, Double)]]
+    def solve(s: Set[Int]): Option[(Double, Double)] = memo.getOrElseUpdate(s, {
+      if (s.size == 1) Some((0.0, g.rels(s.head).card))
+      else {
+        var best: Option[(Double, Double)] = None
+        val members = s.toVector
+        for (mask <- 1 until (1 << members.length) - 1) {
+          val left = members.indices.collect {
+            case i if (mask & (1 << i)) != 0 => members(i)
+          }.toSet
+          val right = s -- left
+          val connected = g.edges.exists { case (x, y, _) =>
+            (left(x) && right(y)) || (left(y) && right(x))
+          }
+          if (connected) for ((lc, lcard) <- solve(left); (rc, rcard) <- solve(right)) {
+            val card = g.inject.getOrElse(s, JoinGraph.joinCard(lcard, rcard))
+            val cost = lc + rc + card
+            if (best.forall(cost < _._1)) best = Some((cost, card))
+          }
+        }
+        best
+      }
+    })
+    solve((0 until g.rels.length).toSet).get._1
+  }
+
   private def randomGraph(n: Int, seed: Int, shape: String): JoinGraph = {
     val rnd = new scala.util.Random(seed)
     val rels = (0 until n).map(i =>
@@ -57,7 +88,7 @@ class JoinReorderSpec extends AnyFunSuite {
     test(s"DPsize is optimal on $shape graphs (seed $seed)") {
       val g = randomGraph(6, seed, shape)
       val dp = DPsize.enumerate(g)
-      assert(math.abs(dp.cost - bruteForce(g)) / bruteForce(g) < 1e-9)
+      assert(math.abs(dp.cost - bruteForceConnected(g)) / bruteForceConnected(g) < 1e-9)
     }
   }
 
@@ -107,15 +138,15 @@ class JoinReorderSpec extends AnyFunSuite {
   for (shape <- Seq("chain", "star", "clique"); seed <- 1 to 3) {
     test(s"DPsub matches the DP optimum on $shape (seed $seed)") {
       val g = randomGraph(7, seed, shape)
-      assert(math.abs(DPsub.enumerate(g).cost - bruteForce(g)) / bruteForce(g) < 1e-9)
+      assert(math.abs(DPsub.enumerate(g).cost - bruteForceConnected(g)) / bruteForceConnected(g) < 1e-9)
     }
     test(s"DPccp matches the DP optimum on $shape (seed $seed)") {
       val g = randomGraph(7, seed, shape)
-      assert(math.abs(DPccp.enumerate(g).cost - bruteForce(g)) / bruteForce(g) < 1e-9)
+      assert(math.abs(DPccp.enumerate(g).cost - bruteForceConnected(g)) / bruteForceConnected(g) < 1e-9)
     }
     test(s"TDbasic matches the DP optimum on $shape (seed $seed)") {
       val g = randomGraph(7, seed, shape)
-      assert(math.abs(TDbasic.enumerate(g).cost - bruteForce(g)) / bruteForce(g) < 1e-9)
+      assert(math.abs(TDbasic.enumerate(g).cost - bruteForceConnected(g)) / bruteForceConnected(g) < 1e-9)
     }
     test(s"LinearizedDP is valid and at least as good as its linearization on $shape (seed $seed)") {
       val g = randomGraph(7, seed, shape)
@@ -139,19 +170,19 @@ class JoinReorderSpec extends AnyFunSuite {
   for (shape <- Seq("chain", "star", "clique"); seed <- 1 to 3) {
     test(s"DPsizeOpt matches the DP optimum on $shape (seed $seed)") {
       val g = randomGraph(7, seed, shape)
-      assert(math.abs(DPsizeOpt.enumerate(g).cost - bruteForce(g)) / bruteForce(g) < 1e-9)
+      assert(math.abs(DPsizeOpt.enumerate(g).cost - bruteForceConnected(g)) / bruteForceConnected(g) < 1e-9)
     }
     test(s"DPsizeSub matches the DP optimum on $shape (seed $seed)") {
       val g = randomGraph(7, seed, shape)
-      assert(math.abs(DPsizeSub.enumerate(g).cost - bruteForce(g)) / bruteForce(g) < 1e-9)
+      assert(math.abs(DPsizeSub.enumerate(g).cost - bruteForceConnected(g)) / bruteForceConnected(g) < 1e-9)
     }
     test(s"DPsubOpt matches the DP optimum on $shape (seed $seed)") {
       val g = randomGraph(7, seed, shape)
-      assert(math.abs(DPsubOpt.enumerate(g).cost - bruteForce(g)) / bruteForce(g) < 1e-9)
+      assert(math.abs(DPsubOpt.enumerate(g).cost - bruteForceConnected(g)) / bruteForceConnected(g) < 1e-9)
     }
     test(s"TDMinCutAGaT matches the DP optimum on $shape (seed $seed)") {
       val g = randomGraph(7, seed, shape)
-      assert(math.abs(TDMinCutAGaT.enumerate(g).cost - bruteForce(g)) / bruteForce(g) < 1e-9)
+      assert(math.abs(TDMinCutAGaT.enumerate(g).cost - bruteForceConnected(g)) / bruteForceConnected(g) < 1e-9)
     }
   }
 
@@ -201,6 +232,21 @@ class JoinReorderSpec extends AnyFunSuite {
     val g = JoinGraph(rels,
       Seq((0, 1, null: org.apache.spark.sql.catalyst.expressions.Expression)), Nil)
     assert(DPccp.enumerate(g).set == Set(0, 1, 2))
+  }
+
+  test("DP family stays in the connected plan space even when an injected " +
+       "cross product would be cheaper; PEall deliberately takes it") {
+    // ref parity pin (PlanEnumerator.cpp:92-93,:225 vs :33): chain A—B—C
+    // with an injected tiny cardinality for the DISCONNECTED pair {A,C}.
+    // In the full space (A×C)⋈B costs 1+1=2; in the reference's DP space
+    // the cross split is not enumerable and the optimum is 2000.
+    val e = null: org.apache.spark.sql.catalyst.expressions.Expression
+    val rels = Vector(Rel(null, 1000.0, 0), Rel(null, 1e6, 1), Rel(null, 1000.0, 2))
+    val g = JoinGraph(rels, Seq((0, 1, e), (1, 2, e)), Nil,
+      inject = Map(Set(0, 2) -> 1.0))
+    for (enum <- Seq(DPsize, DPsizeOpt, DPsizeSub, DPsub, DPsubOpt, DPccp))
+      assert(math.abs(enum.enumerate(g).cost - 2000.0) < 1e-6, enum.name)
+    assert(math.abs(PEall.enumerate(g).cost - 2.0) < 1e-6)
   }
 
   for (shape <- Seq("chain", "star"); seed <- 1 to 3) {
