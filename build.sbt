@@ -12,6 +12,14 @@ libraryDependencies ++= Seq(
 Test / fork := true
 run / fork := true
 run / connectInput := true // graft.exec.Shell (in exec/ResultPrinter.scala) reads SQL from stdin
+// The driver parses the LAST stdout line of `sbt runMain graft.Bench`
+// as the bench record. Two sbt behaviors defeated that for four
+// rounds: forked-run stdout is re-logged with an "[info] " prefix,
+// and a "[success] Total time ..." trailer prints after the program's
+// final line. Raw pass-through + no success banner make the program's
+// own last println the invocation's last stdout line.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
