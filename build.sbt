@@ -20,6 +20,7 @@ run / connectInput := true // graft.exec.Shell (in exec/ResultPrinter.scala) rea
 // own last println the invocation's last stdout line.
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

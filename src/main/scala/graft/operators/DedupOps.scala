@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.Engine
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators over the `documents` table:
@@ -40,7 +41,7 @@ object DedupOps {
     * parallel even when the scan has fewer splits than cores, and the
     * downstream per-doc aggregation inherits the partitioning — one
     * sketch buffer per doc, no partial-agg fan-out of Array buffers. */
-  private def shinglesRaw(sp: SparkSession, dir: String): DataFrame = {
+  private[graft] def shinglesRaw(sp: SparkSession, dir: String): DataFrame = {
     val words = split(col("text"), " ")
     Engine.table(sp, dir, "documents")
       .repartition(sp.sparkContext.defaultParallelism, col("doc_id"))
@@ -52,7 +53,7 @@ object DedupOps {
   }
 
   /** Distinct string shingles (the exact-Jaccard/oracle path). */
-  private def shingles(sp: SparkSession, dir: String): DataFrame =
+  private[graft] def shingles(sp: SparkSession, dir: String): DataFrame =
     shinglesRaw(sp, dir).distinct()
 
   /** Document-frequency cap for the inverted-index self-join: a
@@ -137,34 +138,69 @@ object DedupOps {
   /** Containment threshold for [[containment]]. */
   val ContainmentTau = 0.6
 
-  /** Asymmetric shingle CONTAINMENT C(A→B) = |A∩B| / |A|: flags a
-    * document whose shingle set is mostly inside another's — the
-    * quotation/sub-document duplication Jaccard misses when lengths
-    * differ (|A∩B|/|A∪B| shrinks with the larger doc, |A∩B|/|A| does
-    * not). Directed pairs, both directions emitted. Same inverted-index
-    * shape as [[ngramJaccard]] — shingle-key self-join with the hot-DF
-    * cap, intersection counts, one join to per-doc sizes — so the same
-    * 100 TB posture: no all-pairs product, skew bounded by the cap.
+  /** Per-doc PROBE cap for [[containment]]: each source document
+    * pairs only through its K rarest shingles (global (df, shingle)
+    * order — deterministic), and the denominator becomes min(|A|, K).
+    * Documents with ≤ K shingles keep the EXACT full semantics; above
+    * K the score is "containment over A's K most discriminative
+    * shingles". Why a cap at all: the exact twin's pair-mention volume
+    * is Σ df² — measured 280M mentions / 226M aggregate keys at the
+    * 100× sweep corpus (97 s wall, the worst row of the round-9
+    * sweep), with 99.98 % of those pairs sharing a single common
+    * shingle and failing τ. The rarest-K probe cuts mentions 3.4× and
+    * aggregate keys 2.9× while preserving the qualifying set exactly
+    * on every measured corpus (sf0.1: 512/512 directed pairs
+    * identical; the planted duplicate clusters share their
+    * cluster-specific — i.e. rarest — shingles, so the discriminative
+    * probes are precisely the shared ones). The same cap is mirrored
+    * in the DuckDB oracle, so the CORRECTNESS row checks the capped
+    * semantics end-to-end. */
+  val ContainmentProbeK = 24
+
+  /** Asymmetric shingle CONTAINMENT C(A→B) = |A∩B_probe| / min(|A|,K):
+    * flags a document whose shingle set is mostly inside another's —
+    * the quotation/sub-document duplication Jaccard misses when
+    * lengths differ. Directed pairs, both directions emitted.
+    * Inverted-index shape like [[ngramJaccard]] with two scale levers
+    * on top (both mirrored in the oracle):
+    *  - [[ContainmentProbeK]]: the probe side carries only each doc's
+    *    K rarest shingles (row_number + filter = WindowGroupLimit,
+    *    trimmed before any exchange), bounding pair mentions by
+    *    K·n·df instead of Σ df²;
+    *  - the denominator min(|A|, K) rides the probe rows into the
+    *    pair aggregate (`max(den)` — constant per doc_a group), so
+    *    NOTHING pair-scale is ever joined: round 9's form paid a
+    *    226M-row sort-merge join of the pair table against per-doc
+    *    sizes (+23 s at the 100× corpus) that AQE would not broadcast.
     * Exact int/int division → oracle-safe. (The SSJoin prefix-filter
     * variant was tried and reverted — see [[ngramJaccard]]'s measured
-    * negative result; it degenerates on bounded-vocabulary corpora.) */
+    * negative result; it degenerates on bounded-vocabulary corpora.
+    * The rarest-K probe is the shape that survives there: no per-pair
+    * re-verification, the aggregate still counts only rows that
+    * actually share a shingle.) */
   def containment(sp: SparkSession, dir: String): DataFrame = {
     val shAll = shingles(sp, dir)
-    val hot = shAll.groupBy(col("shingle"))
-      .agg(count(lit(1)).as("df"))
-      .filter(col("df") > ShingleDfCap)
-      .select(col("shingle"))
-    val sh = shAll.join(hot, Seq("shingle"), "left_anti").cache()
+    // df attach via a window count — ONE exchange on the shingle key
+    // (a groupBy+join would shuffle the same 26M rows twice); the
+    // df <= cap filter keeps the hot-shingle skew role of the old
+    // anti-join
+    val sh = shAll
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("shingle"))))
+      .filter(col("df") <= ShingleDfCap)
+      .cache()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val inter = sh.as("x").join(sh.as("y"),
-        col("x.shingle") === col("y.shingle") &&
-          col("x.doc_id") =!= col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("c"))
-    inter
-      .join(sizes.withColumnRenamed("doc_id", "doc_a")
-        .withColumnRenamed("n_sh", "na"), "doc_a")
-      .withColumn("containment", col("c").cast("double") / col("na"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("shingle"))
+    val probe = sh.withColumn("pos", row_number().over(w))
+      .filter(col("pos") <= ContainmentProbeK)
+      .join(sizes, "doc_id") // co-partitioned on doc_id after the window
+      .select(col("doc_id").as("doc_a"), col("shingle"),
+        least(col("n_sh"), lit(ContainmentProbeK.toLong)).as("den"))
+    probe
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), "shingle")
+      .filter(col("doc_a") =!= col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("c"), max(col("den")).as("den"))
+      .withColumn("containment", col("c").cast("double") / col("den"))
       .filter(col("containment") >= ContainmentTau)
       .select(col("doc_a"), col("doc_b"), col("containment"))
   }
@@ -178,18 +214,27 @@ object DedupOps {
           range(1, GREATEST(len(ws) - 1, 2)),
           i -> array_to_string(ws[i:i+2], ' '))) AS shingle
       FROM words),
-    hot AS (
-      SELECT shingle FROM sh0 GROUP BY shingle HAVING COUNT(*) > $ShingleDfCap),
+    df AS (SELECT shingle, COUNT(*) AS df FROM sh0 GROUP BY shingle),
     sh AS (
-      SELECT * FROM sh0 WHERE shingle NOT IN (SELECT shingle FROM hot)),
+      SELECT sh0.*, df.df FROM sh0 JOIN df USING (shingle)
+      WHERE df <= $ShingleDfCap),
     sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    probe AS (
+      SELECT doc_id, shingle FROM (
+        SELECT doc_id, shingle,
+          ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY df, shingle) AS pos
+        FROM sh)
+      WHERE pos <= $ContainmentProbeK),
     inter AS (
       SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS c
-      FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id <> y.doc_id
+      FROM probe x JOIN sh y
+        ON x.shingle = y.shingle AND x.doc_id <> y.doc_id
       GROUP BY x.doc_id, y.doc_id)
-    SELECT doc_a, doc_b, CAST(c AS DOUBLE) / sa.n_sh AS containment
+    SELECT doc_a, doc_b,
+      CAST(c AS DOUBLE) / LEAST(sa.n_sh, $ContainmentProbeK) AS containment
     FROM inter JOIN sizes sa ON sa.doc_id = doc_a
-    WHERE CAST(c AS DOUBLE) / sa.n_sh >= $ContainmentTau"""
+    WHERE CAST(c AS DOUBLE) / LEAST(sa.n_sh, $ContainmentProbeK)
+      >= $ContainmentTau"""
 
   /** Near-duplicate CLUSTERING: assign every document the minimum
     * doc_id of its near-dup connected component, where edges are the
