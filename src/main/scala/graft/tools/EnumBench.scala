@@ -146,7 +146,18 @@ object EnumBench {
       "HeuristicSearch_goo_dynamic_beam" ->
         JoinReorder.resolve("HeuristicSearch", hsSearch = "dynamic_beam_search"),
       "HeuristicSearch_goo_anytimeAStar" ->
-        JoinReorder.resolve("HeuristicSearch", hsSearch = "anytimeastar"))
+        JoinReorder.resolve("HeuristicSearch", hsSearch = "anytimeastar"),
+      // plain A* under the ADMISSIBLE bottom-up heuristics (ref sum,
+      // hpp:1722; lookahead, hpp:1896): goo guides better per
+      // expansion but overestimates, so goo-A* returns near-optimal
+      // plans — these return exactly optimal ones when they finish,
+      // the SIGMOD'23 plan-quality configuration
+      "HeuristicSearch_sum_AStar" ->
+        JoinReorder.resolve("HeuristicSearch", hsHeuristic = "sum"),
+      "HeuristicSearch_lookahead_AStar" ->
+        JoinReorder.resolve("HeuristicSearch", hsHeuristic = "lookahead"),
+      "HeuristicSearch_avg_sel_AStar" ->
+        JoinReorder.resolve("HeuristicSearch", hsHeuristic = "avg_sel"))
     val candidates: Seq[(String, PlanEnumerator)] =
       hsStrategies ++ JoinReorder.enumerators.values.toSeq.sortBy(_.name)
         .map(en => en.name -> en)
@@ -205,10 +216,13 @@ object EnumBench {
       val geo = if (ratios.isEmpty) Double.NaN
         else math.exp(ratios.map(x => math.log(math.max(x, 1e-12))).sum / ratios.size)
       val nOpt = ratios.count(_ <= 1.0 + 1e-9)
-      (name, geo, nOpt, ratios.size)
+      // total planning time over the workload (timeouts at budget) —
+      // the quality numbers above only mean something next to this
+      val msTotal = job.flatMap(_.ms.find(_._1 == name).map(_._2)).sum
+      (name, geo, nOpt, ratios.size, msTotal)
     }
-    jobSummary.sortBy(_._2).foreach { case (n2, g, o, f) =>
-      System.err.println(f"[enumbench] JOB summary $n2%-34s geo-ratio ${g}%8.3f optimal $o%3d/${f}%d")
+    jobSummary.sortBy(_._2).foreach { case (n2, g, o, f, ms) =>
+      System.err.println(f"[enumbench] JOB summary $n2%-34s geo-ratio ${g}%8.3f optimal $o%3d/${f}%d  ${ms}%9.1f ms")
     }
 
     def fmt(d: Double) = if (d.isNaN) "null" else f"$d%.3f"
@@ -222,8 +236,8 @@ object EnumBench {
       s"""{"name":"${r.name}","shape":"${r.shape}","n":${r.n},"ms":${fmt(r.ms)},"timeout":${r.timeout},"cost":${fmt(r.cost)}}""")
       .mkString(",")
     json ++= """],"job_summary":["""
-    json ++= jobSummary.map { case (n2, g, o, f) =>
-      s"""{"name":"$n2","geo_ratio":${fmt(g)},"optimal":$o,"finished":$f}"""
+    json ++= jobSummary.map { case (n2, g, o, f, ms) =>
+      s"""{"name":"$n2","geo_ratio":${fmt(g)},"optimal":$o,"finished":$f,"ms_total":${fmt(ms)}}"""
     }.mkString(",")
     json ++= """],"job":["""
     json ++= job.map { r =>
