@@ -98,7 +98,9 @@ object Bench {
     // round-9 additions
     "sim_kmeans", "pipeline_weighted_sample", "stats_zipf_slope",
     "pipeline_quality_classifier", "pipeline_cluster_sample",
-    "pipeline_end_to_end", "sim_graph_centrality")
+    "pipeline_end_to_end", "sim_graph_centrality",
+    // round-10 additions
+    "sim_knn_outliers")
 
   val Reps = 5
   /** Extra reps for queries whose 5-rep median is below [[SubSecond]]

@@ -1429,7 +1429,8 @@ object SimilarityOps {
   private[graft] def sharedKnnEdges(sp: SparkSession, dir: String): DataFrame =
     knnEdgesCache.computeIfAbsent((System.identityHashCode(sp), dir), _ =>
       knnGraph(sp, dir)
-        .select(col("vec_id").as("src"), col("neighbor_id").as("dst"))
+        .select(col("vec_id").as("src"), col("neighbor_id").as("dst"),
+          col("cosine_r"))
         .localCheckpoint(true))
 
   /** PageRank-style CENTRALITY over a directed edge list — the
@@ -1486,6 +1487,63 @@ object SimilarityOps {
   def graphCentrality(sp: SparkSession, dir: String): DataFrame =
     graphCentralityFrom(sp, sharedKnnEdges(sp, dir),
       vecs(sp, dir).select(col("vec_id")))
+
+  /** Bottom share of the corpus flagged by [[knnOutliers]]. */
+  val KnnOutlierShare = 0.05
+
+  /** kNN-DISTANCE OUTLIERS (Ramaswamy et al., SIGMOD'00 — the classic
+    * unsupervised density signal): a vector whose k nearest neighbors
+    * are all FAR is isolated — corrupt, garbled, or out-of-
+    * distribution — exactly what an embedding-corpus curation pass
+    * drops or routes to review. Complements `embed_outlier_filter`
+    * (distance to the LABEL centroid, supervised): this op needs no
+    * labels. Score = mean cosine to the vector's kNN-graph neighbors;
+    * flagged = the corpus's bottom [[KnnOutlierShare]] share.
+    *
+    * Second consumer of the session-shared materialized kNN edges
+    * ([[sharedKnnEdges]], with [[graphCentrality]]) — the graph is
+    * built once and every graph op runs off the k·n-row edge list.
+    *
+    * Exactness/determinism contract: cosine_r is a 4-dp value, so
+    * CAST(.. AS DECIMAL(14,4))·10⁴ recovers exact integer micro-units;
+    * per-vector sums are order-free long addition and the mean is a
+    * floor integer division. The outlier cut is an EXACT distribution
+    * quantile in the `pipeline_quality_calibrate` shape: the value
+    * domain is bounded (4-dp cosines → ≤ 2·10⁴+1 buckets), so the
+    * threshold comes from a bucket-count aggregate plus a cumulative
+    * window over the TINY distribution table — never a global sort of
+    * the corpus. Vectors with no bucket collisions at all (k = 0) take
+    * mean −1 and are always outliers. Gated on a bit-exact driver
+    * recompute from the op's own edge list. */
+  def knnOutliers(sp: SparkSession, dir: String): DataFrame = {
+    val edges = sharedKnnEdges(sp, dir)
+    val nodes = vecs(sp, dir).select(col("vec_id"))
+    val qCol = expr("cast(cast(cosine_r as decimal(14,4)) * 10000 as bigint)")
+    val means = nodes
+      .join(edges.groupBy(col("src").as("vec_id"))
+          .agg(count(lit(1)).as("k_nbrs"), sum(qCol).as("sum_q")),
+        Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("k_nbrs"), lit(0L)).as("k_nbrs"),
+        when(col("k_nbrs").isNull, lit(-10000L))
+          .otherwise(expr("sum_q div k_nbrs")).as("mq"))
+    // exact share threshold over the bounded mean domain
+    val dist = means.groupBy(col("mq")).agg(count(lit(1)).as("cnt"))
+    val wCum = Window.orderBy(col("mq"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    // cum >= ceil(n · share) in pure integers: share = 1/20, and for
+    // integers cum·20 >= n ⟺ cum >= ceil(n/20)
+    val invShare = math.round(1.0 / KnnOutlierShare)
+    val thr = dist
+      .withColumn("cum", sum(col("cnt")).over(wCum))
+      .crossJoin(broadcast(means.agg(count(lit(1)).as("n"))))
+      .filter(col("cum") * lit(invShare) >= col("n"))
+      .agg(min(col("mq")).as("t"))
+    means.crossJoin(broadcast(thr))
+      .select(col("vec_id"), col("k_nbrs"),
+        (col("mq").cast("double") / 1e4).as("mean_cos"),
+        (col("mq") <= col("t")).as("is_outlier"))
+  }
 
   /** Prototypes kept per cluster by [[clusterSample]]. */
   val ClusterSampleM = 10
@@ -1618,6 +1676,7 @@ object SimilarityOps {
     "sim_kmeans" -> (kmeans _),
     "pipeline_cluster_sample" -> (clusterSample _),
     "sim_graph_centrality" -> (graphCentrality _),
+    "sim_knn_outliers" -> (knnOutliers _),
     "dedup_semantic" -> (semanticDedup _))
 
   val oracles: Map[String, String] = Map(

@@ -183,6 +183,33 @@ object QualityGates {
       gates += Gate("sim_graph_centrality", "driver_exact_recompute",
         "exact_match_rate",
         if (n == 0) 1.0 else okC.toDouble / n, 1.0, gotC.size, n)
+
+      // ---- sim_knn_outliers: bit-exact driver recompute from the SAME
+      // deterministic edge list — integer micro-unit means, truncating
+      // long division (Spark `div`), exact ceil(n/20) share threshold
+      val gotO = SimilarityOps.knnOutliers(sp, dir).collect()
+        .map(r0 => r0.getLong(0) -> (r0.getLong(1), r0.getDouble(2),
+          r0.getBoolean(3))).toMap
+      val eq = SimilarityOps.knnGraph(sp, dir)
+        .select(col("vec_id"),
+          expr("cast(cast(cosine_r as decimal(14,4)) * 10000 as bigint)"))
+        .collect().map(r0 => (r0.getLong(0), r0.getLong(1)))
+      val sums = eq.groupBy(_._1).view
+        .mapValues(vs => (vs.length.toLong, vs.map(_._2).sum)).toMap
+      val mq = nodes.map(v => v -> sums.get(v)
+        .map { case (k, s) => s / k }.getOrElse(-10000L)).toMap
+      val invShare = math.round(1.0 / SimilarityOps.KnnOutlierShare)
+      val sortedMq = mq.values.toSeq.sorted
+      val need = sortedMq.indices
+        .find(i => (i + 1) * invShare >= n)
+        .map(sortedMq(_)).getOrElse(Long.MinValue)
+      val okO = nodes.count { v =>
+        val k = sums.get(v).map(_._1).getOrElse(0L)
+        gotO.get(v).contains((k, mq(v).toDouble / 1e4, mq(v) <= need))
+      }
+      gates += Gate("sim_knn_outliers", "driver_exact_recompute",
+        "exact_match_rate",
+        if (n == 0) 1.0 else okO.toDouble / n, 1.0, gotO.size, n)
     }
 
     // ---- embed_pca_project: the projection's variance must dominate

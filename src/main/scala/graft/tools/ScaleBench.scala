@@ -85,7 +85,10 @@ object ScaleBench {
     // round 9 (cont.): the one-query curation DAG (dedup window +
     // filter + mix cut + prefix-sum pack — every stage ∝ rows) and
     // kNN-graph centrality (edge list ∝ k·n, two exchanges per sweep)
-    "pipeline_end_to_end", "sim_graph_centrality")
+    "pipeline_end_to_end", "sim_graph_centrality",
+    // round 10: kNN-distance outliers (second consumer of the shared
+    // materialized edge list; bounded-domain quantile cut)
+    "sim_knn_outliers")
 
   /** ANN ops re-scored for recall@5 at the big corpus: the round-7 PQ
     * shortlist regression (recall 0.64 → 0.48 before the ∝-corpus fix)
