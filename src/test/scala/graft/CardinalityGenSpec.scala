@@ -101,10 +101,16 @@ class CardinalityGenSpec extends AnyFunSuite {
     val base = JoinGraph(rels, edges, Nil)
     val injected = JoinGraph(rels, edges, Nil, inject)
 
-    val optInj = PEall.enumerate(injected)
+    // every exact DP agrees within the CONNECTED plan space (ref
+    // PlanEnumerator.cpp:92-93,:225 — cross products live in PEall
+    // only, ref :33), and PEall can only match or beat them by
+    // taking an injected-cheap cross product
     val dpInj = DPsize.enumerate(injected)
-    assert(math.abs(optInj.cost - dpInj.cost) < 1e-6,
-      "DPsize must stay optimal under the injected estimator")
+    for (en <- Seq(DPsub, DPccp, DPsizeOpt, DPsizeSub, DPsubOpt))
+      assert(math.abs(en.enumerate(injected).cost - dpInj.cost) < 1e-6,
+        s"${en.name} must agree with DPsize under the injected estimator")
+    assert(PEall.enumerate(injected).cost <= dpInj.cost + 1e-6,
+      "PEall's larger plan space can never be worse")
     // the injected estimate genuinely replaces the independence formula
     val dpBase = DPsize.enumerate(base)
     assert(math.abs(dpBase.cost - dpInj.cost) > 1.0,
