@@ -363,4 +363,45 @@ class DedupSimilaritySpec extends AnyFunSuite {
     }
     assert(mismatches == 0, s"$mismatches assignment mismatches")
   }
+
+  test("shared kNN edge list is built once per (session, dir) and matches a fresh build") {
+    import graft.operators.SimilarityOps
+    // same DataFrame instance on repeat — the cache, not a rebuild
+    val e1 = SimilarityOps.sharedKnnEdges(spark, sf)
+    val e2 = SimilarityOps.sharedKnnEdges(spark, sf)
+    assert(e1 eq e2, "sharedKnnEdges rebuilt the graph for the same (session, dir)")
+    // and the materialized edges equal a fresh knnGraph build exactly
+    // (the build is deterministic, so caching cannot change results)
+    val cached = e1.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val fresh = SimilarityOps.knnGraph(spark, sf)
+      .select("vec_id", "neighbor_id", "cosine_r").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(cached == fresh, "cached edge list diverged from a fresh build")
+  }
+
+  test("knn outliers flag exactly the minimal bottom share of mean neighbor cosine") {
+    import graft.operators.SimilarityOps
+    val rows = SimilarityOps.knnOutliers(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+    val n = rows.length
+    assert(n > 0)
+    val inv = math.round(1.0 / SimilarityOps.KnnOutlierShare)
+    val flagged = rows.filter(_._4)
+    // covers the share: |flagged| >= ceil(n / inv)
+    assert(flagged.length * inv >= n,
+      s"${flagged.length} flagged of $n misses the 1/$inv share")
+    // minimal: the flagged set is exactly { mean <= t } for the
+    // smallest t reaching the share — strictly-below-t rows alone
+    // fall short, and no unflagged row sits at or below t
+    val t = flagged.map(_._3).max
+    assert(rows.count(_._3 < t) * inv < n, "threshold not minimal")
+    assert(rows.forall(r => r._4 == (r._3 <= t)), "flag is not a clean cut at t")
+    // every vector scored: k neighbors positive, mean in [-1, 1]
+    assert(rows.forall(r => r._2 > 0 && r._3 >= -1.0 && r._3 <= 1.0))
+    // deterministic on a second run
+    val again = SimilarityOps.knnOutliers(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+    assert(again.toSet == rows.toSet)
+  }
 }
