@@ -396,7 +396,7 @@ object CurationOps {
     b AS (SELECT MIN(n * 1000 // wt) AS bud FROM cnt),
     f AS (
       SELECT lang,
-        (CAST(wt * bud // 1000 AS DECIMAL(38,0)) * $MixHashMod) // n AS thr
+        (CAST(wt * bud // 1000 AS HUGEINT) * $MixHashMod) // n AS thr
       FROM cnt CROSS JOIN b)
     SELECT d.doc_id, d.lang, d.source
     FROM documents d JOIN f ON d.lang = f.lang
@@ -523,7 +523,8 @@ object CurationOps {
            FROM cum),
     thr AS (
       SELECT source,
-        k // n AS base, ((k % n) * ${MixHashMod}) // n AS rem_thr
+        k // n AS base,
+        (CAST(k % n AS HUGEINT) * ${MixHashMod}) // n AS rem_thr
       FROM (
         SELECT source, n,
           CAST(FLOOR(n_total * sqrt(CAST(n AS DOUBLE)) / z) AS BIGINT) AS k
@@ -836,7 +837,7 @@ object CurationOps {
     b AS (SELECT MIN(n * 1000 // wt) AS bud FROM cnt),
     thr AS (
       SELECT lang,
-        (CAST(wt * bud // 1000 AS DECIMAL(38,0)) * $MixHashMod) // n AS thr
+        (CAST(wt * bud // 1000 AS HUGEINT) * $MixHashMod) // n AS thr
       FROM cnt CROSS JOIN b),
     m AS (
       SELECT f.doc_id, f.lang, f.n_tokens

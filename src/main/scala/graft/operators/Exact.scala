@@ -75,7 +75,12 @@ object Exact {
     * Double.toString-ing every product in a Dim²-per-row loop. */
   def q6dec(v: Double): Long = {
     val s = v * 1e6
-    if (math.abs(s) < 4.0e15) {
+    // fast-path magnitude guard 1e15 (not 2^52): with the band capped
+    // at 0.499 the fast path must know the true decimal value lies on
+    // the same side of the midpoint, and the combined representation
+    // error (10⁶·ulp(v)/2 from the scale multiply + ulp(s)/2) reaches
+    // ~0.73 near 4e15 — above the 0.499 margin; at 1e15 it is ≤ ~0.19
+    if (math.abs(s) < 1.0e15) {
       val f = math.floor(s)
       val frac = s - f
       // tolerance ≫ the 3.4e-16 relative float error yet ≪ 0.5 for

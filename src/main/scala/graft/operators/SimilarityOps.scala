@@ -1424,14 +1424,25 @@ object SimilarityOps {
     * bounded. Keyed per (session, dir) so tests with different SF
     * dirs never cross-contaminate. [[knnGraph]] itself stays the raw
     * builder (its registered query measures the build). */
+  // weak keys: a stopped/collected session releases its edge blocks
+  // instead of pinning them (and a recycled identity hash can never
+  // serve another session's stale checkpoint)
   private val knnEdgesCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
+    new java.util.WeakHashMap[SparkSession,
+      collection.mutable.Map[String, DataFrame]]()
   private[graft] def sharedKnnEdges(sp: SparkSession, dir: String): DataFrame =
-    knnEdgesCache.computeIfAbsent((System.identityHashCode(sp), dir), _ =>
-      knnGraph(sp, dir)
-        .select(col("vec_id").as("src"), col("neighbor_id").as("dst"),
-          col("cosine_r"))
-        .localCheckpoint(true))
+    knnEdgesCache.synchronized {
+      var per = knnEdgesCache.get(sp)
+      if (per == null) {
+        per = collection.mutable.Map.empty
+        knnEdgesCache.put(sp, per)
+      }
+      per.getOrElseUpdate(dir,
+        knnGraph(sp, dir)
+          .select(col("vec_id").as("src"), col("neighbor_id").as("dst"),
+            col("cosine_r"))
+          .localCheckpoint(true))
+    }
 
   /** PageRank-style CENTRALITY over a directed edge list — the
     * graph-based data-curation signal (central documents are
@@ -1519,6 +1530,10 @@ object SimilarityOps {
     val edges = sharedKnnEdges(sp, dir)
     val nodes = vecs(sp, dir).select(col("vec_id"))
     val qCol = expr("cast(cast(cosine_r as decimal(14,4)) * 10000 as bigint)")
+    // eager checkpoint: `means` feeds three consumers (the threshold
+    // distribution, the corpus count, and the final projection) —
+    // without it each re-scans the embeddings and re-aggregates the
+    // edge list; the table is n narrow rows, trivially bounded
     val means = nodes
       .join(edges.groupBy(col("src").as("vec_id"))
           .agg(count(lit(1)).as("k_nbrs"), sum(qCol).as("sum_q")),
@@ -1527,6 +1542,7 @@ object SimilarityOps {
         coalesce(col("k_nbrs"), lit(0L)).as("k_nbrs"),
         when(col("k_nbrs").isNull, lit(-10000L))
           .otherwise(expr("sum_q div k_nbrs")).as("mq"))
+      .localCheckpoint(true)
     // exact share threshold over the bounded mean domain
     val dist = means.groupBy(col("mq")).agg(count(lit(1)).as("cnt"))
     val wCum = Window.orderBy(col("mq"))
