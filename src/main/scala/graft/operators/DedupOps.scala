@@ -86,7 +86,19 @@ object DedupOps {
     * is the right exact twin. (At 100× rows this op's wall grows
     * ~linearly with the corpus — Σ df² with the hot cap holding
     * per-shingle df constant — which is the honest floor for an
-    * exact pair op whose OUTPUT grows with the corpus.) */
+    * exact pair op whose OUTPUT grows with the corpus.)
+    *
+    * SECOND NEGATIVE RESULT (round 10): the denominator-carry rework
+    * that cut [[containment]] 97 → 29.6 s at 100× (attach n_sh per
+    * mention row, aggregate max(na)/max(nb), drop the post-aggregate
+    * size joins) was tried here and measured SLOWER — paired 100×
+    * probes: dedup_cluster 58.7 → 85.8 s, dedup_cluster_star
+    * 67.4 → 82.7 s. Jaccard needs BOTH endpoints' sizes, so the
+    * mention rows widen by 16 B across the full Σ df²/2 pair stream
+    * (~2 GB extra through the hottest exchange at 100×), where
+    * containment pays the carry only on the K-capped probe rows.
+    * The two size joins stay: they are (pairs ⋈ n-row dims) and cost
+    * less than the widened shuffle. */
   def ngramJaccard(sp: SparkSession, dir: String): DataFrame = {
     val shAll = shingles(sp, dir)
     // hot shingles are a tiny, bounded set (each needs > DfCap docs);
