@@ -68,8 +68,9 @@ object Exact {
     * the true shortest-decimal value, so away from a .5 rounding
     * midpoint plain floor arithmetic produces the identical integer
     * (HALF_UP and nearest agree off-midpoint, for either sign);
-    * within the error band of a midpoint — or beyond 2⁵² where floor
-    * loses integers — fall back to the authoritative
+    * within the error band of a midpoint — or beyond the 10¹⁵
+    * magnitude guard where the representation error can cross a
+    * midpoint — fall back to the authoritative
     * BigDecimal.valueOf path (valueOf = shortest decimal form,
     * exactly Cast's Decimal(BigDecimal(d))). ~20× cheaper than
     * Double.toString-ing every product in a Dim²-per-row loop. */
