@@ -208,6 +208,19 @@ class PropertySpec extends AnyFunSuite {
       val v = t._1 * t._2
       assert(operators.Exact.q6dec(v) == slow(v), s"q6dec($v)")
     }
+    // magnitudes straddling the 1e15 fast-path guard: just below it
+    // (fast path allowed — the capped 0.499 band must still be safe
+    // against the ~0.19 representation error there), just above it
+    // (always the BigDecimal slow path), and far above where v·10⁶
+    // representation error exceeds whole units
+    forAll(Gen.zip(Gen.chooseNum(0.5e9, 4.0e9), Gen.oneOf(1.0, -1.0)), 2000) { t =>
+      val v = t._1 * t._2
+      assert(operators.Exact.q6dec(v) == slow(v), s"q6dec($v)")
+    }
+    Seq(0.999999999e9, 1.000000001e9, 2.5e9, 3.999e9, 1e10, 1e12,
+      9.007199254740992e9, -9.007199254740992e9).foreach { v =>
+      assert(operators.Exact.q6dec(v) == slow(v), s"q6dec($v)")
+    }
     // round-trip of the unscaled sum back to double equals the
     // decimal→double cast for magnitudes past 2^53 where plain /1e6
     // double division would mis-round
