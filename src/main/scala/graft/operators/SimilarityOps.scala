@@ -200,7 +200,7 @@ object SimilarityOps {
     * probability 1 − θ/π ≈ 0.9 at θ = 18°: recall =
     * 1 − (1 − 0.9^bits)^tables). At the oracle SFs (n ≤ 2000) this
     * resolves to the historical 8 × 6 configuration. */
-  private def lshConfig(n: Long): (Int, Int) = {
+  private[graft] def lshConfig(n: Long): (Int, Int) = {
     def ceilLog2(x: Long) = 64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, x - 1))
     val bits = math.max(BitsPerTable, math.min(MaxBits, ceilLog2(math.max(1L, n / 32))))
     val tables = math.min(MaxTables,
@@ -219,7 +219,7 @@ object SimilarityOps {
     * SCALEBENCH.json before this change). Summation order matches the
     * old expression (i = 0..63 left fold), so signatures are
     * bit-identical. */
-  private def buckets(df: DataFrame,
+  private[graft] def buckets(df: DataFrame,
       numTables: Int = NumTables, bitsPerTable: Int = BitsPerTable): DataFrame = {
     val sp = df.sparkSession
     import sp.implicits._
@@ -1072,13 +1072,11 @@ object SimilarityOps {
     // (lo, hi, cosine) — 24 B — ever leaves the stage. A duplicate
     // candidate (a pair colliding in several tables/probes) is scored
     // more than once — redundant CPU, bit-identical results (the fold
-    // is direction-blind: x·y per slot commutes) — and
-    // dropDuplicates(lo, hi) then keeps exactly one narrow row. The
-    // unordered set is the UNION of both probe directions, a superset
-    // of the directed candidates, so recall only rises; a 2-row
-    // explode mirrors each pair back to both directions for the
-    // per-src top-k (explode, not union — union would re-execute the
-    // scoring subtree).
+    // is direction-blind: x·y per slot commutes). The unordered set
+    // is the UNION of both probe directions, a superset of the
+    // directed candidates, so recall only rises; a 2-row in-stage
+    // explode mirrors each pair to both directions (explode, not
+    // union — union would re-execute the scoring subtree).
     val scored = probeSide
       .join(capped,
         col("tbl") === col("qtbl") && col("sig") === col("qsig") &&
@@ -1086,19 +1084,41 @@ object SimilarityOps {
       .select(least(col("src"), col("dst")).as("lo"),
         greatest(col("src"), col("dst")).as("hi"),
         (dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cosine"))
-      .dropDuplicates("lo", "hi")
-    val cand = scored
+    // per-src top-k + exact-duplicate collapse in ONE aggregate
+    // ([[graft.functions.TopKNbrAgg]]): the round-9 form shuffled the
+    // full pair stream TWICE — 581M rows through a (lo,hi)
+    // dropDuplicates that removed only 31 %, then 887M exploded rows
+    // through the per-src rank-window exchange, measured 60 s + 100 s
+    // of the 148 s 100× wall. The typed aggregate's map side reduces
+    // every partition to ≤ k (id, cosine-bits) slots per source
+    // INSIDE the scoring stage, so the only pair-scale exchange
+    // carries partial k-entry buffers (millions of rows, not hundreds
+    // of millions). Duplicates carry bit-identical cosines and
+    // collapse in the insert scan; the buffer order
+    // (cosine DESC, neighbor ASC) is the old window's sort order, so
+    // the emitted graph is row-identical to the round-9 plan.
+    import sp.implicits._
+    val topk = udaf(new graft.functions.TopKNbrAgg(KnnGraphK))
+    scored
       .select(explode(array(
         struct(col("lo").as("src"), col("hi").as("dst")),
         struct(col("hi").as("src"), col("lo").as("dst")))).as("p"),
         col("cosine"))
       .select(col("p.src").as("src"), col("p.dst").as("dst"), col("cosine"))
-    val w = Window.partitionBy(col("src"))
-      .orderBy(col("cosine").desc, col("dst").asc)
-    cand.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= KnnGraphK)
-      .select(col("src").as("vec_id"), col("rk"),
-        col("dst").as("neighbor_id"), round(col("cosine"), 4).as("cosine_r"))
+      .groupBy(col("src"))
+      .agg(topk(col("dst"), col("cosine")).as("buf"))
+      .as[(Long, Array[Long])]
+      .flatMap { case (src, buf) =>
+        Iterator.range(0, buf.length / 2)
+          .takeWhile(i => buf(2 * i) != Long.MinValue)
+          .map { i =>
+            (src, i + 1, buf(2 * i),
+              java.lang.Double.longBitsToDouble(buf(2 * i + 1)))
+          }
+      }
+      .toDF("vec_id", "rk", "neighbor_id", "cosine")
+      .select(col("vec_id"), col("rk"), col("neighbor_id"),
+        round(col("cosine"), 4).as("cosine_r"))
   }
 
   /** Upper-triangle dimension COVARIANCE matrix — the input to
