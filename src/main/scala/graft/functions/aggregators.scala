@@ -173,9 +173,32 @@ class TopKNbrAgg(k: Int)
     extends Aggregator[(Long, Double), Array[Long], Array[Long]] {
   def zero: Array[Long] = Array.fill(2 * k)(Long.MinValue)
 
-  /** Insert (id, cos); returns the (mutated) buffer. */
+  /** Insert (id, cos); returns the (mutated) buffer.
+    *
+    * Duplicate detection keys on the id ALONE, then ASSERTS the bits
+    * match: the determinism contract (the scoring fold is direction-
+    * blind and deterministic, enforced far away in the knnGraph join)
+    * guarantees a repeated neighbor id always carries the identical
+    * cosine. Keying the dedup on (id, bits) — the round-10 form —
+    * made a violated contract SILENT: the same id would occupy two
+    * top-k slots and corrupt the emitted graph. Now it throws. */
   private def insert(b: Array[Long], id: Long, bits: Long): Array[Long] = {
     val cos = java.lang.Double.longBitsToDouble(bits)
+    // pre-scan the occupied prefix for this id: a duplicate anywhere
+    // in the buffer is a no-op (equal bits) or a loud contract failure
+    // (unequal bits) — never a second slot
+    var d = 0
+    while (d < k && b(2 * d) != Long.MinValue) {
+      if (b(2 * d) == id) {
+        if (b(2 * d + 1) != bits)
+          throw new IllegalStateException(
+            s"TopKNbrAgg determinism contract violated: neighbor $id " +
+              s"scored ${java.lang.Double.longBitsToDouble(b(2 * d + 1))} " +
+              s"and $cos in the same (src,dst) group")
+        return b
+      }
+      d += 1
+    }
     var i = 0
     while (i < k) {
       val sid = b(2 * i)
@@ -183,7 +206,6 @@ class TopKNbrAgg(k: Int)
         b(2 * i) = id; b(2 * i + 1) = bits
         return b
       }
-      if (sid == id && b(2 * i + 1) == bits) return b // exact duplicate
       val scos = java.lang.Double.longBitsToDouble(b(2 * i + 1))
       if (cos > scos || (cos == scos && id < sid)) {
         // shift [i, k-2] down one slot, insert at i

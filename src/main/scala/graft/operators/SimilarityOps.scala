@@ -1444,20 +1444,25 @@ object SimilarityOps {
     * bounded. Keyed per (session, dir) so tests with different SF
     * dirs never cross-contaminate. [[knnGraph]] itself stays the raw
     * builder (its registered query measures the build). */
-  // weak keys: a stopped/collected session releases its edge blocks
-  // instead of pinning them (and a recycled identity hash can never
-  // serve another session's stale checkpoint)
+  // Keyed by (sessionUUID, dir), NOT by weak session reference: the
+  // round-10 WeakHashMap design could never collect anything — the
+  // cached DataFrame values strongly reference their SparkSession
+  // (Dataset.sparkSession), i.e. the map's values referenced its own
+  // keys. Eviction is explicit instead: every access purges entries
+  // whose owning SparkContext has stopped (their checkpoint blocks
+  // died with the context, and dropping the strong reference lets the
+  // stopped session itself be collected). A recycled UUID cannot
+  // occur (java.util.UUID per session), so no stale checkpoint can
+  // ever serve another session.
   private val knnEdgesCache =
-    new java.util.WeakHashMap[SparkSession,
-      collection.mutable.Map[String, DataFrame]]()
+    collection.mutable.Map.empty[(String, String), DataFrame]
+  private def sessionKey(sp: SparkSession): String =
+    org.apache.spark.sql.GraftShim.sessionUUID(sp)
   private[graft] def sharedKnnEdges(sp: SparkSession, dir: String): DataFrame =
     knnEdgesCache.synchronized {
-      var per = knnEdgesCache.get(sp)
-      if (per == null) {
-        per = collection.mutable.Map.empty
-        knnEdgesCache.put(sp, per)
-      }
-      per.getOrElseUpdate(dir,
+      knnEdgesCache.filterInPlace((_, df) =>
+        !df.sparkSession.sparkContext.isStopped)
+      knnEdgesCache.getOrElseUpdate((sessionKey(sp), dir),
         knnGraph(sp, dir)
           .select(col("vec_id").as("src"), col("neighbor_id").as("dst"),
             col("cosine_r"))
@@ -1538,7 +1543,10 @@ object SimilarityOps {
     * Exactness/determinism contract: cosine_r is a 4-dp value, so
     * CAST(.. AS DECIMAL(14,4))·10⁴ recovers exact integer micro-units;
     * per-vector sums are order-free long addition and the mean is a
-    * floor integer division. The outlier cut is an EXACT distribution
+    * FLOOR integer division ([[meanQ]] — explicit `floor`, not SQL
+    * `div`'s truncation toward zero: mean cosines can be negative, and
+    * the two disagree exactly there; the driver-recompute gate uses
+    * `Math.floorDiv` to match). The outlier cut is an EXACT distribution
     * quantile in the `pipeline_quality_calibrate` shape: the value
     * domain is bounded (4-dp cosines → ≤ 2·10⁴+1 buckets), so the
     * threshold comes from a bucket-count aggregate plus a cumulative
@@ -1546,6 +1554,14 @@ object SimilarityOps {
     * the corpus. Vectors with no bucket collisions at all (k = 0) take
     * mean −1 and are always outliers. Gated on a bit-exact driver
     * recompute from the op's own edge list. */
+  /** Floor mean of integer micro-units: ⌊sum/k⌋. Spark's `div` and
+    * Scala's `/` both truncate TOWARD ZERO, which differs from floor
+    * on negative sums (−5 div 2 = −2, ⌊−5/2⌋ = −3); mean cosines can
+    * be negative, so [[knnOutliers]] pins floor semantics explicitly.
+    * The double division is exact here: |sum| ≤ k·10⁴ ≪ 2⁵³. */
+  private[graft] def meanQ(sumQ: Column, k: Column): Column =
+    floor(sumQ.cast("double") / k.cast("double")).cast("long")
+
   def knnOutliers(sp: SparkSession, dir: String): DataFrame = {
     val edges = sharedKnnEdges(sp, dir)
     val nodes = vecs(sp, dir).select(col("vec_id"))
@@ -1561,7 +1577,7 @@ object SimilarityOps {
       .select(col("vec_id"),
         coalesce(col("k_nbrs"), lit(0L)).as("k_nbrs"),
         when(col("k_nbrs").isNull, lit(-10000L))
-          .otherwise(expr("sum_q div k_nbrs")).as("mq"))
+          .otherwise(meanQ(col("sum_q"), col("k_nbrs"))).as("mq"))
       .localCheckpoint(true)
     // exact share threshold over the bounded mean domain
     val dist = means.groupBy(col("mq")).agg(count(lit(1)).as("cnt"))

@@ -185,8 +185,10 @@ object QualityGates {
         if (n == 0) 1.0 else okC.toDouble / n, 1.0, gotC.size, n)
 
       // ---- sim_knn_outliers: bit-exact driver recompute from the SAME
-      // deterministic edge list — integer micro-unit means, truncating
-      // long division (Spark `div`), exact ceil(n/20) share threshold
+      // deterministic edge list — integer micro-unit means, FLOOR
+      // division (floorDiv, matching the op's explicit floor — `div`
+      // truncation would diverge on negative mean cosines), exact
+      // ceil(n/20) share threshold
       val gotO = SimilarityOps.knnOutliers(sp, dir).collect()
         .map(r0 => r0.getLong(0) -> (r0.getLong(1), r0.getDouble(2),
           r0.getBoolean(3))).toMap
@@ -197,7 +199,7 @@ object QualityGates {
       val sums = eq.groupBy(_._1).view
         .mapValues(vs => (vs.length.toLong, vs.map(_._2).sum)).toMap
       val mq = nodes.map(v => v -> sums.get(v)
-        .map { case (k, s) => s / k }.getOrElse(-10000L)).toMap
+        .map { case (k, s) => Math.floorDiv(s, k) }.getOrElse(-10000L)).toMap
       val invShare = math.round(1.0 / SimilarityOps.KnnOutlierShare)
       val sortedMq = mq.values.toSeq.sorted
       val need = sortedMq.indices

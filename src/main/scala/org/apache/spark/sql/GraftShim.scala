@@ -26,6 +26,12 @@ object GraftShim {
   def integralDivide(l: Column, r: Column): Column =
     column(catalyst.expressions.IntegralDivide(expression(l), expression(r)))
 
+  /** Per-session UUID (`sessionUUID` is private[sql]): the stable
+    * cache key for session-scoped state — unlike an identity hash it
+    * can never be recycled onto a different live session. */
+  def sessionUUID(spark: SparkSession): String =
+    spark.asInstanceOf[classic.SparkSession].sessionUUID
+
   /** The optimizer rules a SparkSessionExtensions instance would
     * inject (`buildOptimizerRules` is private[sql]); lets tests prove
     * an extension class actually registers its rules. */

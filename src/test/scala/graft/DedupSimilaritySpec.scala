@@ -404,4 +404,39 @@ class DedupSimilaritySpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
     assert(again.toSet == rows.toSet)
   }
+
+  test("knn outlier mean uses FLOOR division, not truncation, on negative sums") {
+    // -5/2: floor = -3, truncation-toward-zero (SQL `div`) = -2 — a
+    // negative mean cosine is exactly where the two semantics split,
+    // and the op's scaladoc promises floor
+    import spark.implicits._
+    val got = Seq((-5L, 2L), (5L, 2L), (-10001L, 3L), (0L, 7L), (-4L, 2L))
+      .toDF("sum_q", "k_nbrs")
+      .select(SimilarityOps.meanQ(col("sum_q"), col("k_nbrs")).as("mq"))
+      .collect().map(_.getLong(0)).toSeq
+    val want = Seq((-5L, 2L), (5L, 2L), (-10001L, 3L), (0L, 7L), (-4L, 2L))
+      .map { case (s, k) => Math.floorDiv(s, k) }
+    assert(got == want, s"meanQ is not floor division: $got vs $want")
+    assert(Math.floorDiv(-5L, 2L) == -3L && -5L / 2L == -2L) // the split case
+  }
+
+  test("TopKNbrAgg dedups on id alone and fails loudly on a bits mismatch") {
+    val agg = new graft.functions.TopKNbrAgg(3)
+    def bits(d: Double) = java.lang.Double.doubleToRawLongBits(d)
+    // equal (id, cos) repeated: one slot, no matter the arrival order
+    var b = agg.zero
+    b = agg.reduce(b, (7L, 0.9)); b = agg.reduce(b, (5L, 0.8))
+    b = agg.reduce(b, (7L, 0.9)) // duplicate id, identical cosine
+    assert(b.grouped(2).count(_.head != Long.MinValue) == 2)
+    assert(b(0) == 7L && b(1) == bits(0.9) && b(2) == 5L)
+    // a repeated id with a DIFFERENT cosine violates the determinism
+    // contract — must throw, never occupy a second slot (the round-10
+    // (id,bits)-keyed dedup would have corrupted the graph silently)
+    val ex = intercept[IllegalStateException] { agg.reduce(b, (5L, 0.95)) }
+    assert(ex.getMessage.contains("determinism contract"))
+    // same via merge: partial buffers from two partitions
+    var b1 = agg.zero; b1 = agg.reduce(b1, (1L, 0.5))
+    var b2 = agg.zero; b2 = agg.reduce(b2, (1L, 0.6))
+    intercept[IllegalStateException] { agg.merge(b1, b2) }
+  }
 }
