@@ -169,10 +169,22 @@ object DedupOps {
     * semantics end-to-end. */
   val ContainmentProbeK = 24
 
-  /** Asymmetric shingle CONTAINMENT C(A→B) = |A∩B_probe| / min(|A|,K):
-    * flags a document whose shingle set is mostly inside another's —
-    * the quotation/sub-document duplication Jaccard misses when
-    * lengths differ. Directed pairs, both directions emitted.
+  /** APPROXIMATE asymmetric shingle containment
+    * C_K(A→B) = |A_probe ∩ B| / min(|A|, K) with A_probe = A's K
+    * rarest shingles: flags a document whose shingle set is mostly
+    * inside another's — the quotation/sub-document duplication Jaccard
+    * misses when lengths differ. Directed pairs, both directions
+    * emitted. THIS IS NOT exact C(A→B) = |A∩B|/|A| once |A| > K: a
+    * long document is judged only by its K most discriminative
+    * shingles, which can over-score a pair whose rare shingles happen
+    * to be shared (true C far below τ) and under-score one whose
+    * overlap lies outside the K rarest. [[containmentExact]] is the
+    * uncapped twin (registered as `dedup_containment_exact`, its own
+    * CORRECTNESS row), and QualityGates measures the capped vs exact
+    * qualifying-set divergence every round instead of assuming it —
+    * on the planted-duplicate corpora the sets are identical (dup
+    * clusters share their cluster-specific, i.e. rarest, shingles),
+    * but that is an empirical property of the corpus, not a theorem.
     * Inverted-index shape like [[ngramJaccard]] with two scale levers
     * on top (both mirrored in the oracle):
     *  - [[ContainmentProbeK]]: the probe side carries only each doc's
@@ -190,7 +202,21 @@ object DedupOps {
     * The rarest-K probe is the shape that survives there: no per-pair
     * re-verification, the aggregate still counts only rows that
     * actually share a shingle.) */
-  def containment(sp: SparkSession, dir: String): DataFrame = {
+  def containment(sp: SparkSession, dir: String): DataFrame =
+    containmentImpl(sp, dir, Some(ContainmentProbeK))
+
+  /** EXACT containment C(A→B) = |A∩B| / |A| — [[containment]] without
+    * the rarest-K probe cap, the reference semantics the capped op
+    * approximates. Registered (`dedup_containment_exact`) with its own
+    * uncapped oracle so the exact semantics carry a CORRECTNESS row,
+    * and consumed by the QualityGates divergence gate. NOT in the
+    * scale sweep: its pair-mention volume is the full Σ df² (the
+    * measured 97 s / 280M-mention row the cap exists to avoid). */
+  def containmentExact(sp: SparkSession, dir: String): DataFrame =
+    containmentImpl(sp, dir, None)
+
+  private def containmentImpl(sp: SparkSession, dir: String,
+      probeK: Option[Int]): DataFrame = {
     val shAll = shingles(sp, dir)
     // df attach via a window count — ONE exchange on the shingle key
     // (a groupBy+join would shuffle the same 26M rows twice); the
@@ -202,11 +228,15 @@ object DedupOps {
       .cache()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("shingle"))
-    val probe = sh.withColumn("pos", row_number().over(w))
-      .filter(col("pos") <= ContainmentProbeK)
+    val probe = (probeK match {
+        case Some(k) => // WindowGroupLimit: trimmed to K before any exchange
+          sh.withColumn("pos", row_number().over(w)).filter(col("pos") <= k)
+        case None => sh
+      })
       .join(sizes, "doc_id") // co-partitioned on doc_id after the window
       .select(col("doc_id").as("doc_a"), col("shingle"),
-        least(col("n_sh"), lit(ContainmentProbeK.toLong)).as("den"))
+        probeK.map(k => least(col("n_sh"), lit(k.toLong)))
+          .getOrElse(col("n_sh")).as("den"))
     probe
       .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), "shingle")
       .filter(col("doc_a") =!= col("doc_b"))
@@ -247,6 +277,32 @@ object DedupOps {
     FROM inter JOIN sizes sa ON sa.doc_id = doc_a
     WHERE CAST(c AS DOUBLE) / LEAST(sa.n_sh, $ContainmentProbeK)
       >= $ContainmentTau"""
+
+  /** Oracle for [[containmentExact]]: same shape, no probe cap, the
+    * full |A| denominator. */
+  val containmentExactOracle: String = s"""
+    WITH words AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    sh0 AS (
+      SELECT DISTINCT doc_id,
+        unnest(list_transform(
+          range(1, GREATEST(len(ws) - 1, 2)),
+          i -> array_to_string(ws[i:i+2], ' '))) AS shingle
+      FROM words),
+    df AS (SELECT shingle, COUNT(*) AS df FROM sh0 GROUP BY shingle),
+    sh AS (
+      SELECT sh0.* FROM sh0 JOIN df USING (shingle)
+      WHERE df <= $ShingleDfCap),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS c
+      FROM sh x JOIN sh y
+        ON x.shingle = y.shingle AND x.doc_id <> y.doc_id
+      GROUP BY x.doc_id, y.doc_id)
+    SELECT doc_a, doc_b,
+      CAST(c AS DOUBLE) / sa.n_sh AS containment
+    FROM inter JOIN sizes sa ON sa.doc_id = doc_a
+    WHERE CAST(c AS DOUBLE) / sa.n_sh >= $ContainmentTau"""
 
   /** Near-duplicate CLUSTERING: assign every document the minimum
     * doc_id of its near-dup connected component, where edges are the
@@ -817,6 +873,7 @@ object DedupOps {
     "dedup_substring" -> (substringDedup _),
     "dedup_ngram_jaccard" -> (ngramJaccard _),
     "dedup_containment" -> (containment _),
+    "dedup_containment_exact" -> (containmentExact _),
     "dedup_minhash_lsh" -> (minhashLsh _),
     "dedup_incremental" -> (minhashLshIncremental _),
     "dedup_simhash" -> (simhashPairs _),
@@ -830,6 +887,7 @@ object DedupOps {
     "dedup_exact" -> exactOracle,
     "dedup_ngram_jaccard" -> ngramJaccardOracle,
     "dedup_containment" -> containmentOracle,
+    "dedup_containment_exact" -> containmentExactOracle,
     "dedup_cluster" -> clusterOracle,
     "dedup_cluster_star" -> clusterOracle,
     "dedup_report" -> dedupReportOracle,

@@ -54,6 +54,21 @@ object QualityGates {
       pairSet(DedupOps.ngramJaccard(sp, dir).select("doc_a", "doc_b")),
       recallTh = 0.8)
 
+    // ---- dedup_containment (rarest-K probe cap) vs the uncapped
+    // exact twin: the cap changes the SEMANTICS for docs with > K
+    // shingles (score over the K most discriminative shingles,
+    // denominator min(|A|,K)), and the CORRECTNESS oracle mirrors the
+    // cap — so it is structurally blind to capped-vs-exact drift.
+    // This gate MEASURES that drift instead of assuming it away:
+    // the qualifying directed-pair sets must agree exactly on the
+    // gate corpus (they do on every planted-duplicate corpus — dup
+    // clusters share their rarest shingles — but that is an empirical
+    // corpus property this gate re-checks every round).
+    gates ++= recallPrecision("dedup_containment", "dedup_containment_exact",
+      pairSet(DedupOps.containment(sp, dir).select("doc_a", "doc_b")),
+      pairSet(DedupOps.containmentExact(sp, dir).select("doc_a", "doc_b")),
+      recallTh = 1.0)
+
     // ---- dedup_incremental (batch × corpus LSH) vs the exact
     // cross-side subset of the n-gram Jaccard twin: every exact pair
     // with exactly one endpoint in the batch source must be found
