@@ -184,6 +184,29 @@ object ScaleBench {
     s
   }
 
+  /** Output row count at `dir` — measured AFTER the timed reps (a
+    * separate count() execution, never inside a timed window). The
+    * record needs this because several exact-pair oracle twins emit
+    * quadratically more rows on the planted-duplicate corpus at N×
+    * by construction: a wall ratio of ~20× at 100× rows is only
+    * readable against output growth. wall/out_rows ~flat = output-
+    * bound; rising = a real plan residue to chase. */
+  private def outRows(spark: SparkSession, name: String, dir: String): Long = {
+    val n = SparkEntry.queries(name)(spark, dir).count()
+    spark.sharedState.cacheManager.clearCache()
+    n
+  }
+
+  /** Minimal JSON string escape (quotes/backslashes/control chars) —
+    * fork-failure reasons quote raw JVM stderr. */
+  private def escapeJson(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted
     if (s.length % 2 == 1) s(s.length / 2)
@@ -203,9 +226,11 @@ object ScaleBench {
     val lines = names.map { op =>
       runOnce(spark, op, baseDir) // warm-up at base
       val base = median((1 to reps).map(_ => runOnce(spark, op, baseDir)))
+      val outB = outRows(spark, op, baseDir)
       runOnce(spark, op, scratch) // warm-up at Nx
       val xN = median((1 to reps).map(_ => runOnce(spark, op, scratch)))
-      f"$op\t$base%.4f\t$xN%.4f"
+      val outN = outRows(spark, op, scratch)
+      f"$op\t$base%.4f\t$xN%.4f\t$outB\t$outN"
     }
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(outFile), lines.mkString("", "\n", "\n"))
@@ -216,34 +241,66 @@ object ScaleBench {
     * trade-off at scale-bench rep counts). */
   val GroupSize = 4
 
+  /** Child JVM heap. The parent (under sbt) defaults to 8g — round
+    * 10's heaviest group (the four big dedup shuffles, 226M+ pair rows
+    * at 100×) killed its 8g child and silently degraded to in-process
+    * parent measurement. The children get their own, larger budget:
+    * they are the ONLY JVM doing work while they run (the parent sits
+    * idle), so there is no reason to starve them of a 125 GiB host. */
+  val ChildMem: String = sys.env.getOrElse("SCALEBENCH_CHILD_MEM", "24g")
+
+  /** One timed measurement group in a fresh child JVM.
+    * Left(reason) on any failure — the reason goes into the record's
+    * `fork_failures` field so an in-process fallback row is never
+    * unexplained (round 10 left the cause on stderr only). */
   private def forkGroup(names: Seq[String], idx: Int, baseDir: String,
-      scratch: String, reps: Int): Option[Seq[(String, Double, Double)]] = {
+      scratch: String, reps: Int): Either[String, Seq[(String, Double, Double, Long, Long)]] = {
     import scala.jdk.CollectionConverters._
     val tmp = java.nio.file.Files.createTempFile(s"graft-scale-g$idx-", ".tsv")
+    val errF = java.nio.file.Files.createTempFile(s"graft-scale-g$idx-", ".err")
     try {
       val javaBin = java.nio.file.Paths.get(
         sys.props("java.home"), "bin", "java").toString
       val jvmArgs = java.lang.management.ManagementFactory
         .getRuntimeMXBean.getInputArguments.asScala.toSeq
-      val cmd = Seq(javaBin) ++ jvmArgs ++
+        .filterNot(_.startsWith("-Xmx")) // replaced by the child budget
+      val cmd = Seq(javaBin) ++ jvmArgs ++ Seq(s"-Xmx$ChildMem") ++
         Seq("-cp", sys.props("java.class.path"), "graft.tools.ScaleBench",
           "--group", tmp.toString, baseDir, scratch, reps.toString,
           names.mkString(","))
       val pb = new ProcessBuilder(cmd.asJava)
       pb.redirectOutput(ProcessBuilder.Redirect.DISCARD)
-      pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+      // child stderr goes to a file so a dead child's last words can be
+      // quoted in the record; echoed back to our stderr afterwards so
+      // live progress stays visible in the parent log
+      pb.redirectError(errF.toFile)
       val p = pb.start()
-      if (p.waitFor() != 0) return None
+      val rc = p.waitFor()
+      val errLines = scala.util.Try(
+        java.nio.file.Files.readAllLines(errF).asScala.toSeq)
+        .getOrElse(Seq.empty)
+      errLines.foreach(System.err.println)
+      def lastWords: String = errLines.reverseIterator
+        .find(l => l.contains("Error") || l.contains("Exception") ||
+          l.contains("Killed") || l.contains("insufficient memory"))
+        .orElse(errLines.lastOption).getOrElse("no stderr").take(300)
+      if (rc != 0)
+        return Left(s"child exited $rc (heap $ChildMem): $lastWords")
       val lines = java.nio.file.Files.readAllLines(tmp).asScala
       val parsed = lines.map { l =>
         val parts = l.split("\t")
-        (parts(0), parts(1).toDouble, parts(2).toDouble)
+        (parts(0), parts(1).toDouble, parts(2).toDouble,
+          parts(3).toLong, parts(4).toLong)
       }.toSeq
-      if (parsed.map(_._1) == names) Some(parsed) else None
+      if (parsed.map(_._1) == names) Right(parsed)
+      else Left(s"child exited 0 but wrote ${parsed.length}/${names.length} rows: $lastWords")
     } catch { case e: Throwable =>
       System.err.println(s"[scalebench] group $idx fork failed: ${e.getMessage}")
-      None
-    } finally java.nio.file.Files.deleteIfExists(tmp)
+      Left(s"fork machinery: ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
+    } finally {
+      java.nio.file.Files.deleteIfExists(tmp)
+      java.nio.file.Files.deleteIfExists(errF)
+    }
   }
 
   def main(args: Array[String]): Unit = {
@@ -282,12 +339,18 @@ object ScaleBench {
     // record must carry its own coverage statement
     val skipped = scala.collection.mutable.ListBuffer.empty[(String, String)]
     skip.toSeq.sorted.foreach(op => skipped += ((op, "env:SCALEBENCH_SKIP")))
+    // a fork that fails leaves WHY in the record (group, ops, reason),
+    // not just an in_process tag whose cause lives on stderr
+    val forkFailures = scala.collection.mutable.ListBuffer.empty[(Int, Seq[String], String)]
     val results = (if (recallOnly) Seq.empty[String] else Ops.filterNot(skip))
       .grouped(GroupSize).zipWithIndex.flatMap { case (g, i) =>
-        forkGroup(g, i, baseDir, scratch, reps)
-          .map(_.map { case (op, b, x) => (op, b, x, false) })
-          .getOrElse {
-          System.err.println(s"[scalebench] group $i: in-process fallback")
+        forkGroup(g, i, baseDir, scratch, reps) match {
+          case Right(rows) =>
+            rows.map { case (op, b, x, ob, ox) => (op, b, x, ob, ox, false) }
+          case Left(reason) =>
+          forkFailures += ((i, g, reason))
+          System.err.println(
+            s"[scalebench] group $i: in-process fallback ($reason)")
           // per-op Try: one op that cannot run at this scale (e.g. an
           // OOM that already killed its child JVM) must not take the
           // whole sweep's record with it — skip it, keep the rest.
@@ -299,9 +362,11 @@ object ScaleBench {
             try {
               runOnce(spark, op, baseDir)
               val base = median((1 to reps).map(_ => runOnce(spark, op, baseDir)))
+              val outB = outRows(spark, op, baseDir)
               runOnce(spark, op, scratch)
               val xN = median((1 to reps).map(_ => runOnce(spark, op, scratch)))
-              Some((op, base, xN, true))
+              val outN = outRows(spark, op, scratch)
+              Some((op, base, xN, outB, outN, true))
             } catch { case e: Throwable =>
               System.err.println(
                 s"[scalebench] $op skipped (fallback failed): ${e.getMessage}")
@@ -310,12 +375,12 @@ object ScaleBench {
             }
           }
         }
-      }.map { case (op, base, xN, inProc) =>
+      }.map { case (op, base, xN, outB, outN, inProc) =>
         val ratio = xN / base
         System.err.println(
-          f"[scalebench] $op%-26s base $base%7.2f s   ${copies}x $xN%7.2f s   ratio $ratio%5.2f" +
+          f"[scalebench] $op%-26s base $base%7.2f s   ${copies}x $xN%7.2f s   ratio $ratio%5.2f   out $outB%,d -> $outN%,d" +
             (if (inProc) "   [in-process]" else ""))
-        (op, base, xN, ratio, inProc)
+        (op, base, xN, ratio, outB, outN, inProc)
       }.toSeq
 
     // recall@5 at the big corpus vs brute force over the same queries
@@ -336,13 +401,21 @@ object ScaleBench {
     }
 
     def fmt(d: Double) = f"$d%.4f"
-    val json = s"""{"copies":$copies,"reps":$reps,"base":"$baseDir","rows":{""" +
+    val json = s"""{"copies":$copies,"reps":$reps,"base":"$baseDir","child_mem":"$ChildMem","rows":{""" +
       rows.map { case (t, (b, x)) => s""""$t":[$b,$x]""" }.mkString(",") +
       s"""},"ops":{""" +
-      results.map { case (op, b, x, r, inProc) =>
-        s""""$op":{"base_s":${fmt(b)},"x${copies}_s":${fmt(x)},"ratio":${fmt(r)}""" +
+      results.map { case (op, b, x, r, outB, outN, inProc) =>
+        // ratio_out: output growth at N× — read the wall ratio against
+        // it (wall/out ~flat = output-bound, not a plan residue)
+        val ratioOut = if (outB > 0) outN.toDouble / outB else 0.0
+        s""""$op":{"base_s":${fmt(b)},"x${copies}_s":${fmt(x)},"ratio":${fmt(r)},""" +
+          s""""out_rows":[$outB,$outN],"ratio_out":${fmt(ratioOut)}""" +
           (if (inProc) ""","in_process":true}""" else "}")
-      }.mkString(",") + s"""},"skipped":[""" +
+      }.mkString(",") + s"""},"fork_failures":[""" +
+      forkFailures.map { case (i, g, reason) =>
+        s"""{"group":$i,"ops":[${g.map(o => s""""$o"""").mkString(",")}],""" +
+          s""""reason":${escapeJson(reason)}}"""
+      }.mkString(",") + s"""],"skipped":[""" +
       skipped.map { case (op, why) =>
         s"""{"op":"$op","reason":"$why"}"""
       }.mkString(",") + s"""],"recall_at_5":{""" +
