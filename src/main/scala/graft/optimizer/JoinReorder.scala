@@ -117,7 +117,30 @@ object JoinReorder {
       (acc & r.mask) != 0L
     } else connected(g, l.set, r.set)
 
-  private def joinedCard(g: JoinGraph, l: JoinTree, r: JoinTree): Double =
+  /** Thrown out of the enumeration hot path when the running thread
+    * has been interrupted. Exponential enumerators (DPsize on an n=17
+    * clique…) have no natural yield point, so a benchmark harness that
+    * abandons an over-budget thread leaves it SPINNING until JVM exit
+    * — round 11's 20 s-budget ENUMBENCH run accumulated enough
+    * abandoned daemon threads to steal 20 cores and stall the
+    * remaining timed runs. Cooperative cancellation instead: the two
+    * functions every enumerator's inner loop goes through
+    * ([[joinedCard]] for bottom-up DP/greedy/HS, [[minCutAGaT]] for
+    * the top-down family) poll the interrupt flag — one intrinsified
+    * volatile read per candidate — and unwind with this exception.
+    * Stackless: thrown hot, never inspected. */
+  final class EnumerationCancelled
+    extends RuntimeException("enumeration cancelled", null, false, false)
+
+  @inline private def checkCancelled(): Unit =
+    if (Thread.currentThread().isInterrupted) throw new EnumerationCancelled
+
+  private def joinedCard(g: JoinGraph, l: JoinTree, r: JoinTree): Double = {
+    checkCancelled()
+    joinedCard0(g, l, r)
+  }
+
+  private def joinedCard0(g: JoinGraph, l: JoinTree, r: JoinTree): Double =
     if (g.cartesian) l.card * r.card
     else (if (g.inject.isEmpty) None else g.inject.get(l.set ++ r.set)) match {
       case Some(c) => c // injected subproblem cardinality wins
@@ -675,6 +698,7 @@ object JoinReorder {
     // (C, X, T): growing connected component, excluded set, test set
     var work = List((Set(s.min), Set.empty[Int], Set(s.min)))
     while (work.nonEmpty) {
+      checkCancelled()
       val (c, x, t) = work.head
       work = work.tail
       examined += 1
@@ -1040,10 +1064,18 @@ object JoinReorder {
       val adj = adjSetsOf(g)
       val all = (0 until n).toSet
       if (!isConnectedSet(adj, all)) return enumerateBottomUp(g)
-      // our equi-join estimate folds a connected set to its minimum
-      // leaf cardinality — the exact card the final tree's node gets
+      // subproblem cardinality ASKS THE ESTIMATOR, like the reference's
+      // sum<TopDown> (hpp:1757-1775: CE.estimate_join_all /
+      // predict_cardinality — which, under InjectionCardinalityEstimator,
+      // returns the injected value for the set). Injection first, then
+      // our equi-join estimate: fold a connected set to its minimum
+      // leaf cardinality — the exact card the final tree's node gets.
+      // Keeping the action/heuristic basis identical to joinedCard's is
+      // what makes sum<TopDown> A* land on the DP optimum on injected
+      // workloads (JOB): both sides price subproblem S the same way.
       def connCard(s: Set[Int]): Double =
-        if (s.size == 1) g.rels(s.head).card else s.map(g.rels(_).card).min
+        if (s.size == 1) g.rels(s.head).card
+        else g.inject.getOrElse(s, s.map(g.rels(_).card).min)
 
       def hTD(parts: Vector[Set[Int]]): Double = heuristic match {
         case "zero" => 0.0

@@ -41,7 +41,13 @@ object EnumBench {
       ms: Double, timeout: Boolean, cost: Double)
 
   /** Run `enum.enumerate(g)` on a daemon thread with a budget; on
-    * timeout the thread is abandoned (dies with the JVM). */
+    * timeout the thread is INTERRUPTED and the enumerator unwinds at
+    * its next hot-path poll ([[JoinReorder.EnumerationCancelled]]).
+    * Round 11 learned the hard way that merely abandoning daemon
+    * threads does not work: at a 20 s JOB budget the accumulated
+    * spinning threads stole 20 of 32 cores and stalled every
+    * subsequent timed run — cancelled threads must actually STOP for
+    * later measurements to mean anything. */
   private def timedRun(en: PlanEnumerator, g: JoinGraph,
       budgetMs: Long): (Double, Boolean, Double) = {
     val done = new java.util.concurrent.CompletableFuture[(Double, Double)]()
@@ -59,6 +65,7 @@ object EnumBench {
       (ms, false, cost)
     } catch {
       case _: java.util.concurrent.TimeoutException =>
+        t.interrupt()
         (budgetMs.toDouble, true, Double.NaN)
     }
   }
@@ -67,7 +74,7 @@ object EnumBench {
     * and the DP-optimal cost it is ratioed against. */
   final case class JobRes(query: String, n: Int, nEdges: Int,
       optCost: Double, optBy: String, costs: Seq[(String, Double)],
-      ms: Seq[(String, Double)])
+      ms: Seq[(String, Double)], timeouts: Seq[String])
 
   /** Grade every enumerator on the reference's own JOB / job-light
     * join graphs ([[JobGraphs]]) with cardinality_gen-injected
@@ -125,7 +132,8 @@ object EnumBench {
           System.err.println(f"[enumbench] ${q.id}%-22s n=$n%-3d opt=${opt._2}%12.0f by ${opt._1}")
           Some(JobRes(q.id, n, q.edges.size, opt._2,
             (if (dpDone.nonEmpty) "" else "best_finisher:") + opt._1,
-            runs.map(r => r._1 -> r._2), runs.map(r => r._1 -> r._3)))
+            runs.map(r => r._1 -> r._2), runs.map(r => r._1 -> r._3),
+            runs.filter(_._4).map(_._1)))
         }
       }
     }
@@ -134,6 +142,13 @@ object EnumBench {
   def main(args: Array[String]): Unit = {
     val budgetMs = args.lift(0).map(_.toLong).getOrElse(3000L)
     val outPath = args.lift(1).getOrElse("ENUMBENCH.json")
+    // the JOB plan-quality section gets its own, larger budget: the
+    // synthetic section WANTS tight-budget timeouts (the "DP can't
+    // finish n=20 clique in 3 s, HS returns in ms" headline), but the
+    // JOB section's exact DPs are the grading ANCHOR — a 3 s budget
+    // left DPsize/DPsizeOpt/TDbasic/TDMinCutAGaT at 52-54/55 finished.
+    // Any residual timeout is recorded per-graph in job[].timeouts.
+    val jobBudgetMs = args.lift(2).map(_.toLong).getOrElse(20000L)
     val shapes = Seq("chain", "cycle", "star", "clique") // by density
     val density = shapes.zipWithIndex.toMap
     val sizes = Seq(10, 15, 20)
@@ -147,17 +162,49 @@ object EnumBench {
         JoinReorder.resolve("HeuristicSearch", hsSearch = "dynamic_beam_search"),
       "HeuristicSearch_goo_anytimeAStar" ->
         JoinReorder.resolve("HeuristicSearch", hsSearch = "anytimeastar"),
-      // plain A* under the ADMISSIBLE bottom-up heuristics (ref sum,
-      // hpp:1722; lookahead, hpp:1896): goo guides better per
-      // expansion but overestimates, so goo-A* returns near-optimal
-      // plans — these return exactly optimal ones when they finish,
-      // the SIGMOD'23 plan-quality configuration
+      // bottom-up heuristics under plain A*. NONE of these carries an
+      // optimality guarantee: the reference flags sum<BottomUp>
+      // explicitly INADMISSIBLE (hpp:1733-1735 — subproblem sizes can
+      // exceed the join results they lead to, over-estimating remaining
+      // cost), and lookahead/avg_sel/goo define no is_admissible member
+      // at all (the concept at util/HeuristicSearch.hpp:66 treats that
+      // as inadmissible). They are the plan-QUALITY-per-millisecond
+      // configurations, graded as such.
       "HeuristicSearch_sum_AStar" ->
         JoinReorder.resolve("HeuristicSearch", hsHeuristic = "sum"),
       "HeuristicSearch_lookahead_AStar" ->
         JoinReorder.resolve("HeuristicSearch", hsHeuristic = "lookahead"),
       "HeuristicSearch_avg_sel_AStar" ->
-        JoinReorder.resolve("HeuristicSearch", hsHeuristic = "avg_sel"))
+        JoinReorder.resolve("HeuristicSearch", hsHeuristic = "avg_sel"),
+      // the ADMISSIBLE configurations — the only (state space ×
+      // heuristic) pairs the reference marks is_admissible = true:
+      // zero (hpp:1709, any space) and sum<TopDown> (hpp:1757). Under
+      // plain (unweighted, unbeamed) A* these must return EXACTLY
+      // optimal plans on every graph they finish — asserted below
+      // against the DP anchor. zero-A* is Dijkstra: optimal and
+      // hopeless at scale ("dramatically underestimates", hpp:1724) —
+      // its timeouts at small n ARE the datapoint.
+      "HeuristicSearch_sum_topdown_AStar" ->
+        JoinReorder.resolve("HeuristicSearch", hsSpace = "topdown",
+          hsHeuristic = "sum"),
+      "HeuristicSearch_zero_AStar" ->
+        JoinReorder.resolve("HeuristicSearch", hsHeuristic = "zero"))
+
+    /** Heuristic admissibility per the reference's own flags — true
+      * only where `is_admissible = true` is declared AND the search
+      * method is plain A* (optimal search + admissible heuristic =
+      * optimal plan, ref HeuristicSearchPlanEnumerator.cpp:596). DP
+      * enumerators are exact, not heuristic — no flag. */
+    val admissible: Map[String, Boolean] = Map(
+      "HeuristicSearch_goo_AStar" -> false,
+      "HeuristicSearch_goo_beam2" -> false,
+      "HeuristicSearch_goo_dynamic_beam" -> false,
+      "HeuristicSearch_goo_anytimeAStar" -> false,
+      "HeuristicSearch_sum_AStar" -> false,      // sum<BottomUp>, hpp:1735
+      "HeuristicSearch_lookahead_AStar" -> false,
+      "HeuristicSearch_avg_sel_AStar" -> false,
+      "HeuristicSearch_sum_topdown_AStar" -> true, // hpp:1757
+      "HeuristicSearch_zero_AStar" -> true)        // hpp:1709
     val candidates: Seq[(String, PlanEnumerator)] =
       hsStrategies ++ JoinReorder.enumerators.values.toSeq.sortBy(_.name)
         .map(en => en.name -> en)
@@ -205,7 +252,7 @@ object EnumBench {
     }
 
     // ---- JOB / job-light plan-quality section
-    val job = jobSection(candidates, budgetMs)
+    val job = jobSection(candidates, jobBudgetMs)
     // per-enumerator: geometric-mean cost ratio + optimal-plan count
     // over the queries it finished
     val jobSummary = candidates.map { case (name, _) =>
@@ -222,7 +269,28 @@ object EnumBench {
       (name, geo, nOpt, ratios.size, msTotal)
     }
     jobSummary.sortBy(_._2).foreach { case (n2, g, o, f, ms) =>
-      System.err.println(f"[enumbench] JOB summary $n2%-34s geo-ratio ${g}%8.3f optimal $o%3d/${f}%d  ${ms}%9.1f ms")
+      val tag = admissible.get(n2) match {
+        case Some(true) => "  [admissible]"
+        case Some(false) => "  [inadmissible]"
+        case None => ""
+      }
+      System.err.println(f"[enumbench] JOB summary $n2%-34s geo-ratio ${g}%8.3f optimal $o%3d/${f}%d  ${ms}%9.1f ms$tag")
+    }
+
+    // the admissibility CONTRACT, enforced at record time: an
+    // admissible heuristic under plain A* must land exactly on the DP
+    // optimum on every JOB graph it finishes — anything else is an
+    // implementation bug, and the record run fails loudly rather than
+    // committing a number a reviewer would have to adjudicate.
+    for ((name, _, _, _, _) <- jobSummary if admissible.getOrElse(name, false)) {
+      val bad = job.flatMap { r =>
+        r.costs.find(_._1 == name).map(_._2).filter(!_.isNaN)
+          .filter(_ > r.optCost * (1.0 + 1e-9)).map(c => (r.query, c / r.optCost))
+      }
+      if (bad.nonEmpty)
+        throw new IllegalStateException(
+          s"$name is flagged admissible but graded above optimal on: " +
+            bad.map { case (q, ratio) => f"$q ($ratio%.4f)" }.mkString(", "))
     }
 
     def fmt(d: Double) = if (d.isNaN) "null" else f"$d%.3f"
@@ -235,17 +303,31 @@ object EnumBench {
     json ++= all.map(r =>
       s"""{"name":"${r.name}","shape":"${r.shape}","n":${r.n},"ms":${fmt(r.ms)},"timeout":${r.timeout},"cost":${fmt(r.cost)}}""")
       .mkString(",")
-    json ++= """],"job_summary":["""
+    json ++= s"""],"job_budget_ms":$jobBudgetMs,"job_summary":["""
     json ++= jobSummary.map { case (n2, g, o, f, ms) =>
-      s"""{"name":"$n2","geo_ratio":${fmt(g)},"optimal":$o,"finished":$f,"ms_total":${fmt(ms)}}"""
+      // admissible: true/false per the reference's is_admissible flags
+      // (HS strategies only); enumerators that are exact over the
+      // connected plan space (the ratio anchor's space) carry
+      // "exact":true instead. PEall is exact over the LARGER
+      // cross-product-inclusive space — its sub-1.0 rows are the
+      // plan-space split, so it is deliberately not flagged; TDGOO/
+      // GOO/IKKBZ/LinearizedDP are greedy/heuristic.
+      val adm = admissible.get(n2).map(_.toString).getOrElse("null")
+      val exactConnected = Set("dpsize", "dpsizeopt", "dpsizesub",
+        "dpsub", "dpsubopt", "dpccp", "tdbasic", "tdmincutagat")
+      val exact = exactConnected(n2.toLowerCase)
+      s"""{"name":"$n2","geo_ratio":${fmt(g)},"optimal":$o,"finished":$f,""" +
+        s""""ms_total":${fmt(ms)},"admissible":$adm,"exact":$exact}"""
     }.mkString(",")
     json ++= """],"job":["""
     json ++= job.map { r =>
       val ratios = r.costs.map { case (n2, c) =>
         "\"" + n2 + "\":" + fmt(if (c.isNaN) Double.NaN else c / r.optCost)
       }.mkString("{", ",", "}")
+      val tos = r.timeouts.map("\"" + _ + "\"").mkString("[", ",", "]")
       s"""{"query":"${r.query}","n":${r.n},"edges":${r.nEdges},""" +
-        s""""opt_cost":${fmt(r.optCost)},"opt_by":"${r.optBy}","ratios":$ratios}"""
+        s""""opt_cost":${fmt(r.optCost)},"opt_by":"${r.optBy}","ratios":$ratios,""" +
+        s""""timeouts":$tos}"""
     }.mkString(",")
     json ++= "]}"
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), json.toString)
