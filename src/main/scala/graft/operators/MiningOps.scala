@@ -219,17 +219,20 @@ object MiningOps {
     LIMIT $CollocTopK"""
 
   /** Quintile thresholds for [[rfm]] (p20/p40/p60/p80, lower
-    * quantiles via the cumulative-count trick — integer-exact). */
+    * quantiles via the cumulative-count trick — integer-exact). The
+    * cumulative count is DISTRIBUTED ([[ScaleWindows.cumulative]]):
+    * r_ms is millisecond-granular and m_cents an exact cent sum, so
+    * their (value, count) distributions scale with |users| — a
+    * single-partition window here would be the r10 WindowExec warning
+    * at 100 TB, not a bounded aggregate. */
   private def quintiles(df: DataFrame, valueCol: String, prefix: String): DataFrame = {
-    val wCum = Window.orderBy(col(valueCol))
+    val (cum, tot) = ScaleWindows.cumulative(
+      df.groupBy(col(valueCol)).agg(count(lit(1)).as("c")), valueCol, "c")
     val qs = Seq(0.2, 0.4, 0.6, 0.8).zipWithIndex.map { case (p, i) =>
-      min(when(col("cum") >= ceil(col("tot") * lit(p)), col(valueCol)))
+      min(when(col("cum") >= ceil(lit(tot) * lit(p)), col(valueCol)))
         .as(s"${prefix}_t${i + 1}")
     }
-    df.groupBy(col(valueCol)).agg(count(lit(1)).as("c"))
-      .withColumn("cum", sum(col("c")).over(wCum))
-      .withColumn("tot", sum(col("c")).over(
-        wCum.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    cum
       .agg(qs.head, qs.tail: _*)
   }
 
@@ -246,9 +249,9 @@ object MiningOps {
     *
     * Scale shape: one aggregation to the per-user table; each
     * quintile pass runs over the (value, count) DISTRIBUTION of that
-    * table (thousands of distinct values, not users — the
-    * global-window cum sums are over tiny aggregates); scoring is a
-    * broadcast of one 12-number row. */
+    * table with a DISTRIBUTED cumulative sum (r_ms/m_cents
+    * distributions scale with |users| — see [[quintiles]]); scoring
+    * is a broadcast of one 12-number row. */
   def rfm(sp: SparkSession, dir: String): DataFrame = {
     val users = Engine.table(sp, dir, "events")
       .groupBy(col("user_id"))

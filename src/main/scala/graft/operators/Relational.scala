@@ -441,37 +441,60 @@ object Relational {
     * spend, bucketed into rank deciles, each decile's share of total
     * revenue reported cumulatively — "do the top 10% of customers
     * carry 50% of revenue?". Scale discipline: the fact table
-    * aggregates FIRST (one hash shuffle, |customers| rows out); the
-    * global rank window runs over that aggregate, never the facts —
-    * same distribution-sized-window argument as the curriculum
-    * thresholds. Money stays a SCALED-INTEGER cent sum end to end
+    * aggregates FIRST (one hash shuffle, |customers| rows out), and
+    * the global rank over that aggregate is DISTRIBUTED — a single-
+    * partition row_number window here would pull every customer of a
+    * 100 TB fact table through one task (the round-10 WindowExec
+    * warning this op used to carry). Classic parallel ranking
+    * instead: range-partition by the rank key (so partition order IS
+    * global order), rank locally per partition, and add each
+    * partition's start offset, computed from one ≤|shuffle
+    * partitions|-row driver fetch of per-partition counts (which also
+    * yields n_cust and total revenue — replacing the old broadcast
+    * cross-join). The persist pins spark_partition_id between the
+    * stats fetch and the final pass (range partitioning is sampling-
+    * based, so an unpinned recompute could re-draw boundaries). The
+    * only remaining global-order window runs over the ≤10 decile
+    * rows. Money stays a SCALED-INTEGER cent sum end to end
     * (2-decimal inputs, the Exact argument at scale 2): per-bucket
     * sums are long adds, and the only doubles are final divisions of
     * exact integers — IEEE-deterministic on both engines. The rank is
     * made unique by (spend DESC, custkey ASC), so decile assignment
-    * has no tie nondeterminism; bucket = (rn-1)·10 div n + 1, pure
-    * integer. */
+    * has no tie nondeterminism and is invariant to where the range
+    * boundaries land; bucket = (rn-1)·10 div n + 1, pure integer. */
   def pareto(sp: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    import sp.implicits._
     val perCust = t(sp, dir, "orders")
       .groupBy(col("o_custkey"))
       .agg(sum(rint(col("o_totalprice") * 100).cast("long")).as("cents"))
-    val w = Window.orderBy(col("cents").desc, col("o_custkey").asc)
-    val ranked = perCust
-      .withColumn("rn", row_number().over(w))
-      .crossJoin(broadcast(perCust.agg(
-        count(lit(1)).as("n_cust"), sum(col("cents")).as("tot_cents"))))
-      .withColumn("bucket", expr("(rn - 1) * 10 div n_cust + 1"))
+    val sorted = perCust
+      .repartitionByRange(col("cents").desc, col("o_custkey").asc)
+      .withColumn("pid", spark_partition_id())
+      .persist()
+    val stats = sorted.groupBy(col("pid"))
+      .agg(count(lit(1)).as("cnt"), sum(col("cents")).as("c"))
+      .collect() // bounded: one row per shuffle partition
+      .map(r => (r.getAs[Int]("pid"), r.getAs[Long]("cnt"), r.getAs[Long]("c")))
+      .sortBy(_._1)
+    val nCust = math.max(1L, stats.map(_._2).sum)
+    val totCents = stats.map(_._3).sum
+    val offs = stats.map(_._2).scanLeft(0L)(_ + _).init
+    val offDf = stats.map(_._1).zip(offs).toSeq.toDF("pid", "off")
+    val wLocal = Window.partitionBy(col("pid"))
+      .orderBy(col("cents").desc, col("o_custkey").asc)
+    val ranked = sorted.join(broadcast(offDf), Seq("pid"))
+      .withColumn("rn", row_number().over(wLocal) + col("off"))
+      .withColumn("bucket", expr(s"(rn - 1) * 10 div ${nCust}L + 1"))
     val wCum = Window.orderBy(col("bucket"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     ranked.groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_customers"),
-        sum(col("cents")).as("b_cents"),
-        max(col("tot_cents")).as("tot_cents"))
+        sum(col("cents")).as("b_cents"))
       .withColumn("cum_cents", sum(col("b_cents")).over(wCum))
       .select(col("bucket"), col("n_customers"),
         (col("b_cents").cast("double") / 100).as("revenue"),
-        (col("cum_cents").cast("double") / col("tot_cents").cast("double"))
+        (col("cum_cents").cast("double") / lit(totCents).cast("double"))
           .as("cum_share"))
   }
 
