@@ -303,6 +303,27 @@ object ScaleBench {
     }
   }
 
+  /** Idle gate, same rationale and thresholds as [[graft.Bench]]'s:
+    * the first 10× regen of round 11 started one minute after the
+    * full test suite exited and its first child's first-op base
+    * median came out 2.4× the 100×-run measurement of the same op —
+    * start-of-run load tails land on whichever group runs first.
+    * Block (bounded) until the 1-min loadAvg clears nproc/8 before
+    * the first forked group. */
+  private def awaitIdle(): Double = {
+    val max = Runtime.getRuntime.availableProcessors / 8.0
+    val t0 = System.nanoTime
+    var l = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    while (l > max && (System.nanoTime - t0) / 1e9 < 300) {
+      System.err.println(f"[scalebench] host busy (load $l%.1f > $max%.1f) — waiting 10 s")
+      Thread.sleep(10000)
+      l = java.lang.management.ManagementFactory
+        .getOperatingSystemMXBean.getSystemLoadAverage
+    }
+    (System.nanoTime - t0) / 1e9
+  }
+
   def main(args: Array[String]): Unit = {
     if (args.length >= 6 && args(0) == "--group")
       return groupRun(args(1), args(2), args(3), args(4).toInt, args(5))
@@ -342,6 +363,8 @@ object ScaleBench {
     // a fork that fails leaves WHY in the record (group, ops, reason),
     // not just an in_process tag whose cause lives on stderr
     val forkFailures = scala.collection.mutable.ListBuffer.empty[(Int, Seq[String], String)]
+    val idleWaitedS = awaitIdle()
+    System.err.println(f"[scalebench] idle gate: waited $idleWaitedS%.0f s before first timed group")
     val results = (if (recallOnly) Seq.empty[String] else Ops.filterNot(skip))
       .grouped(GroupSize).zipWithIndex.flatMap { case (g, i) =>
         forkGroup(g, i, baseDir, scratch, reps) match {
