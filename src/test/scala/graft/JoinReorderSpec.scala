@@ -186,6 +186,39 @@ class JoinReorderSpec extends AnyFunSuite {
     }
   }
 
+  // the admissibility CONTRACT at unit level (EnumBench asserts the
+  // same on the 55 JOB graphs at record time): the only (state space ×
+  // heuristic) pairs the reference marks is_admissible — zero
+  // (HeuristicSearchPlanEnumerator.hpp:1709) and sum<TopDown>
+  // (hpp:1757) — must land EXACTLY on the connected-space optimum
+  // under plain A*, with and without injected cardinalities (the
+  // injected case is what round 11 fixed: top-down subproblem pricing
+  // now asks the estimator, so the search basis matches the graded
+  // plan cost)
+  for (shape <- Seq("chain", "star", "clique"); seed <- 1 to 3;
+       injected <- Seq(false, true)) {
+    test(s"admissible A* configs are exactly optimal on $shape " +
+        s"(seed $seed, injected=$injected)") {
+      val g0 = randomGraph(7, seed, shape)
+      val g = if (!injected) g0 else {
+        val inject = graft.optimizer.CardinalityGen
+          .generate(7, g0.edges.map { case (a, b, _) => (a, b) },
+            graft.optimizer.CardinalityGen.Config(seed = seed.toLong))
+          .map { case (s, c) => s -> c.toDouble }
+        JoinGraph(g0.rels.map(r => Rel(null, inject(Set(r.idx)), r.idx)),
+          g0.edges, Nil, inject = inject)
+      }
+      val opt = bruteForceConnected(g)
+      val sumTd = resolve("HeuristicSearch",
+        hsSpace = "topdown", hsHeuristic = "sum").enumerate(g)
+      val zeroBu = resolve("HeuristicSearch", hsHeuristic = "zero").enumerate(g)
+      assert(math.abs(sumTd.cost - opt) / opt < 1e-9,
+        s"sum<TopDown> A* ${sumTd.cost} != optimum $opt")
+      assert(math.abs(zeroBu.cost - opt) / opt < 1e-9,
+        s"zero A* ${zeroBu.cost} != optimum $opt")
+    }
+  }
+
   for (shape <- Seq("chain", "star", "clique")) {
     test(s"TDGOO is a valid greedy plan, never beats the optimum on $shape") {
       val g = randomGraph(7, 42, shape)
