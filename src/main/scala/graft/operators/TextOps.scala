@@ -654,27 +654,59 @@ object TextOps {
     out.toArray
   }
 
-  /** Full distributed BPE TRAINING — [[bpePairs]] is one iteration;
-    * this is the whole Sennrich loop: k rounds of (count adjacent
-    * symbol pairs over the word-frequency table → pick the most
-    * frequent → merge it everywhere). Everything stays a Dataset over
-    * the VOCABULARY (millions of rows at 100 TB, never the corpus —
-    * the corpus is read exactly once to build word frequencies): each
-    * round is one flatMap + one partial-aggregated count shuffle +
-    * a 1-row TakeOrdered, then a row-local merge pass. Rounds cache
-    * their symbol table and drop the predecessor so lineage stays
-    * O(1) deep. Ties break (count DESC, pair ASC) — the merge list is
-    * deterministic, and the QualityGates twin re-learns it with plain
-    * Scala maps on the same word counts and asserts EXACT equality.
-    * Output: (rank, pair, n) — the learned merge table, the artifact
-    * a tokenizer ships. */
-  def bpeTrain(sp: SparkSession, dir: String): DataFrame = {
+  /** Vocabulary cap under which [[bpeTrain]] runs the merge loop on
+    * the driver. 2M distinct words × ~40 B is well under 100 MB of
+    * driver heap; Heaps' law keeps clean-corpus vocabularies below
+    * this even at 100 TB, but web junk (hashes, URLs) can blow past
+    * it, hence the distributed overflow path rather than an assert. */
+  private[graft] val BpeLocalVocabMax = 2L * 1000 * 1000
+
+  /** Full BPE TRAINING — [[bpePairs]] is one iteration; this is the
+    * whole Sennrich loop: k rounds of (count adjacent symbol pairs
+    * over the word-frequency table → pick the most frequent → merge
+    * it everywhere). The corpus-scale work is the WORD COUNT — one
+    * explode + one partial-aggregated shuffle, the only pass over the
+    * data even at 100 TB. The merge loop then runs over the
+    * vocabulary, which is Heaps-bounded and orders of magnitude
+    * smaller than the corpus: when it fits under [[BpeLocalVocabMax]]
+    * the loop runs driver-local ([[bpeTrainReference]] — how
+    * production tokenizer trainers work: distributed count, local
+    * merges), and above the cap it falls back to
+    * [[bpeTrainDistributed]], k rounds of flatMap + count shuffle +
+    * 1-row TakeOrdered over the vocabulary Dataset. Both paths share
+    * [[mergePair]] and the (count DESC, pair ASC) tie-break, so the
+    * merge list is identical by construction; the QualityGates gate
+    * forces the DISTRIBUTED path and asserts exact equality against
+    * the in-memory twin, and OperatorSmokeSpec pins the two paths
+    * row-identical on real data. Output: (rank, pair, n) — the
+    * learned merge table, the artifact a tokenizer ships. */
+  def bpeTrain(sp: SparkSession, dir: String): DataFrame =
+    bpeTrain(sp, dir, BpeLocalVocabMax)
+
+  private[graft] def bpeTrain(sp: SparkSession, dir: String,
+      localVocabMax: Long): DataFrame = {
     import sp.implicits._
     val wc = Engine.table(sp, dir, "documents")
       .select(explode(split(col("text"), " ")).as("w"))
       .filter(length(col("w")) >= 2)
       .groupBy(col("w")).agg(count(lit(1)).as("f"))
       .as[(String, Long)]
+      .cache()
+    val merges =
+      if (wc.count() <= localVocabMax) bpeTrainReference(wc.collect().toSeq)
+      else bpeTrainDistributed(sp, wc)
+    wc.unpersist()
+    sp.createDataFrame(merges).toDF("rank", "pair", "n")
+  }
+
+  /** The distributed merge loop — the overflow path for vocabularies
+    * too large to collect. Each round is one flatMap + one
+    * partial-aggregated count shuffle + a 1-row TakeOrdered, then a
+    * row-local merge pass; rounds cache their symbol table and drop
+    * the predecessor so lineage stays O(1) deep. */
+  private[graft] def bpeTrainDistributed(sp: SparkSession,
+      wc: org.apache.spark.sql.Dataset[(String, Long)]): Seq[(Int, String, Long)] = {
+    import sp.implicits._
     var words = wc.map { case (w, f) =>
       (w.toCharArray.map(_.toString), f)
     }.cache()
@@ -697,7 +729,7 @@ object TextOps {
       }
     }
     words.unpersist()
-    sp.createDataFrame(merges.toSeq).toDF("rank", "pair", "n")
+    merges.toSeq
   }
 
   /** Pure-Scala reference twin of [[bpeTrain]] for the exact-equality

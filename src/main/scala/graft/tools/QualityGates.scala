@@ -93,9 +93,11 @@ object QualityGates {
     // ---- text_bpe_train vs the pure-Scala reference trainer: the
     // distributed pair-count / top-1 selection must reproduce the
     // in-memory merge list EXACTLY (deterministic tie-break) — a
-    // 1.0-threshold equality gate, not a recall band
+    // 1.0-threshold equality gate, not a recall band. localVocabMax=-1
+    // forces the distributed overflow path (the default local path IS
+    // the reference twin, so gating it would be a tautology).
     locally {
-      val learned = TextOps.bpeTrain(sp, dir).collect()
+      val learned = TextOps.bpeTrain(sp, dir, localVocabMax = -1L).collect()
         .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
         .sortBy(_._1)
       val wcs = Engine.table(sp, dir, "documents")

@@ -39,4 +39,14 @@ class OperatorSmokeSpec extends AnyFunSuite {
       df.write.format("noop").mode("overwrite").save()
     }
   }
+
+  test("bpeTrain local and distributed merge loops are row-identical") {
+    import graft.operators.TextOps
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).sortBy(_._1).toSeq
+    val local = rows(TextOps.bpeTrain(spark, sf, localVocabMax = Long.MaxValue))
+    val dist = rows(TextOps.bpeTrain(spark, sf, localVocabMax = -1L))
+    assert(local == dist)
+    assert(local.size == TextOps.BpeIters)
+  }
 }
