@@ -331,15 +331,28 @@ object DedupOps {
   /** Connected components over an arbitrary near-dup edge set. */
   def clusterFrom(sp: SparkSession, dir: String, pairs: DataFrame): DataFrame = {
     // symmetrize via explode, NOT union-with-swap: a union references
-    // the pairs plan twice, so the first materialization of the edge
-    // cache would execute the (expensive — LSH) edge pipeline twice
+    // the pairs plan twice, so the first materialization of the edges
+    // would execute the (expensive — LSH) edge pipeline twice.
+    // EAGER localCheckpoint, not cache: a cache leaves the edge
+    // pipeline's full logical plan in every round's lineage, and
+    // Catalyst re-ANALYZES that tree on every action (cache
+    // substitution happens after analysis) — measured 3-4 s/round of
+    // pure planning at sf0.1 on a 512-row edge list. Checkpointing
+    // truncates the plan to a leaf; same move clusterFromStar makes.
     val edges = pairs
       .select(explode(array(
         struct(col("doc_a").as("src"), col("doc_b").as("dst")),
         struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
-      .cache()
-    var labels = Engine.table(sp, dir, "documents")
+      .localCheckpoint(true)
+    // propagate only over EDGE-TOUCHED vertices: an isolated document's
+    // label never changes and never influences a neighbor, so carrying
+    // the whole corpus through every round (the pre-round-11 shape)
+    // multiplied each round's join + aggregate by corpus/|V(edges)| —
+    // at 100 TB the near-dup vertex set is a small fraction of the
+    // lake. Isolated docs get their self-label in ONE final left join,
+    // the same tail [[clusterFromStar]] always had.
+    var labels = edges.select(col("src").as("doc_id")).distinct()
       .select(col("doc_id"), col("doc_id").as("canonical_id"))
       .cache()
     val MaxRounds = 64 // diameter bound; convergence usually in 2-3
@@ -366,7 +379,11 @@ object DedupOps {
     require(converged,
       s"connected-components did not converge in $MaxRounds rounds — " +
         "a near-dup component has pathological diameter")
-    labels
+    Engine.table(sp, dir, "documents")
+      .select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("canonical_id"), col("doc_id")).as("canonical_id"))
   }
 
   /** [[cluster]] solved by alternating LARGE-STAR / SMALL-STAR edge

@@ -28,27 +28,29 @@ object MiningOps {
   /** Market-basket analysis: which part pairs co-occur in the same
     * order, counted across all orders, top-[[PairTopK]] by support.
     *
-    * Scale shape: the basket table is deduped (order, part) pairs; the
-    * self-join is an equi-join on `l_orderkey` — both sides hash into
-    * the SAME partitioning, so Spark plans one exchange feeding a
-    * co-partitioned join, and the quadratic blow-up is bounded per
-    * basket by [[BasketCap]]. The pair aggregation partially combines
-    * map-side; the final top-k is a TakeOrdered over the (tiny)
-    * aggregated pair table, never a global sort of raw pairs. */
+    * Scale shape: ONE exchange. `collect_set` on `l_orderkey` dedups
+    * parts within an order and assembles the basket in the same
+    * aggregate (per-basket state is bounded by order width — a few
+    * dozen parts — and baskets over [[BasketCap]] are dropped right
+    * after), so the raw table is shuffled exactly once. The pair
+    * expansion is a codegen'd array comprehension over the sorted
+    * basket — quadratic only within a capped basket, never a join —
+    * and p1 < p2 falls out of the sort order. The pair aggregation
+    * partially combines map-side; the final top-k is a TakeOrdered
+    * over the (tiny) aggregated pair table, never a global sort of
+    * raw pairs. (The round-10 form self-joined a deduped item table
+    * on the order key: same output, but two extra exchanges and a
+    * 226k-row join probe at sf0.1.) */
   def basketPairs(sp: SparkSession, dir: String): DataFrame = {
-    val items = Engine.table(sp, dir, "lineitem")
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      .distinct()
-    val small = items.groupBy(col("ok"))
-      .agg(count(lit(1)).as("bsz"))
-      .filter(col("bsz") <= BasketCap)
-      .select("ok")
-    val kept = items.join(small, "ok")
-    val a = kept.select(col("ok"), col("pk").as("p1"))
-    val b = kept.select(col("ok"), col("pk").as("p2"))
-    a.join(b, "ok")
-      .filter(col("p1") < col("p2"))
-      .groupBy(col("p1"), col("p2"))
+    Engine.table(sp, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+      .filter(size(col("ps")).between(2, BasketCap))
+      .select(explode(expr(
+        """flatten(transform(ps, (x, i) ->
+             transform(slice(ps, i + 2, size(ps) - i - 1), y ->
+               struct(x AS p1, y AS p2))))""")).as("pr"))
+      .groupBy(col("pr.p1").as("p1"), col("pr.p2").as("p2"))
       .agg(count(lit(1)).as("n_orders"))
       .orderBy(col("n_orders").desc, col("p1").asc, col("p2").asc)
       .limit(PairTopK)

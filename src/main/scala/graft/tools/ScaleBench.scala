@@ -88,7 +88,13 @@ object ScaleBench {
     "pipeline_end_to_end", "sim_graph_centrality",
     // round 10: kNN-distance outliers (second consumer of the shared
     // materialized edge list; bounded-domain quantile cut)
-    "sim_knn_outliers")
+    "sim_knn_outliers",
+    // round 11: full BPE training — the corpus-scale pass is the word
+    // count; the merge loop runs on the Heaps-bounded vocabulary
+    // (driver-local under the 2M cap, the production path this sweep
+    // exercises — the suffixed per-copy vocab grows ∝ copies, far
+    // under the cap)
+    "text_bpe_train")
 
   /** ANN ops re-scored for recall@5 at the big corpus: the round-7 PQ
     * shortlist regression (recall 0.64 → 0.48 before the ∝-corpus fix)
