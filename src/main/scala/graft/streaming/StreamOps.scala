@@ -427,7 +427,7 @@ object StreamOps {
     * 0: nothing is late and no timeout fires, so the output equals
     * the batch op and shares its oracle. */
   def attributionReplay(spark: SparkSession, dir: String): DataFrame = {
-    val q = attributionStream(spark, readEvents(spark, dir)).toDF.writeStream
+    val q = attributionStream(spark, readEvents(spark, dir)).toDF().writeStream
       .outputMode("append").format("memory")
       .queryName("events_attribution_stream_sink").start()
     try q.processAllAvailable() finally q.stop()
@@ -547,7 +547,7 @@ object StreamOps {
     * (StreamingSpec asserts the same equality row-by-row), and it can
     * share EventOps.asofJoinOracle verbatim. */
   def asofEnrichReplay(spark: SparkSession, dir: String): DataFrame = {
-    val q = asofEnrich(spark, readEvents(spark, dir)).toDF.writeStream
+    val q = asofEnrich(spark, readEvents(spark, dir)).toDF().writeStream
       .outputMode("append").format("memory")
       .queryName("events_asof_stream_sink").start()
     try q.processAllAvailable() finally q.stop()
@@ -648,7 +648,7 @@ object StreamOps {
   /** SCD2 replay twin: full replay emits exactly the batch op's
     * closed intervals (open tails stay in state). */
   def scd2Replay(spark: SparkSession, dir: String): DataFrame = {
-    val q = scd2(spark, readEvents(spark, dir)).toDF.writeStream
+    val q = scd2(spark, readEvents(spark, dir)).toDF().writeStream
       .outputMode("append").format("memory")
       .queryName("events_scd2_stream_sink").start()
     try q.processAllAvailable() finally q.stop()
@@ -659,7 +659,7 @@ object StreamOps {
     * snapshot row per user — the batch cdcCompact output, sharing its
     * oracle verbatim. */
   def cdcCompactReplay(spark: SparkSession, dir: String): DataFrame = {
-    val q = cdcCompact(spark, readEvents(spark, dir)).toDF.writeStream
+    val q = cdcCompact(spark, readEvents(spark, dir)).toDF().writeStream
       .outputMode("update").format("memory")
       .queryName("events_cdc_stream_sink").start()
     try q.processAllAvailable() finally q.stop()
@@ -740,7 +740,7 @@ object StreamOps {
   /** Moving-average replay twin: single-batch replay = the batch op,
     * sharing its oracle verbatim. */
   def movingAvgReplay(spark: SparkSession, dir: String): DataFrame = {
-    val q = movingAvg(spark, readEvents(spark, dir)).toDF.writeStream
+    val q = movingAvg(spark, readEvents(spark, dir)).toDF().writeStream
       .outputMode("append").format("memory")
       .queryName("events_moving_avg_stream_sink").start()
     try q.processAllAvailable() finally q.stop()
@@ -810,7 +810,7 @@ object StreamOps {
   /** Bot-score replay twin: one micro-batch in Update mode emits one
     * current row per user — the batch op, sharing its oracle. */
   def botScoreReplay(spark: SparkSession, dir: String): DataFrame = {
-    val q = botScore(spark, readEvents(spark, dir)).toDF.writeStream
+    val q = botScore(spark, readEvents(spark, dir)).toDF().writeStream
       .outputMode("update").format("memory")
       .queryName("events_bot_stream_sink").start()
     try q.processAllAvailable() finally q.stop()
@@ -939,7 +939,7 @@ object StreamOps {
       .option("pathGlobFilter", "*.parquet")
       .parquet(work.toString)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    val q = sessionize(spark, events).toDF.writeStream
+    val q = sessionize(spark, events).toDF().writeStream
       .outputMode("append").format("memory")
       .queryName("events_sessionize_stream_sink").start()
     try {
@@ -1039,7 +1039,7 @@ object StreamOps {
     * user after the single replay batch (= the batch funnelK, whose
     * oracle SQL it shares). */
   def funnelKReplay(spark: SparkSession, dir: String): DataFrame = {
-    val q = funnelK(spark, readEvents(spark, dir)).toDF.writeStream
+    val q = funnelK(spark, readEvents(spark, dir)).toDF().writeStream
       .outputMode("update").format("memory")
       .queryName("events_funnel_k_stream_sink").start()
     try q.processAllAvailable() finally q.stop()
@@ -1050,7 +1050,7 @@ object StreamOps {
     * updated summary per user per batch, so the single replay batch
     * leaves exactly one final row per user (= the batch funnel). */
   def funnelReplay(spark: SparkSession, dir: String): DataFrame = {
-    val q = funnel(spark, readEvents(spark, dir)).toDF.writeStream
+    val q = funnel(spark, readEvents(spark, dir)).toDF().writeStream
       .outputMode("update").format("memory")
       .queryName("events_funnel_stream_sink").start()
     try q.processAllAvailable() finally q.stop()
