@@ -100,7 +100,9 @@ object Bench {
     "pipeline_quality_classifier", "pipeline_cluster_sample",
     "pipeline_end_to_end", "sim_graph_centrality",
     // round-10 additions
-    "sim_knn_outliers")
+    "sim_knn_outliers",
+    // round-11 additions
+    "sim_ann_hnsw", "embed_quantize_int8")
 
   val Reps = 5
   /** Extra reps for queries whose 5-rep median is below [[SubSecond]]

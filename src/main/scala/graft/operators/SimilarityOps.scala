@@ -838,6 +838,215 @@ object SimilarityOps {
     exactRerank(sp, dir, q, shortlist)
   }
 
+  // ---------------------------------------------------------------
+  // HNSW ANN (Malkov & Yashunin, TPAMI 2018) — partition-sharded.
+  // ---------------------------------------------------------------
+
+  /** HNSW graph degree (M). Level-0 lists cap at 2M (the paper's
+    * Mmax0); upper levels at M. */
+  val HnswM = 8
+  /** Beam width while building ([[HnswM]]·8 — the paper's
+    * efConstruction ≈ 100 regime scaled to the 64-d test corpus). */
+  val HnswEfConstruction = 64
+  /** Beam width while searching. Recall@5 rises monotonically with
+    * this knob (the single runtime recall/latency dial HNSW offers). */
+  val HnswEfSearch = 64
+
+  /** ANN top-5 via partition-local HNSW graphs.
+    *
+    * Distribution model (the part the paper leaves open): HNSW's
+    * insert loop is inherently sequential, so a single global graph
+    * cannot be built by a shuffle. Instead the corpus is hash-
+    * partitioned and each partition builds an INDEPENDENT in-memory
+    * HNSW over its shard in one `mapPartitions` pass; the (tiny)
+    * query set is broadcast, every shard answers with its local
+    * top-(k+1), and one k·P-row shuffle merges shard answers into the
+    * global top-k — the standard sharded-ANN serving layout (one
+    * sub-index per shard, scatter-gather over shards). Per-shard
+    * search visits O(ef·log n_p) nodes instead of the n_p a
+    * brute-force scan reads, and shard recall losses only compound
+    * ACROSS shards through the final exact merge, so global recall is
+    * ≥ the per-shard floor. At 100 TB the shard graphs are built once
+    * per executor from the parquet splits (M·n int edges ≈ 64 B/row
+    * of RAM at M=8) and amortize over the query stream.
+    *
+    * Determinism (gates diff id sets against brute force, so the
+    * emitted rows must be reproducible): shard assignment hashes
+    * vec_id, insertion order sorts by vec_id within the shard, node
+    * levels draw from splitmix64(vec_id) — not a JVM RNG — and every
+    * beam/selection tie breaks on (cosine desc, insertion index asc).
+    * Approximate by construction → no SQL oracle; recall@5 vs brute
+    * force is gated in DedupSimilaritySpec/QualityGates and re-gated
+    * at the 100× corpus in ScaleBench. */
+  def annHnsw(sp: SparkSession, dir: String): DataFrame = {
+    import sp.implicits._
+    val all = vecs(sp, dir)
+    val qArr = all.filter(col("vec_id") < 10)
+      .select(col("vec_id"), col("v"), col("nrm"))
+      .as[(Long, Seq[Double], Double)].collect().sortBy(_._1)
+      .map { case (id, v, nrm) =>
+        val a = v.toArray; val inv = 1.0 / nrm
+        (id, a.map(_ * inv))
+      }
+    val qB = sp.sparkContext.broadcast(qArr)
+    val (m, efC, efS, k) = (HnswM, HnswEfConstruction, HnswEfSearch, 5)
+    val local = all.select(col("vec_id"), col("v"), col("nrm"))
+      .as[(Long, Seq[Double], Double)]
+      .repartition(sp.sparkContext.defaultParallelism, col("vec_id"))
+      .sortWithinPartitions(col("vec_id"))
+      .mapPartitions { it =>
+        val rows = it.toArray
+        if (rows.isEmpty) Iterator.empty
+        else {
+          val n = rows.length
+          val ids = new Array[Long](n)
+          val vs = new Array[Array[Double]](n)
+          var i = 0
+          while (i < n) {
+            val (id, v, nrm) = rows(i)
+            ids(i) = id
+            val a = v.toArray; val inv = 1.0 / nrm
+            vs(i) = a.map(_ * inv)
+            i += 1
+          }
+          val g = new HnswGraph(vs, m, efC, levelOf(ids, m))
+          i = 1
+          while (i < n) { g.insert(i); i += 1 }
+          qB.value.iterator.flatMap { case (qid, qv) =>
+            g.search(qv, efS, k + 1).iterator.map { case (idx, cos) =>
+              (qid, ids(idx), cos)
+            }
+          }
+        }
+      }
+      .toDF("query_id", "vec_id", "cosine")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    local.filter(col("vec_id") =!= col("query_id"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("rank"), round(col("cosine"), 4).as("cosine_r"))
+  }
+
+  /** Deterministic per-node HNSW levels: the paper's
+    * floor(−ln(u)·mL) geometric draw with mL = 1/ln(M), u from
+    * splitmix64(vec_id) — reproducible across runs and engines,
+    * independent of shard composition. Capped at 15 (a level above
+    * log_M of any realistic shard). */
+  private def levelOf(ids: Array[Long], m: Int): Array[Int] = {
+    def splitmix64(x0: Long): Long = {
+      var x = x0 + 0x9e3779b97f4a7c15L
+      x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+      x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+      x ^ (x >>> 31)
+    }
+    val mL = 1.0 / math.log(m)
+    ids.map { id =>
+      val u = ((splitmix64(id) >>> 11).toDouble + 1.0) / (1L << 53).toDouble
+      math.min(15, (-math.log(u) * mL).toInt)
+    }
+  }
+
+  /** One shard's HNSW over unit vectors, similarity = dot product
+    * (= cosine). Insertion order is array order; node 0 seeds the
+    * graph. All candidate orderings break ties on the smaller node
+    * index, so the build is fully deterministic. */
+  private final class HnswGraph(vs: Array[Array[Double]], m: Int,
+      efC: Int, levels: Array[Int]) {
+    import scala.collection.mutable.{ArrayBuffer, PriorityQueue}
+    private val nbrs: Array[Array[ArrayBuffer[Int]]] =
+      Array.tabulate(vs.length)(i =>
+        Array.fill(levels(i) + 1)(new ArrayBuffer[Int](2 * m)))
+    private var entry = 0
+    private var maxLevel = levels(0)
+
+    private def sim(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+
+    /** Beam search at one level: up to `ef` nearest inserted nodes to
+      * `q`, best-first, sorted (sim desc, idx asc). */
+    private def searchLayer(q: Array[Double], ep: Int, ef: Int,
+        level: Int): ArrayBuffer[(Double, Int)] = {
+      val visited = new java.util.HashSet[Integer]()
+      // cand pops the CLOSEST unexpanded node; found evicts the
+      // FURTHEST kept node once |found| > ef
+      val cand = PriorityQueue.empty[(Double, Int)](
+        Ordering.by[(Double, Int), (Double, Int)] { case (s, i) => (s, -i) })
+      val found = PriorityQueue.empty[(Double, Int)](
+        Ordering.by[(Double, Int), (Double, Int)] { case (s, i) => (-s, i) })
+      val s0 = sim(q, vs(ep))
+      visited.add(ep); cand.enqueue((s0, ep)); found.enqueue((s0, ep))
+      while (cand.nonEmpty) {
+        val (cs, c) = cand.dequeue()
+        if (cs < found.head._1 && found.size >= ef) { cand.clear() }
+        else {
+          val ns = nbrs(c)(level)
+          var j = 0
+          while (j < ns.length) {
+            val e = ns(j)
+            if (visited.add(e)) {
+              val es = sim(q, vs(e))
+              if (found.size < ef || es > found.head._1) {
+                cand.enqueue((es, e)); found.enqueue((es, e))
+                if (found.size > ef) found.dequeue()
+              }
+            }
+            j += 1
+          }
+        }
+      }
+      val out = ArrayBuffer.from(found)
+      out.sortInPlaceBy { case (s, i) => (-s, i) }
+      out
+    }
+
+    def insert(i: Int): Unit = {
+      val l = levels(i)
+      var ep = entry
+      var lc = maxLevel
+      while (lc > l) { // greedy 1-NN descent above the node's level
+        ep = searchLayer(vs(i), ep, 1, lc).head._2
+        lc -= 1
+      }
+      var lev = math.min(l, maxLevel)
+      while (lev >= 0) {
+        val w = searchLayer(vs(i), ep, efC, lev)
+        val cap = if (lev == 0) 2 * m else m
+        var j = 0
+        while (j < w.length && j < m) {
+          val s = w(j)._2
+          nbrs(i)(lev) += s
+          val sl = nbrs(s)(lev)
+          sl += i
+          if (sl.length > cap) { // prune to the cap nearest of s
+            val scored = sl.map(x => (sim(vs(s), vs(x)), x))
+            scored.sortInPlaceBy { case (sc, x) => (-sc, x) }
+            sl.clear()
+            var p = 0
+            while (p < cap) { sl += scored(p)._2; p += 1 }
+          }
+          j += 1
+        }
+        ep = w.head._2
+        lev -= 1
+      }
+      if (l > maxLevel) { maxLevel = l; entry = i }
+    }
+
+    /** Top-k (index, cosine) for a unit query vector. */
+    def search(q: Array[Double], ef: Int, k: Int): Seq[(Int, Double)] = {
+      var ep = entry
+      var lc = maxLevel
+      while (lc > 0) { ep = searchLayer(q, ep, 1, lc).head._2; lc -= 1 }
+      searchLayer(q, ep, math.max(ef, k), 0)
+        .take(k).map { case (s, i) => (i, s) }.toSeq
+    }
+  }
+
   /** kNN label classification: for each query vector (a fixed-SIZE id
     * prefix, vec_id < [[KnnClassifyQueries]]), the majority label among
     * its k=10 cosine-nearest neighbors (vote ties broken by smallest
@@ -963,6 +1172,105 @@ object SimilarityOps {
       CASE WHEN n * sxx - sx * sx > 0
         THEN sqrt(n * sxx - sx * sx) / n ELSE 0.0 END AS std_x
     FROM agg"""
+
+  /** Affine 8-bit embedding quantization, per-dimension stats. The
+    * compression pass a 100-TB vector store runs before serving:
+    * per dimension, clip to mean ± 3σ (the inference-quantization
+    * convention — without the clip one outlier stretches the grid and
+    * every inlier collapses onto a few codes), then map the clipped
+    * range onto the 256-code grid: q = rint((x − lo)/scale),
+    * scale = (hi − lo)/255. Emits the per-dim calibration row a
+    * quantized store ships with its codes: grid (lo, hi, scale),
+    * saturation count (values the clip moved — the knob telling the
+    * operator whether 3σ is too tight for this dim), code mass
+    * (sum_q), and reconstruction MSE including clipping error.
+    *
+    * Scale shape: two corpus passes, both canonical — (1) the
+    * [[dimProfile]] moment aggregation (partial-agg collapses each
+    * partition to ≤ Dim rows before the one Dim-key shuffle); (2) a
+    * broadcast join of the Dim-row calibration table back onto the
+    * element stream, partial-aggregated the same way. Nothing
+    * downstream is larger than Dim rows. Two passes are inherent:
+    * the grid must be final before any element quantizes.
+    *
+    * Float parity (fully SQL-oracled): moment sums run through
+    * DECIMAL(18,6) (order-independent, engine-identical — the
+    * [[dimProfile]] argument); every derived double (mean, σ, lo, hi,
+    * scale, q, e) is the same IEEE expression chain over those
+    * bit-identical inputs, with rint ↔ round_even matching Java's
+    * half-even; the squared-error sum runs through DECIMAL(27,15)
+    * (per-element e² ≤ ~1, 12 integer digits of headroom). */
+  def quantizeInt8(sp: SparkSession, dir: String): DataFrame = {
+    val x = col("x")
+    val elems = Engine.table(sp, dir, "embeddings")
+      .select(posexplode(col("embedding")).as(Seq("di", "xf")))
+      .select(col("di").cast("long").as("dim_idx"),
+        col("xf").cast("double").as("x"))
+    val stats = elems.groupBy(col("dim_idx"))
+      .agg(count(lit(1)).as("n"),
+        sum(x.cast("decimal(18,6)")).cast("double").as("sx"),
+        sum((x * x).cast("decimal(18,6)")).cast("double").as("sxx"))
+      .select(col("dim_idx"), col("n"), (col("sx") / col("n")).as("mean_x"),
+        when(col("n") * col("sxx") - col("sx") * col("sx") > 0,
+          sqrt(col("n") * col("sxx") - col("sx") * col("sx")) / col("n"))
+          .otherwise(lit(0.0)).as("std_x"))
+      .select(col("dim_idx"), col("n"),
+        (col("mean_x") - lit(3.0) * col("std_x")).as("lo"),
+        (col("mean_x") + lit(3.0) * col("std_x")).as("hi"))
+      .withColumn("scale", when(col("hi") > col("lo"),
+        (col("hi") - col("lo")) / lit(255.0)).otherwise(lit(1.0)))
+    elems.join(broadcast(stats), "dim_idx")
+      .withColumn("xc", least(greatest(col("x"), col("lo")), col("hi")))
+      .withColumn("q", least(greatest(
+        rint((col("xc") - col("lo")) / col("scale")), lit(0.0)), lit(255.0))
+        .cast("long"))
+      .withColumn("e", col("x") - (col("lo") + col("q") * col("scale")))
+      .groupBy(col("dim_idx"), col("n"), col("lo"), col("hi"), col("scale"))
+      .agg(
+        sum(when(col("x") < col("lo") || col("x") > col("hi"), 1L)
+          .otherwise(0L)).as("n_sat"),
+        sum(col("q")).as("sum_q"),
+        (sum((col("e") * col("e")).cast("decimal(27,15)")).cast("double") /
+          col("n")).as("mse_q"))
+      .select(col("dim_idx"), col("n"), col("lo"), col("hi"), col("scale"),
+        col("n_sat"), col("sum_q"), col("mse_q"))
+  }
+
+  val quantizeInt8Oracle: String = s"""
+    WITH elems AS (
+      SELECT CAST(s.i - 1 AS BIGINT) AS dim_idx,
+        CAST(embedding[CAST(s.i AS INT)] AS DOUBLE) AS x
+      FROM embeddings, generate_series(1, $Dim) AS s(i)),
+    agg AS (
+      SELECT dim_idx, CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+        CAST(SUM(CAST(x * x AS DECIMAL(18,6))) AS DOUBLE) AS sxx
+      FROM elems GROUP BY dim_idx),
+    grid0 AS (
+      SELECT dim_idx, n,
+        sx / n - 3.0 * (CASE WHEN n * sxx - sx * sx > 0
+          THEN sqrt(n * sxx - sx * sx) / n ELSE 0.0 END) AS lo,
+        sx / n + 3.0 * (CASE WHEN n * sxx - sx * sx > 0
+          THEN sqrt(n * sxx - sx * sx) / n ELSE 0.0 END) AS hi
+      FROM agg),
+    grid AS (
+      SELECT *, CASE WHEN hi > lo THEN (hi - lo) / 255.0 ELSE 1.0 END AS scale
+      FROM grid0),
+    quant AS (
+      SELECT e.dim_idx, g.n, g.lo, g.hi, g.scale, e.x,
+        CAST(LEAST(GREATEST(round_even(
+          (LEAST(GREATEST(e.x, g.lo), g.hi) - g.lo) / g.scale, 0), 0.0), 255.0)
+          AS BIGINT) AS q
+      FROM elems e JOIN grid g USING (dim_idx)),
+    err AS (
+      SELECT *, x - (lo + q * scale) AS e FROM quant)
+    SELECT dim_idx, n, lo, hi, scale,
+      CAST(SUM(CASE WHEN x < lo OR x > hi THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_sat,
+      CAST(SUM(q) AS BIGINT) AS sum_q,
+      CAST(SUM(CAST(e * e AS DECIMAL(27,15))) AS DOUBLE) / n AS mse_q
+    FROM err
+    GROUP BY dim_idx, n, lo, hi, scale"""
 
   /** Neighbors per vector in [[knnGraph]]. */
   val KnnGraphK = 5
@@ -1713,6 +2021,7 @@ object SimilarityOps {
     "sim_knn_classify" -> (knnClassify _),
     "embed_centroid_per_label" -> (centroidPerLabel _),
     "embed_dim_profile" -> (dimProfile _),
+    "embed_quantize_int8" -> (quantizeInt8 _),
     "embed_covariance" -> (covariance _),
     "sim_knn_graph" -> (knnGraph _),
     "embed_pca_project" -> (pcaProject _),
@@ -1723,6 +2032,7 @@ object SimilarityOps {
     "sim_pq_encode" -> (pqEncode _),
     "sim_ann_pq" -> (annPq _),
     "sim_ann_ivf_pq" -> (annIvfPq _),
+    "sim_ann_hnsw" -> (annHnsw _),
     "sim_embedding_neardup" -> ((s, d) => embeddingNearDup(s, d)),
     "sim_neardup_lsh" -> (embeddingNearDupLsh _),
     "sim_kmeans" -> (kmeans _),
@@ -1735,6 +2045,7 @@ object SimilarityOps {
     "sim_knn_classify" -> knnClassifyOracle,
     "embed_centroid_per_label" -> centroidPerLabelOracle,
     "embed_dim_profile" -> dimProfileOracle,
+    "embed_quantize_int8" -> quantizeInt8Oracle,
     "embed_covariance" -> covarianceOracle,
     "embed_outlier_filter" -> outlierFilterOracle,
     "sim_knn_bruteforce" -> knnBruteForceOracle,

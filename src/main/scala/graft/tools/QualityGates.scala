@@ -139,6 +139,11 @@ object QualityGates {
     // composed IVF+PQ: bounded above by IVF's pool recall — the PQ
     // stage can only lose candidates the probed lists contain
     annRecall("sim_ann_ivf_pq", SimilarityOps.annIvfPq(sp, dir), 0.25)
+    // partition-sharded HNSW: every shard answers every query and the
+    // merge is exact, so at oracle SFs (shards of ~60 vectors, beam
+    // ef ≥ shard size) the search is near-exhaustive — gate high; the
+    // approximation is re-measured at the 100× corpus in ScaleBench
+    annRecall("sim_ann_hnsw", SimilarityOps.annHnsw(sp, dir), 0.8)
 
     // ---- sim_knn_graph recall vs an exact driver-side brute force
     // over a 100-vector sample (the graph covers EVERY vector; the

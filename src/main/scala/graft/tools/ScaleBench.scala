@@ -94,7 +94,12 @@ object ScaleBench {
     // (driver-local under the 2M cap, the production path this sweep
     // exercises — the suffixed per-copy vocab grows ∝ copies, far
     // under the cap)
-    "text_bpe_train")
+    "text_bpe_train",
+    // round 11: partition-sharded HNSW — per-shard graph build is
+    // n_p·efC·M similarity folds (the sweep's shards are ~100× the
+    // oracle-SF ones, so this is where the graph actually works);
+    // search visits ef·log n_p nodes per shard vs the shard scan
+    "sim_ann_hnsw")
 
   /** ANN ops re-scored for recall@5 at the big corpus: the round-7 PQ
     * shortlist regression (recall 0.64 → 0.48 before the ∝-corpus fix)
@@ -107,7 +112,7 @@ object ScaleBench {
     * corpus: LSH 0.90, IVF 0.88, PQ 0.94. */
   val RecallOps: Seq[(String, Double)] = Seq(
     ("sim_ann_lsh", 0.8), ("sim_ann_ivf", 0.8), ("sim_ann_pq", 0.8),
-    ("sim_ann_ivf_pq", 0.8))
+    ("sim_ann_ivf_pq", 0.8), ("sim_ann_hnsw", 0.8))
 
   /** Build the N× corpus (idempotent: skipped if the directory
     * already holds all three tables). The perturbations are exact at

@@ -54,6 +54,22 @@ class DedupSimilaritySpec extends AnyFunSuite {
         s"LSH near-dup recall ${lsh.size}/${exact.size}")
   }
 
+  test("HNSW-ANN recall vs brute-force top-5, deterministic across runs") {
+    val bf = SimilarityOps.knnBruteForce(spark, sf)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def run() = SimilarityOps.annHnsw(spark, sf)
+      .select("query_id", "neighbor_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val ann = run()
+    val pairs = ann.map { case (q, n, _) => (q, n) }
+    val recall = (pairs & bf).size.toDouble / bf.size
+    assert(recall >= 0.8, s"HNSW recall $recall (${pairs.size} vs ${bf.size})")
+    // shard hashing, insertion order, levels and tie-breaks are all
+    // keyed on vec_id — a second run must emit identical rows
+    assert(run() == ann, "HNSW output not deterministic across runs")
+  }
+
   test("IVF-ANN recall vs brute-force top-5") {
     val bf = SimilarityOps.knnBruteForce(spark, sf)
       .select("query_id", "neighbor_id").collect()
