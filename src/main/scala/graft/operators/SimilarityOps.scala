@@ -1272,6 +1272,85 @@ object SimilarityOps {
     FROM err
     GROUP BY dim_idx, n, lo, hi, scale"""
 
+  /** Prefix lengths evaluated by [[matryoshkaEval]]. */
+  val MatryoshkaDims: Seq[Int] = Seq(8, 16, 32, 64)
+
+  /** Matryoshka / truncated-dimension retrieval eval: recall@5 of
+    * brute-force search over each embedding PREFIX (8/16/32/64 dims)
+    * against full-dimension search — the measurement that decides how
+    * many dimensions a vector store actually needs to serve (MRL-style
+    * truncation: serve d′ ≪ d, re-rank the survivors at full d).
+    *
+    * One scored pass computes every prefix cosine simultaneously
+    * (prefix dot products share the scan; each is its own
+    * left-to-right fold so DuckDB's list_inner_product over the same
+    * slice is bit-identical — the [[knnBruteForce]] parity argument),
+    * then one rank window per prefix and an integer hit count against
+    * the full-dim top-5. Scale shape: the scored product is
+    * |queries| × corpus like [[knnBruteForce]] (the eval is run on a
+    * query SAMPLE, not the corpus); everything after the windows is
+    * ≤ |queries|·5 rows per prefix. Output is integers plus one exact
+    * division → fully SQL-oracled. */
+  def matryoshkaEval(sp: SparkSession, dir: String): DataFrame = {
+    val all = vecs(sp, dir)
+    val q = all.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val scored0 = q.join(all, col("vec_id") =!= col("query_id"))
+    val scored = MatryoshkaDims.foldLeft(scored0) { (df, d) =>
+      val (qp, vp) = (slice(col("qv"), 1, d), slice(col("v"), 1, d))
+      df.withColumn(s"cos_$d", dot(qp, vp) /
+        (sqrt(dot(qp, qp)) * sqrt(dot(vp, vp))))
+    }
+    val full = MatryoshkaDims.last
+    val tops = MatryoshkaDims.map { d =>
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col(s"cos_$d").desc, col("vec_id"))
+      d -> scored.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5).select(col("query_id"), col("vec_id"))
+    }.toMap
+    val exact = tops(full)
+    MatryoshkaDims.map { d =>
+      tops(d).join(exact, Seq("query_id", "vec_id"))
+        .agg(count(lit(1)).as("hits"))
+        .select(lit(d).cast("long").as("prefix_dim"), col("hits"))
+    }.reduce(_ unionAll _)
+      .withColumn("n_exact", lit(50L))
+      .withColumn("recall_at_5",
+        col("hits").cast("double") / col("n_exact"))
+  }
+
+  val matryoshkaEvalOracle: String = {
+    val full = MatryoshkaDims.last
+    val arms = MatryoshkaDims.map { d =>
+      s"""SELECT CAST($d AS BIGINT) AS prefix_dim,
+        CAST(COUNT(*) AS BIGINT) AS hits
+      FROM top_$d t JOIN top_$full f
+        ON t.query_id = f.query_id AND t.vec_id = f.vec_id"""
+    }.mkString("\nUNION ALL\n")
+    val ctes = MatryoshkaDims.map { d =>
+      s"""sc_$d AS (
+        SELECT query_id, vec_id,
+          row_number() OVER (PARTITION BY query_id ORDER BY
+            list_inner_product(qv[1:$d], v[1:$d]) /
+              (sqrt(list_inner_product(qv[1:$d], qv[1:$d])) *
+               sqrt(list_inner_product(v[1:$d], v[1:$d]))) DESC,
+            vec_id) AS rk
+        FROM pairs),
+      top_$d AS (SELECT query_id, vec_id FROM sc_$d WHERE rk <= 5)"""
+    }.mkString(",\n")
+    s"""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    pairs AS (
+      SELECT q.vec_id AS query_id, q.v AS qv, a.vec_id AS vec_id, a.v AS v
+      FROM v q JOIN v a ON a.vec_id <> q.vec_id
+      WHERE q.vec_id < 10),
+    $ctes
+    SELECT prefix_dim, hits, CAST(50 AS BIGINT) AS n_exact,
+      CAST(hits AS DOUBLE) / 50 AS recall_at_5
+    FROM ($arms)"""
+  }
+
   /** Neighbors per vector in [[knnGraph]]. */
   val KnnGraphK = 5
 
@@ -2022,6 +2101,7 @@ object SimilarityOps {
     "embed_centroid_per_label" -> (centroidPerLabel _),
     "embed_dim_profile" -> (dimProfile _),
     "embed_quantize_int8" -> (quantizeInt8 _),
+    "embed_matryoshka_eval" -> (matryoshkaEval _),
     "embed_covariance" -> (covariance _),
     "sim_knn_graph" -> (knnGraph _),
     "embed_pca_project" -> (pcaProject _),
@@ -2046,6 +2126,7 @@ object SimilarityOps {
     "embed_centroid_per_label" -> centroidPerLabelOracle,
     "embed_dim_profile" -> dimProfileOracle,
     "embed_quantize_int8" -> quantizeInt8Oracle,
+    "embed_matryoshka_eval" -> matryoshkaEvalOracle,
     "embed_covariance" -> covarianceOracle,
     "embed_outlier_filter" -> outlierFilterOracle,
     "sim_knn_bruteforce" -> knnBruteForceOracle,
