@@ -70,6 +70,35 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(run() == ann, "HNSW output not deterministic across runs")
   }
 
+  test("int8 quantization grid invariants hold on every dimension") {
+    val rows = SimilarityOps.quantizeInt8(spark, sf).collect()
+    assert(rows.length == SimilarityOps.Dim)
+    rows.foreach { r =>
+      val (n, lo, hi, scale) = (r.getAs[Long]("n"), r.getAs[Double]("lo"),
+        r.getAs[Double]("hi"), r.getAs[Double]("scale"))
+      val (nSat, sumQ, mse) = (r.getAs[Long]("n_sat"),
+        r.getAs[Long]("sum_q"), r.getAs[Double]("mse_q"))
+      assert(hi >= lo && scale > 0)
+      // code mass bounded by the grid: every q in [0, 255]
+      assert(sumQ >= 0 && sumQ <= 255L * n)
+      // mean +- 3 sigma keeps >= 1 - 1/9 of any distribution
+      // (Chebyshev); allow slack for the decimal-rounded moments
+      assert(nSat <= n / 8, s"dim ${r.getAs[Long]("dim_idx")}: $nSat/$n clipped")
+      // in-range reconstruction error is bounded by (scale/2)^2; the
+      // clipped tail can exceed it, so bound by the range instead
+      assert(mse >= 0 && mse <= (hi - lo) * (hi - lo))
+    }
+  }
+
+  test("matryoshka recall is 1.0 at full dimension and in [0,1] elsewhere") {
+    val rows = SimilarityOps.matryoshkaEval(spark, sf).collect()
+      .map(r => r.getAs[Long]("prefix_dim") -> r.getAs[Double]("recall_at_5"))
+      .toMap
+    assert(rows.keySet == SimilarityOps.MatryoshkaDims.map(_.toLong).toSet)
+    assert(rows(SimilarityOps.Dim.toLong) == 1.0)
+    rows.values.foreach(v => assert(v >= 0.0 && v <= 1.0))
+  }
+
   test("IVF-ANN recall vs brute-force top-5") {
     val bf = SimilarityOps.knnBruteForce(spark, sf)
       .select("query_id", "neighbor_id").collect()
