@@ -15,7 +15,13 @@ object Profile {
     val dir = args.lift(1).getOrElse("/root/testdata/sf0.1")
     val runs = args.lift(2).map(_.toInt).getOrElse(2)
     val spark = Engine.session("profile")
-    Engine.table(spark, dir, "lineitem").count() // session warmup
+    // session warmup; ScaleBench scratch dirs carry only the three
+    // pipeline tables, so fall back to documents there
+    val warmTable =
+      if (java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$dir/lineitem.parquet"))) "lineitem"
+      else "documents"
+    Engine.table(spark, dir, warmTable).count()
 
     def time[T](label: String)(f: => T): T = {
       val t0 = System.nanoTime(); val r = f
