@@ -119,29 +119,66 @@ object Bench {
     * JVM+Spark startup amortizes over ~10 measurements. */
   val GroupSize = 10
 
-  /** Idle gate (round 11): the round-10 record's FIRST forked group
-    * carried TPC-H medians ~2x round 9's with no code behind them
-    * changed — everything pointed at start-of-run contention (the
-    * bench runs right after the sbt build) plus a cold OS page cache
-    * for the parquet tables. Two defenses, both ahead of the first
-    * TIMED group:
+  /** Idle gate (round 11; tightened round 12): the round-10 record's
+    * FIRST forked group carried TPC-H medians ~2x round 9's with no
+    * code behind them changed — everything pointed at start-of-run
+    * contention (the bench runs right after the sbt build) plus a cold
+    * OS page cache for the parquet tables. Two defenses, both ahead of
+    * the first TIMED group:
     *  - refuse to start while the 1-min loadAvg exceeds
     *    [[IdleLoadMax]] (up to [[IdleWaitMaxS]], then proceed with
     *    load_warning set — an eternally-busy host must not hang the
-    *    harness);
+    *    harness). Round 11's driver run released at load 3.96 against
+    *    the old nproc/8 = 4.0 threshold and carried 2-6× inflated
+    *    medians in several groups, so the threshold is now a FIXED 2.0
+    *    (a near-idle host, independent of core count) with a doubled
+    *    wait budget;
     *  - run one SACRIFICIAL forked group first — the first timed
     *    group's queries, once each, results discarded — so the build's
     *    tail, the JVM-fork page-in, and the first parquet reads all
     *    land outside every timed rep.
-    * Between groups no gate runs: the just-finished child's own work
-    * dominates the 1-min EMA there, so a gate could not tell external
-    * load from the bench itself — mid-run contention remains visible
-    * in the per-query variance field instead. */
-  val IdleLoadMax: Double = Runtime.getRuntime.availableProcessors / 8.0
-  val IdleWaitMaxS = 300
+    * Between groups the 1-min loadAvg cannot gate — the just-finished
+    * child's own work dominates the EMA there. Instead every timed
+    * group gets a DIRECT external-contention measurement: the parent
+    * (idle while the child runs) reads /proc/stat around the fork and
+    * subtracts the child's own CPU (ProcessHandle cputime), so
+    * `external_cpu_frac` in the per-group record is exactly the share
+    * of the machine spent on non-bench work during that group's
+    * measurements — self-load-immune, unlike any loadavg heuristic.
+    * Groups above [[ExternalCpuWarn]] are flagged `contended` in
+    * BENCH.json so a reviewer can quarantine their medians. */
+  val IdleLoadMax: Double = 2.0
+  val IdleWaitMaxS = 600
+  /** Per-group contention flag threshold: fraction of total machine
+    * CPU consumed by processes OTHER than the measuring child while it
+    * ran. 10% absorbs the parent JVM's bookkeeping and kernel noise;
+    * a competing build or Spark job shows up at 30%+. */
+  val ExternalCpuWarn = 0.10
 
   private def loadAvg: Double =
     java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
+
+  /** Seconds of busy CPU accumulated across ALL cores since boot
+    * (/proc/stat first line, everything except idle+iowait, USER_HZ
+    * jiffies). None off-Linux — the contention measurement degrades to
+    * absent, never wrong. */
+  private def procStatBusySeconds: Option[Double] =
+    scala.util.Try {
+      val line = java.nio.file.Files
+        .readAllLines(java.nio.file.Paths.get("/proc/stat")).get(0)
+      val f = line.trim.split("\\s+").drop(1).map(_.toDouble)
+      f.zipWithIndex.collect { case (v, i) if i != 3 && i != 4 => v }.sum / 100.0
+    }.toOption
+
+  /** Per-group contention record: 1-min load at fork, and the share of
+    * machine CPU that went to NON-bench work while the child ran
+    * (-1 when /proc/stat or the child cputime is unavailable). */
+  final case class GroupStat(idx: Int, loadStart: Double,
+      externalCpuFrac: Double) {
+    def contended: Boolean =
+      externalCpuFrac > ExternalCpuWarn ||
+        (externalCpuFrac < 0 && loadStart > IdleLoadMax * 2)
+  }
 
   /** Block until the host is near-idle (or the wait budget is spent);
     * returns seconds waited. */
@@ -237,17 +274,32 @@ object Bench {
       val ts = measure(spark, sfDir, n)
       s"$n\t${ts.map(t => f"$t%.4f").mkString(",")}"
     }
+    // the child's own total CPU, for the parent's external-contention
+    // arithmetic (ProcessHandle cputime is gone once the child is
+    // reaped, so the child self-reports)
+    val cpuS = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean match {
+        case os: com.sun.management.OperatingSystemMXBean =>
+          os.getProcessCpuTime / 1e9
+        case _ => -1.0
+      }
     java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(outFile), lines.mkString("", "\n", "\n"))
+      java.nio.file.Paths.get(outFile),
+      (lines :+ f"__cpu\t$cpuS%.2f").mkString("", "\n", "\n"))
     spark.stop()
   }
 
   /** Fork one fresh JVM running `--group` for these queries; None if
-    * the child could not run (caller falls back to in-process). */
+    * the child could not run (caller falls back to in-process). The
+    * second member is the group's contention record (see
+    * [[GroupStat]]). */
   private def forkGroup(names: Seq[String], idx: Int,
-      warmOnly: Boolean = false): Option[Seq[(String, Seq[Double])]] = {
+      warmOnly: Boolean = false)
+      : (Option[Seq[(String, Seq[Double])]], GroupStat) = {
     import scala.jdk.CollectionConverters._
     val tmp = java.nio.file.Files.createTempFile(s"graft-bench-g$idx-", ".tsv")
+    val loadStart = loadAvg
+    var stat = GroupStat(idx, loadStart, -1.0)
     try {
       val javaBin = java.nio.file.Paths.get(
         sys.props("java.home"), "bin", "java").toString
@@ -262,23 +314,40 @@ object Bench {
       val pb = new ProcessBuilder(cmd.asJava)
       pb.redirectOutput(ProcessBuilder.Redirect.DISCARD)
       pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+      val busy0 = procStatBusySeconds
+      val t0 = System.nanoTime
       val rc = pb.start().waitFor()
+      val elapsedS = (System.nanoTime - t0) / 1e9
+      val busy1 = procStatBusySeconds
       if (rc != 0) {
         System.err.println(s"[bench] group $idx child exited $rc")
-        return None
+        return (None, stat)
       }
-      if (warmOnly) return Some(Seq.empty) // nothing to parse
-      val lines = java.nio.file.Files.readAllLines(tmp).asScala
+      if (warmOnly) return (Some(Seq.empty), stat) // nothing to parse
+      val allLines = java.nio.file.Files.readAllLines(tmp).asScala
         .filter(_.contains('\t'))
-      val parsed = lines.map { l =>
+      val childCpuS = allLines.find(_.startsWith("__cpu\t"))
+        .map(_.split('\t')(1).toDouble).getOrElse(-1.0)
+      stat = (busy0, busy1) match {
+        case (Some(b0), Some(b1)) if childCpuS >= 0 && elapsedS > 0 =>
+          val ext = math.max(0.0, b1 - b0 - childCpuS) /
+            (elapsedS * Runtime.getRuntime.availableProcessors)
+          GroupStat(idx, loadStart, ext)
+        case _ => stat
+      }
+      if (stat.contended)
+        System.err.println(f"[bench] group $idx CONTENDED: " +
+          f"external_cpu_frac ${stat.externalCpuFrac}%.3f (load $loadStart%.2f)")
+      val parsed = allLines.filterNot(_.startsWith("__cpu\t")).map { l =>
         val Array(n, ts) = l.split('\t')
         n -> ts.split(',').toSeq.map(_.toDouble)
       }.toSeq
       // every requested query must be present or the fallback re-runs
-      if (parsed.map(_._1).toSet == names.toSet) Some(parsed) else None
+      (if (parsed.map(_._1).toSet == names.toSet) Some(parsed) else None,
+        stat)
     } catch { case e: Throwable =>
       System.err.println(s"[bench] group $idx fork failed: ${e.getMessage}")
-      None
+      (None, stat)
     } finally java.nio.file.Files.deleteIfExists(tmp)
   }
 
@@ -303,9 +372,12 @@ object Bench {
     // lazily created only if a fork fails — the normal parent runs no
     // Spark, so children measure on an otherwise-idle host
     var fallback: Option[org.apache.spark.sql.SparkSession] = None
+    val groupStats = scala.collection.mutable.ListBuffer.empty[GroupStat]
     val results: Seq[(String, Seq[Double])] =
       queriesToRun.grouped(GroupSize).zipWithIndex.flatMap { case (g, i) =>
-        forkGroup(g, i).getOrElse {
+        val (res, stat) = forkGroup(g, i)
+        groupStats += stat
+        res.getOrElse {
           System.err.println(s"[bench] group $i: in-process fallback")
           val spark = fallback.getOrElse {
             val s = Engine.session("graft-bench"); fallback = Some(s); s
@@ -364,27 +436,46 @@ object Bench {
       """query included the build and are not comparable",""" +
       """"sim_knn_outliers":"same: consumes the session-shared edge list, """ +
       """build excluded from its median"}"""
+    // per-group contention records: queries belong to group
+    // idx*GroupSize..; `external_cpu_frac` is the direct non-bench CPU
+    // share measured around the group's child (see the IdleLoadMax
+    // scaladoc); `contended` groups' medians should be quarantined by
+    // any reviewer comparing records
+    val groupsJson = groupStats.map { s =>
+      s"""{"idx":${s.idx},"load_start":${fmt(s.loadStart)},""" +
+        s""""external_cpu_frac":${fmt(s.externalCpuFrac)},""" +
+        s""""contended":${s.contended}}"""
+    }.mkString("[", ",", "]")
     val full =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","total_min":${fmt(totalMin)},""" +
       s""""queries":$qs,"variance":$varc,"driver_mem_mb":$driverMb,""" +
       s""""load_avg":[${fmt(loadStart)},${fmt(loadEnd)}],"load_warning":$loadWarn,""" +
       s""""idle_gate":{"threshold":${fmt(IdleLoadMax)},"waited_s":${fmt(idleWaitedS)},""" +
-      s""""load_at_first_group":${fmt(loadAtFirstGroup)}},$notes,""" +
+      s""""load_at_first_group":${fmt(loadAtFirstGroup)}},"groups":$groupsJson,$notes,""" +
       s""""group_size":$GroupSize,"sf":"$sfDir","queries_min":$qsMin,"reps":$reps,"runs":$runs}"""
+    // artifact discipline (round 12): dev and driver runs write to
+    // *.new so they can never clobber the committed idle-gated record
+    // (the round-11 "working tree dirtied by the driver's loaded-host
+    // re-run" gotcha); only a deliberate BENCH_COMMIT=1 run — the one
+    // recorded after agreeing idle runs — writes the canonical files.
+    val commitRun = sys.env.get("BENCH_COMMIT").contains("1")
+    val fullPath = if (commitRun) "BENCH.json" else "BENCH.json.new"
+    val compactPath =
+      if (commitRun) "BENCH_COMPACT.json" else "BENCH_COMPACT.json.new"
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH.json"), full + "\n")
+      java.nio.file.Paths.get(fullPath), full + "\n")
     catch { case e: Throwable =>
-      System.err.println(s"[bench] could not write BENCH.json: ${e.getMessage}")
+      System.err.println(s"[bench] could not write $fullPath: ${e.getMessage}")
     }
     // the ONLY stdout line: fixed-size, inside any bounded tail capture.
     // build.sbt sets showSuccess := false + StdoutOutput so under
     // `sbt runMain graft.Bench` this IS the final stdout line, raw
     // (no [info] prefix, no [success] trailer — the round 6-9 record
-    // losses). A copy also lands in BENCH_COMPACT.json so any parser
-    // that reads files instead of stdout has a fixed location.
-    val compact = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","detail":"BENCH.json"}"""
+    // losses). A copy also lands in BENCH_COMPACT.json[.new] so any
+    // parser that reads files instead of stdout has a fixed location.
+    val compact = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","detail":"$fullPath"}"""
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_COMPACT.json"), compact + "\n")
+      java.nio.file.Paths.get(compactPath), compact + "\n")
     catch { case _: Throwable => () }
     println(compact)
     fallback.foreach(_.stop())

@@ -41,9 +41,9 @@ object DedupOps {
     * parallel even when the scan has fewer splits than cores, and the
     * downstream per-doc aggregation inherits the partitioning — one
     * sketch buffer per doc, no partial-agg fan-out of Array buffers. */
-  private[graft] def shinglesRaw(sp: SparkSession, dir: String): DataFrame = {
+  private[graft] def shinglesRawFrom(sp: SparkSession, docs: DataFrame): DataFrame = {
     val words = split(col("text"), " ")
-    Engine.table(sp, dir, "documents")
+    docs
       .repartition(sp.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"), words.as("ws"))
       .select(col("doc_id"),
@@ -52,9 +52,36 @@ object DedupOps {
           i => concat_ws(" ", slice(col("ws"), i, lit(3))))).as("shingle"))
   }
 
+  private[graft] def shinglesRaw(sp: SparkSession, dir: String): DataFrame =
+    shinglesRawFrom(sp, Engine.table(sp, dir, "documents"))
+
   /** Distinct string shingles (the exact-Jaccard/oracle path). */
   private[graft] def shingles(sp: SparkSession, dir: String): DataFrame =
     shinglesRaw(sp, dir).distinct()
+
+  /** The shingle JOIN key: shingle strings hashed to 8-byte longs.
+    *
+    * Why (round 12): the exact-pair ops' hottest exchange is a ~26M-row
+    * (at the 100× sweep corpus) shingle self-join. Keyed on the ~20-char
+    * string it is a var-width sort-merge whose sort compares strings and
+    * whose spill volume rides every row's text — measured 29↔76 s
+    * run-to-run spread at 100×, the error bar under the three heaviest
+    * sweep rows. Keyed on the hash, the join rows are FIXED-WIDTH 16 B
+    * (doc_id, k) — radix-sortable, 2-3× fewer shuffle bytes.
+    *
+    * Why it stays EXACT (the oracle is string-keyed): joining on a hash
+    * alone could merge two different shingles that collide. Instead the
+    * stream is SPLIT on the measured collision set: the per-(k, shingle)
+    * aggregate the ops already need for document frequency also yields,
+    * per hash, how many distinct strings share it. Hashes carrying one
+    * string (all of them, in practice — expected colliding pairs
+    * ~V²/2⁶⁵) join on the 8-byte key alone; rows under a collided hash
+    * take a (k, shingle)-keyed side join — exact by construction, ~zero
+    * rows by probability, and AQE collapses the empty side at runtime.
+    * The split is injectable ([[ngramJaccardKeyed]]) so the spec can
+    * force collisions with a deliberately weak key and pin row identity
+    * against the string-keyed semantics. */
+  private def shingleKey(shingle: Column): Column = xxhash64(shingle)
 
   /** Document-frequency cap for the inverted-index self-join: a
     * shingle occurring in more documents than this is dropped before
@@ -99,19 +126,63 @@ object DedupOps {
     * containment pays the carry only on the K-capped probe rows.
     * The two size joins stay: they are (pairs ⋈ n-row dims) and cost
     * less than the widened shuffle. */
-  def ngramJaccard(sp: SparkSession, dir: String): DataFrame = {
-    val shAll = shingles(sp, dir)
-    // hot shingles are a tiny, bounded set (each needs > DfCap docs);
-    // the anti-join is AQE-broadcast at runtime — no driver collect
-    val hot = shAll.groupBy(col("shingle"))
+  def ngramJaccard(sp: SparkSession, dir: String): DataFrame =
+    ngramJaccardKeyed(sp, dir, shingleKey)
+
+  /** [[ngramJaccard]] with an injectable shingle-key function — the
+    * production key is xxhash64; the spec passes a deliberately
+    * colliding key (e.g. hash mod 7) to exercise the collision-split
+    * path and pin row identity against the string-keyed semantics. */
+  private[graft] def ngramJaccardKeyed(sp: SparkSession, dir: String,
+      keyFn: Column => Column): DataFrame = {
+    // one cached pass of the shingle pipeline feeds everything below
+    val shK = shingles(sp, dir)
+      .select(col("doc_id"), keyFn(col("shingle")).as("k"), col("shingle"))
+      .cache()
+    // exact df per shingle STRING (the grouping key carries the string,
+    // so a hash collision can never merge two shingles' counts); the
+    // partial aggregate collapses each partition to ~|vocabulary| rows
+    // before the exchange, and the exchange key leads with the long
+    val perStr = shK.groupBy(col("k"), col("shingle"))
       .agg(count(lit(1)).as("df"))
-      .filter(col("df") > ShingleDfCap)
-      .select(col("shingle"))
-    val sh = shAll.join(hot, Seq("shingle"), "left_anti").cache()
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val inter = sh.as("x").join(sh.as("y"),
-        col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+    // hashes shared by 2+ distinct shingles: ~V²/2⁶⁵ expected, i.e.
+    // empty on any real corpus — kept declarative (AQE broadcasts it)
+    val multiK = perStr.groupBy(col("k"))
+      .agg(count(lit(1)).as("nv"))
+      .filter(col("nv") > 1).select(col("k"))
+    // hot shingles are a tiny, bounded set (each needs > DfCap docs);
+    // the anti-joins are AQE-broadcast at runtime — no driver collect.
+    // Collision-free hot hashes drop by k alone; a collided hash where
+    // only ONE string is hot must drop per string (hotColl).
+    val hotK = perStr.join(multiK, Seq("k"), "left_anti")
+      .filter(col("df") > ShingleDfCap).select(col("k"))
+    val hotColl = perStr.join(multiK, Seq("k"), "left_semi")
+      .filter(col("df") > ShingleDfCap).select(col("k"), col("shingle"))
+    // the heavy stream: fixed-width (doc_id, k) rows — this is what the
+    // self-join shuffles and sorts (cached: the join reads it twice)
+    val safe = shK.join(multiK, Seq("k"), "left_anti")
+      .join(hotK, Seq("k"), "left_anti")
+      .select(col("doc_id"), col("k"))
+      .cache()
+    // rows under a collided hash keep the string and join on BOTH keys
+    val coll = shK.join(multiK, Seq("k"), "left_semi")
+      .join(hotColl, Seq("k", "shingle"), "left_anti")
+      .select(col("doc_id"), col("k"), col("shingle"))
+      .cache()
+    val sizes = safe.select(col("doc_id"))
+      .union(coll.select(col("doc_id")))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    // a safe row's hash is never a collided hash, so the two mention
+    // streams can never pair the same shingle twice — union, then one
+    // aggregate counts |A∩B| exactly
+    val mentions = safe.as("x").join(safe.as("y"),
+        col("x.k") === col("y.k") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .union(coll.as("x").join(coll.as("y"),
+          col("x.k") === col("y.k") && col("x.shingle") === col("y.shingle") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b")))
+    val inter = mentions.groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("c"))
     val j = inter
       .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "na"), "doc_a")
@@ -205,6 +276,15 @@ object DedupOps {
   def containment(sp: SparkSession, dir: String): DataFrame =
     containmentImpl(sp, dir, Some(ContainmentProbeK))
 
+  /** [[containment]] over an explicit documents frame — the spec's
+    * entry point for planting adversarial corpora where the rarest-K
+    * probe provably diverges from exact containment (the capped-vs-
+    * exact QualityGates gate measures 1.0/1.0 on the real corpora, so
+    * its failure mode needs a constructed fixture to demonstrate). */
+  private[graft] def containmentFrom(sp: SparkSession, docsIn: DataFrame,
+      probeK: Option[Int]): DataFrame =
+    containmentKeyed(sp, docsIn, probeK, shingleKey)
+
   /** EXACT containment C(A→B) = |A∩B| / |A| — [[containment]] without
     * the rarest-K probe cap, the reference semantics the capped op
     * approximates. Registered (`dedup_containment_exact`) with its own
@@ -216,16 +296,35 @@ object DedupOps {
     containmentImpl(sp, dir, None)
 
   private def containmentImpl(sp: SparkSession, dir: String,
-      probeK: Option[Int]): DataFrame = {
-    val shAll = shingles(sp, dir)
-    // df attach via a window count — ONE exchange on the shingle key
-    // (a groupBy+join would shuffle the same 26M rows twice); the
-    // df <= cap filter keeps the hot-shingle skew role of the old
-    // anti-join
+      probeK: Option[Int]): DataFrame =
+    containmentKeyed(sp, Engine.table(sp, dir, "documents"), probeK,
+      shingleKey)
+
+  /** Core of [[containment]]/[[containmentExact]] with an injectable
+    * shingle-key function — the probe ⋈ corpus join is keyed on the
+    * 8-byte [[shingleKey]] with the same exact collision split as
+    * [[ngramJaccardKeyed]] (rows under a hash shared by 2+ distinct
+    * strings join on (k, shingle); everything else on k alone). */
+  private[graft] def containmentKeyed(sp: SparkSession, docsIn: DataFrame,
+      probeK: Option[Int], keyFn: Column => Column): DataFrame = {
+    val shAll = shinglesRawFrom(sp, docsIn).distinct()
+    // df attach via a window count — ONE exchange (a groupBy+join would
+    // shuffle the same 26M rows twice). Partitioning on (k, shingle)
+    // groups by the exact string (same k for equal strings), but the
+    // backing sort compares the 8-byte key first — strings only break
+    // hash ties. The df <= cap filter keeps the hot-shingle skew role
+    // of the old anti-join.
     val sh = shAll
-      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("shingle"))))
+      .select(col("doc_id"), keyFn(col("shingle")).as("k"), col("shingle"))
+      .withColumn("df", count(lit(1))
+        .over(Window.partitionBy(col("k"), col("shingle"))))
       .filter(col("df") <= ShingleDfCap)
       .cache()
+    // hashes carrying 2+ distinct surviving strings (~empty; only
+    // collisions among rows that can actually meet in the join matter)
+    val multiK = sh.groupBy(col("k"))
+      .agg(countDistinct(col("shingle")).as("nv"))
+      .filter(col("nv") > 1).select(col("k"))
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("shingle"))
     val probe = (probeK match {
@@ -234,11 +333,23 @@ object DedupOps {
         case None => sh
       })
       .join(sizes, "doc_id") // co-partitioned on doc_id after the window
-      .select(col("doc_id").as("doc_a"), col("shingle"),
+      .select(col("doc_id").as("doc_a"), col("k"), col("shingle"),
         probeK.map(k => least(col("n_sh"), lit(k.toLong)))
           .getOrElse(col("n_sh")).as("den"))
-    probe
-      .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), "shingle")
+    val probeSafe = probe.join(multiK, Seq("k"), "left_anti")
+      .select(col("doc_a"), col("k"), col("den"))
+    val probeColl = probe.join(multiK, Seq("k"), "left_semi")
+    val corpusSafe = sh.join(multiK, Seq("k"), "left_anti")
+      .select(col("doc_id").as("doc_b"), col("k"))
+    val corpusColl = sh.join(multiK, Seq("k"), "left_semi")
+      .select(col("doc_id").as("doc_b"), col("k"), col("shingle"))
+    // a safe probe row's hash is never a collided hash, so the two
+    // mention streams are disjoint per shingle — union, then aggregate
+    val mentions = probeSafe.join(corpusSafe, "k")
+      .select(col("doc_a"), col("doc_b"), col("den"))
+      .union(probeColl.join(corpusColl, Seq("k", "shingle"))
+        .select(col("doc_a"), col("doc_b"), col("den")))
+    mentions
       .filter(col("doc_a") =!= col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("c"), max(col("den")).as("den"))

@@ -849,8 +849,21 @@ object SimilarityOps {
     * efConstruction ≈ 100 regime scaled to the 64-d test corpus). */
   val HnswEfConstruction = 64
   /** Beam width while searching. Recall@5 rises monotonically with
-    * this knob (the single runtime recall/latency dial HNSW offers). */
-  val HnswEfSearch = 64
+    * this knob (the single runtime recall/latency dial HNSW offers).
+    * Operating point chosen from the measured recall/latency curve in
+    * `HNSW_CURVE.json` (swept at the base and 100× ScaleBench corpora
+    * via [[graft.tools.HnswCurve]]) — see that record for the knee. */
+  val HnswEfSearch = 128
+
+  /** Target rows per HNSW shard. The shard count is derived from the
+    * CORPUS SIZE (ceil(n / this)), not from
+    * `sparkContext.defaultParallelism`: emitted rows must not change
+    * with core count or cluster config (the determinism contract the
+    * gates rely on), and at 100 TB a corpus-proportional shard count is
+    * the right posture anyway — each shard's graph stays a bounded
+    * in-memory build (~64 B/row at M=8) regardless of executor count,
+    * with shards >> cores so every executor stays busy. */
+  val HnswShardRows = 4096
 
   /** ANN top-5 via partition-local HNSW graphs.
     *
@@ -878,7 +891,14 @@ object SimilarityOps {
     * Approximate by construction → no SQL oracle; recall@5 vs brute
     * force is gated in DedupSimilaritySpec/QualityGates and re-gated
     * at the 100× corpus in ScaleBench. */
-  def annHnsw(sp: SparkSession, dir: String): DataFrame = {
+  def annHnsw(sp: SparkSession, dir: String): DataFrame =
+    annHnswWith(sp, dir, HnswEfSearch)
+
+  /** [[annHnsw]] with an explicit search beam width — the sweep entry
+    * point [[graft.tools.HnswCurve]] uses to record the recall/latency
+    * curve behind the committed [[HnswEfSearch]] operating point. */
+  private[graft] def annHnswWith(sp: SparkSession, dir: String,
+      efSearch: Int): DataFrame = {
     import sp.implicits._
     val all = vecs(sp, dir)
     val qArr = all.filter(col("vec_id") < 10)
@@ -889,10 +909,14 @@ object SimilarityOps {
         (id, a.map(_ * inv))
       }
     val qB = sp.sparkContext.broadcast(qArr)
-    val (m, efC, efS, k) = (HnswM, HnswEfConstruction, HnswEfSearch, 5)
+    val (m, efC, efS, k) = (HnswM, HnswEfConstruction, efSearch, 5)
+    // corpus-size-derived shard count (see [[HnswShardRows]]): one
+    // cheap count() job, then a fixed hash partitioning on vec_id
+    val nShards = math.max(1,
+      math.ceil(all.count().toDouble / HnswShardRows).toInt)
     val local = all.select(col("vec_id"), col("v"), col("nrm"))
       .as[(Long, Seq[Double], Double)]
-      .repartition(sp.sparkContext.defaultParallelism, col("vec_id"))
+      .repartition(nShards, col("vec_id"))
       .sortWithinPartitions(col("vec_id"))
       .mapPartitions { it =>
         val rows = it.toArray
@@ -1309,12 +1333,19 @@ object SimilarityOps {
         .filter(col("rk") <= 5).select(col("query_id"), col("vec_id"))
     }.toMap
     val exact = tops(full)
+    // the recall denominator is the MEASURED size of the full-dim top
+    // set (queries × min(5, eligible neighbors)), not an assumed
+    // queries×5 constant — on a corpus with vec_id gaps below 10 or
+    // fewer than 5 eligible neighbors a hard-coded 50 would silently
+    // mis-scale the metric (and the oracle, mirroring it, couldn't
+    // catch it); one count over a ≤ |q|·5-row frame, broadcast back
+    val nExact = exact.agg(count(lit(1)).as("n_exact"))
     MatryoshkaDims.map { d =>
       tops(d).join(exact, Seq("query_id", "vec_id"))
         .agg(count(lit(1)).as("hits"))
         .select(lit(d).cast("long").as("prefix_dim"), col("hits"))
     }.reduce(_ unionAll _)
-      .withColumn("n_exact", lit(50L))
+      .crossJoin(broadcast(nExact))
       .withColumn("recall_at_5",
         col("hits").cast("double") / col("n_exact"))
   }
@@ -1346,8 +1377,9 @@ object SimilarityOps {
       FROM v q JOIN v a ON a.vec_id <> q.vec_id
       WHERE q.vec_id < 10),
     $ctes
-    SELECT prefix_dim, hits, CAST(50 AS BIGINT) AS n_exact,
-      CAST(hits AS DOUBLE) / 50 AS recall_at_5
+    SELECT prefix_dim, hits,
+      (SELECT COUNT(*) FROM top_$full) AS n_exact,
+      CAST(hits AS DOUBLE) / (SELECT COUNT(*) FROM top_$full) AS recall_at_5
     FROM ($arms)"""
   }
 

@@ -99,7 +99,28 @@ object ScaleBench {
     // n_p·efC·M similarity folds (the sweep's shards are ~100× the
     // oracle-SF ones, so this is where the graph actually works);
     // search visits ef·log n_p nodes per shard vs the shard scan
-    "sim_ann_hnsw")
+    "sim_ann_hnsw",
+    // round 12: the int8 pre-serving pass (two corpus passes, both
+    // partial-aggregated to ≤ Dim rows before any exchange — must be
+    // ~linear) and the RFM report whose round-11 distributed-window
+    // rework (range-partition + per-partition offset ranks) was a
+    // scale fix that had no scale measurement
+    "embed_quantize_int8", "events_rfm")
+
+  /** Ops measured against a DEDICATED derived corpus instead of the
+    * shared perturbed one (directory = scratch + suffix). The shared
+    * corpus salts every word per copy so dedup output structure scales
+    * exactly; that same salting makes cross-copy token frequencies
+    * disjoint, so at 100× no token reaches the Misra-Gries n/64+1
+    * threshold and `text_heavy_hitters` emitted 0 rows — an honest but
+    * VACUOUS scale row (the broadcast-candidate recount join never
+    * ran). The `_hh` fixture is documents-only, identical copies at
+    * shifted doc_ids: relative token frequencies are preserved
+    * exactly, so the base corpus's heavy hitters survive at any copy
+    * count and both MG passes are exercised for real. Dedup ops never
+    * read it. */
+  val OpScratchSuffix: Map[String, String] =
+    Map("text_heavy_hitters" -> "_hh")
 
   /** ANN ops re-scored for recall@5 at the big corpus: the round-7 PQ
     * shortlist regression (recall 0.64 → 0.48 before the ∝-corpus fix)
@@ -186,6 +207,26 @@ object ScaleBench {
       col("event_type"), col("value"), col("props")))
   }
 
+  /** Build the dedicated heavy-hitters corpus (see [[OpScratchSuffix]]):
+    * documents only, IDENTICAL copies at shifted doc_ids — token
+    * frequencies scale exactly with the copy count, so relative
+    * frequencies (and therefore the MG survivor set) are invariant and
+    * the 100× row measures both the sketch pass and the recount join
+    * on real output. Idempotent like [[derive]]. */
+  def deriveHh(spark: SparkSession, baseDir: String, outDir: String,
+      copies: Int): Unit = {
+    if (java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$outDir/documents.parquet"))) return
+    new java.io.File(outDir).mkdirs()
+    val Off = 10_000_000L
+    val base = spark.read.parquet(s"$baseDir/documents.parquet")
+    (0 until copies).map(i => base.select(
+        (col("doc_id") + i * Off).as("doc_id"), col("text"),
+        col("lang"), col("source"), col("n_chars")))
+      .reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+  }
+
   private def runOnce(spark: SparkSession, name: String, dir: String): Double = {
     val t0 = System.nanoTime
     SparkEntry.queries(name)(spark, dir)
@@ -235,12 +276,13 @@ object ScaleBench {
     val names = namesCsv.split(",").toSeq.filter(_.nonEmpty)
     val spark = Engine.session("graft-scalebench")
     val lines = names.map { op =>
+      val opScratch = scratch + OpScratchSuffix.getOrElse(op, "")
       runOnce(spark, op, baseDir) // warm-up at base
       val base = median((1 to reps).map(_ => runOnce(spark, op, baseDir)))
       val outB = outRows(spark, op, baseDir)
-      runOnce(spark, op, scratch) // warm-up at Nx
-      val xN = median((1 to reps).map(_ => runOnce(spark, op, scratch)))
-      val outN = outRows(spark, op, scratch)
+      runOnce(spark, op, opScratch) // warm-up at Nx
+      val xN = median((1 to reps).map(_ => runOnce(spark, op, opScratch)))
+      val outN = outRows(spark, op, opScratch)
       f"$op\t$base%.4f\t$xN%.4f\t$outB\t$outN"
     }
     java.nio.file.Files.writeString(
@@ -345,6 +387,7 @@ object ScaleBench {
     val reps = args.lift(4).map(_.toInt).getOrElse(3)
     val spark = Engine.session("graft-scalebench")
     derive(spark, baseDir, scratch, copies)
+    deriveHh(spark, baseDir, scratch + "_hh", copies)
 
     val rows = Seq("documents", "embeddings", "events").map { t =>
       t -> (Engine.table(spark, baseDir, t).count(),
@@ -394,12 +437,13 @@ object ScaleBench {
           // in the JSON: mixed-isolation timings stay auditable.
           g.flatMap { op =>
             try {
+              val opScratch = scratch + OpScratchSuffix.getOrElse(op, "")
               runOnce(spark, op, baseDir)
               val base = median((1 to reps).map(_ => runOnce(spark, op, baseDir)))
               val outB = outRows(spark, op, baseDir)
-              runOnce(spark, op, scratch)
-              val xN = median((1 to reps).map(_ => runOnce(spark, op, scratch)))
-              val outN = outRows(spark, op, scratch)
+              runOnce(spark, op, opScratch)
+              val xN = median((1 to reps).map(_ => runOnce(spark, op, opScratch)))
+              val outN = outRows(spark, op, opScratch)
               Some((op, base, xN, outB, outN, true))
             } catch { case e: Throwable =>
               System.err.println(
@@ -434,6 +478,19 @@ object ScaleBench {
       (op, r, th)
     }
 
+    // VACUOUS-row guard (round 12): an op that emits rows at base but
+    // ZERO at N× is measuring a sweep-corpus artifact, not the op —
+    // round 11's text_heavy_hitters row timed only the MG pass because
+    // the salted derivation starved it of survivors. Named loudly in
+    // the record (and on stderr) so a vacuous row can never read as
+    // coverage.
+    val vacuous = results.collect {
+      case (op, _, _, _, outB, outN, _) if outB > 0 && outN == 0 => op
+    }
+    vacuous.foreach(op => System.err.println(
+      s"[scalebench] VACUOUS SCALE ROW: $op emits 0 rows at ${copies}x " +
+        "(nonzero at base) — the N-x measurement exercises no output path"))
+
     def fmt(d: Double) = f"$d%.4f"
     val json = s"""{"copies":$copies,"reps":$reps,"base":"$baseDir","child_mem":"$ChildMem","rows":{""" +
       rows.map { case (t, (b, x)) => s""""$t":[$b,$x]""" }.mkString(",") +
@@ -444,8 +501,11 @@ object ScaleBench {
         val ratioOut = if (outB > 0) outN.toDouble / outB else 0.0
         s""""$op":{"base_s":${fmt(b)},"x${copies}_s":${fmt(x)},"ratio":${fmt(r)},""" +
           s""""out_rows":[$outB,$outN],"ratio_out":${fmt(ratioOut)}""" +
+          OpScratchSuffix.get(op).map(s => s""","corpus":"scratch$s"""").getOrElse("") +
           (if (inProc) ""","in_process":true}""" else "}")
-      }.mkString(",") + s"""},"fork_failures":[""" +
+      }.mkString(",") + s"""},"vacuous":[""" +
+      vacuous.map(op => s""""$op"""").mkString(",") +
+      s"""],"fork_failures":[""" +
       forkFailures.map { case (i, g, reason) =>
         s"""{"group":$i,"ops":[${g.map(o => s""""$o"""").mkString(",")}],""" +
           s""""reason":${escapeJson(reason)}}"""

@@ -21,6 +21,87 @@ class DedupSimilaritySpec extends AnyFunSuite {
       s"LSH recall too low: ${lsh.size}/${exact.size}")
   }
 
+  test("shingle-key collision split reproduces string-keyed semantics under a colliding key") {
+    import org.apache.spark.sql.Column
+    // The production join key is xxhash64 (expected colliding shingle
+    // pairs ~V²/2⁶⁵ — unobservable), so the collision branch never
+    // carries rows in real runs. Force a pathological key — ~25% of
+    // shingles crammed into 5 hash values, the rest keyed normally —
+    // so BOTH the hash-only and the (k, shingle) join branches carry
+    // real rows, and demand row identity with the production output
+    // (which the CORRECTNESS harness pins to the string-keyed DuckDB
+    // oracle).
+    val weak: Column => Column = s =>
+      when(pmod(xxhash64(s), lit(4)) === 0, pmod(xxhash64(s), lit(5)))
+        .otherwise(xxhash64(s))
+    def triples(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val refJ = triples(DedupOps.ngramJaccard(spark, sf))
+    assert(refJ.nonEmpty, "testdata assumption broken: no near-dup pairs")
+    assert(triples(DedupOps.ngramJaccardKeyed(spark, sf, weak)) == refJ,
+      "jaccard rows diverge under a colliding shingle key")
+    val docs = Engine.table(spark, sf, "documents")
+    for (pk <- Seq(Some(DedupOps.ContainmentProbeK), None)) {
+      val ref = triples(DedupOps.containmentFrom(spark, docs, pk))
+      assert(triples(DedupOps.containmentKeyed(spark, docs, pk, weak)) == ref,
+        s"containment (probeK=$pk) rows diverge under a colliding shingle key")
+    }
+  }
+
+  test("rarest-K containment cap diverges from exact containment on adversarial corpora") {
+    // The QualityGates capped-vs-exact divergence gate measures 1.0/1.0
+    // on every real corpus (planted dup clusters share their rarest
+    // shingles), so this fixture DEMONSTRATES the cap's two failure
+    // modes and pins their magnitude — the documented bound is: the
+    // cap is exact whenever a qualifying overlap includes the source
+    // doc's K rarest shingles, errs FALSE-NEGATIVE when the overlap
+    // lies outside them, and FALSE-POSITIVE when the K rarest are
+    // shared but the full overlap is below τ. The escape hatch is the
+    // registered exact twin (`dedup_containment_exact`).
+    import spark.implicits._
+    val K = DedupOps.ContainmentProbeK
+    def toks(p: String, n: Int) = (1 to n).map(i => s"${p}_$i")
+    // Case A (cap misses a true pair): doc 1 = K+2 unique tokens (its
+    // K+2 df-1 shingles become the probe) followed by a shared run
+    // long enough that exact C(1→2) = (1.5K+4)/(2.5K+6) ≈ 0.606 ≥ τ,
+    // while the probe ∩ doc 2 is empty.
+    val sharedA = toks("as", 3 * K / 2 + 6)
+    val textA = (toks("au", K + 2) ++ sharedA).mkString(" ")
+    val textB = sharedA.mkString(" ")
+    // Case B (cap emits a spurious pair): doc 11's K+2 tokens shared
+    // ONLY with doc 12 (df-2 shingles — its rarest, since the filler
+    // run also lives in docs 13/14 at df 3), plus filler making the
+    // true denominator large: exact C(11→12) ≈ 0.24 < τ, capped ≈ 0.92.
+    val sharedB = toks("bs", K + 2)
+    val filler = toks("bf", 78)
+    val docs = Seq(
+      (1L, textA), (2L, textB),
+      (11L, (sharedB ++ filler).mkString(" ")),
+      (12L, sharedB.mkString(" ")),
+      (13L, filler.mkString(" ")), (14L, filler.mkString(" ")))
+      .toDF("doc_id", "text")
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = pairs(DedupOps.containmentFrom(spark, docs, Some(K)))
+    val exact = pairs(DedupOps.containmentFrom(spark, docs, None))
+    // false negative: true C(1→2) ≥ τ but the K rarest probes miss it
+    assert(exact.contains((1L, 2L)), "fixture broken: exact pair absent")
+    assert(!capped.contains((1L, 2L)),
+      "cap unexpectedly found the overlap outside the K rarest shingles")
+    // false positive: rare shingles shared, true C(11→12) < τ
+    assert(!exact.contains((11L, 12L)), "fixture broken: exact pair present")
+    assert(capped.contains((11L, 12L)),
+      "cap unexpectedly rejected the shared-rare-shingle pair")
+    // the full measured divergence on this corpus — every diverging
+    // pair is one of the two planted modes (11→13/14 are the same
+    // probe-blindness as 1→2: doc 11 is 75% contained in the filler
+    // docs but probes only its rare shared run)
+    assert((exact -- capped) == Set((1L, 2L), (11L, 13L), (11L, 14L)),
+      s"unexpected false-negative set: ${exact -- capped}")
+    assert((capped -- exact) == Set((11L, 12L)),
+      s"unexpected false-positive set: ${capped -- exact}")
+  }
+
   test("simhash pairs have hamming <= 3 and are symmetric-free (a<b)") {
     val rows = DedupOps.simhashPairs(spark, sf).collect()
     assert(rows.nonEmpty)
@@ -73,6 +154,9 @@ class DedupSimilaritySpec extends AnyFunSuite {
   test("int8 quantization grid invariants hold on every dimension") {
     val rows = SimilarityOps.quantizeInt8(spark, sf).collect()
     assert(rows.length == SimilarityOps.Dim)
+    // per-dim actual extrema, for the clipped-tail error bound below
+    val ranges = SimilarityOps.dimProfile(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(2), r.getDouble(3))).toMap
     rows.foreach { r =>
       val (n, lo, hi, scale) = (r.getAs[Long]("n"), r.getAs[Double]("lo"),
         r.getAs[Double]("hi"), r.getAs[Double]("scale"))
@@ -81,12 +165,23 @@ class DedupSimilaritySpec extends AnyFunSuite {
       assert(hi >= lo && scale > 0)
       // code mass bounded by the grid: every q in [0, 255]
       assert(sumQ >= 0 && sumQ <= 255L * n)
-      // mean +- 3 sigma keeps >= 1 - 1/9 of any distribution
-      // (Chebyshev); allow slack for the decimal-rounded moments
+      // EMPIRICAL Chebyshev (a theorem for population moments of the
+      // sample itself, not a distribution assumption): at most n/9
+      // points lie strictly beyond 3 sample-σ of the sample mean;
+      // n/8 leaves slack for the decimal-routed moment rounding
       assert(nSat <= n / 8, s"dim ${r.getAs[Long]("dim_idx")}: $nSat/$n clipped")
-      // in-range reconstruction error is bounded by (scale/2)^2; the
-      // clipped tail can exceed it, so bound by the range instead
-      assert(mse >= 0 && mse <= (hi - lo) * (hi - lo))
+      // genuine MSE invariant, bounded piecewise from the row's own
+      // fields plus the dim's actual extrema: an in-range element
+      // reconstructs within scale/2 of itself (nearest grid point);
+      // a clipped element's error is its overshoot beyond the grid
+      // edge (recon = the edge), bounded by max(max_x − hi, lo − min_x)
+      val (mnX, mxX) = ranges(r.getAs[Long]("dim_idx"))
+      val over = math.max(math.max(mxX - hi, lo - mnX), 0.0)
+      val half = scale / 2
+      val bound = ((n - nSat) * half * half + nSat * over * over) / n
+      assert(mse >= 0 && mse <= bound * (1 + 1e-9) + 1e-12,
+        s"dim ${r.getAs[Long]("dim_idx")}: mse $mse > bound $bound " +
+          s"(n_sat=$nSat over=$over scale=$scale)")
     }
   }
 
