@@ -84,11 +84,14 @@ object TrainedCost {
     LinModel(x)
   }
 
-  /** Run the seeded microbenchmark suite and fit the models. The data
-    * is `spark.range`-generated (deterministic), timings are wall
-    * clock on the live session — like the reference, training measures
-    * THE engine it will cost. ~15 s at the default grid. */
-  def train(spark: SparkSession): Models = {
+  /** Run the seeded microbenchmark suite, returning raw samples:
+    * (scan rows, ms) and ((left, right, out), ms). Split out of
+    * [[train]] so `graft.tools.CostFixtureRecorder` can dump the
+    * samples of an idle-host run into the committed deterministic
+    * test fixture (TrainedCostSpec's ranking check must not depend on
+    * live wall clock under suite load). */
+  def microbench(spark: SparkSession)
+      : (Seq[(Double, Double)], Seq[((Double, Double, Double), Double)]) = {
     def time(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e6
     }
@@ -102,10 +105,10 @@ object TrainedCost {
 
     // scan cost must actually scale with rows to be learnable: hash a
     // derived column so per-row work dominates the fixed job overhead
-    val scanRows = Seq(1e5, 4e6, 1.6e7, 3.2e7).flatMap { n =>
+    val scanRows = Seq(1e5, 4e6, 1.6e7, 3.2e7).map { n =>
       val ms = (1 to 2).map(_ => time(noop(
         spark.range(n.toLong).select(xxhash64(col("id")).as("h"))))).min
-      Seq((scanFeatures(n), ms))
+      (n, ms)
     }
 
     // join grid: (left rows, right rows, key multiplicity) — the
@@ -124,10 +127,26 @@ object TrainedCost {
       val out = r * mult
       val ms = (1 to 2).map(_ => time(noop(
         side(l, "a").join(side(r, "b"), "k")))).min
-      (joinFeatures(l, r, out), ms)
+      ((l, r, out), ms)
     }
+    (scanRows, joinRows)
+  }
 
-    Models(fit(scanRows), fit(joinRows))
+  /** Fit models from raw microbench samples (shared by the live
+    * [[train]] path and the committed-fixture path). */
+  def fitFromSamples(scan: Seq[(Double, Double)],
+      join: Seq[((Double, Double, Double), Double)]): Models =
+    Models(
+      fit(scan.map { case (n, ms) => (scanFeatures(n), ms) }),
+      fit(join.map { case ((l, r, out), ms) => (joinFeatures(l, r, out), ms) }))
+
+  /** Run the seeded microbenchmark suite and fit the models. The data
+    * is `spark.range`-generated (deterministic), timings are wall
+    * clock on the live session — like the reference, training measures
+    * THE engine it will cost. ~15 s at the default grid. */
+  def train(spark: SparkSession): Models = {
+    val (scanRows, joinRows) = microbench(spark)
+    fitFromSamples(scanRows, joinRows)
   }
 
   /** The pluggable cost model: C_out (the default) or trained. */
