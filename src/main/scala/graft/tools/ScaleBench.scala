@@ -361,14 +361,16 @@ object ScaleBench {
     * full test suite exited and its first child's first-op base
     * median came out 2.4× the 100×-run measurement of the same op —
     * start-of-run load tails land on whichever group runs first.
-    * Block (bounded) until the 1-min loadAvg clears nproc/8 before
-    * the first forked group. */
+    * Block (bounded) until the 1-min loadAvg clears
+    * [[graft.Bench.IdleLoadMax]] (a fixed 2.0 since round 12 — the
+    * old nproc/8 = 4.0 released round 11's driver bench into visible
+    * contention) before the first forked group. */
   private def awaitIdle(): Double = {
-    val max = Runtime.getRuntime.availableProcessors / 8.0
+    val max = graft.Bench.IdleLoadMax
     val t0 = System.nanoTime
     var l = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
-    while (l > max && (System.nanoTime - t0) / 1e9 < 300) {
+    while (l > max && (System.nanoTime - t0) / 1e9 < graft.Bench.IdleWaitMaxS) {
       System.err.println(f"[scalebench] host busy (load $l%.1f > $max%.1f) — waiting 10 s")
       Thread.sleep(10000)
       l = java.lang.management.ManagementFactory
