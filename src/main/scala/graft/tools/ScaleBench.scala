@@ -133,7 +133,12 @@ object ScaleBench {
     * corpus: LSH 0.90, IVF 0.88, PQ 0.94. */
   val RecallOps: Seq[(String, Double)] = Seq(
     ("sim_ann_lsh", 0.8), ("sim_ann_ivf", 0.8), ("sim_ann_pq", 0.8),
-    ("sim_ann_ivf_pq", 0.8), ("sim_ann_hnsw", 0.8))
+    ("sim_ann_ivf_pq", 0.8),
+    // gated at the committed HNSW_CURVE.json operating point: ef=128
+    // measures 0.96 at the 100× corpus (0.86 at the old ef=64 — the
+    // round-11 low-margin gate), and search cost is build-dominated
+    // so the higher beam is free at this scale
+    ("sim_ann_hnsw", 0.9))
 
   /** Build the N× corpus (idempotent: skipped if the directory
     * already holds all three tables). The perturbations are exact at
