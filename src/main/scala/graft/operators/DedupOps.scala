@@ -143,8 +143,12 @@ object DedupOps {
     // so a hash collision can never merge two shingles' counts); the
     // partial aggregate collapses each partition to ~|vocabulary| rows
     // before the exchange, and the exchange key leads with the long
+    // cached: vocabulary-sized (not corpus-sized), and its three
+    // consumers below (multiK, hotK, hotColl) would otherwise each
+    // re-run the aggregation
     val perStr = shK.groupBy(col("k"), col("shingle"))
       .agg(count(lit(1)).as("df"))
+      .cache()
     // hashes shared by 2+ distinct shingles: ~V²/2⁶⁵ expected, i.e.
     // empty on any real corpus — kept declarative (AQE broadcasts it)
     val multiK = perStr.groupBy(col("k"))

@@ -32,9 +32,15 @@ object Profile {
     for (name <- names) {
       val q = graft.SparkEntry.queries.getOrElse(name,
         sys.error(s"unknown query '$name'; known: ${graft.SparkEntry.queries.keys.toSeq.sorted.mkString(", ")}"))
-      for (i <- 1 to runs)
+      // PROFILE_CLEAR=1 drops caches between runs — measures the
+      // fresh-pipeline cost ScaleBench's clear-per-rep protocol sees,
+      // instead of warm-cache steady state (Bench's within-query view)
+      val clearEach = sys.env.get("PROFILE_CLEAR").contains("1")
+      for (i <- 1 to runs) {
         time(s"$name run$i")(
           q(spark, dir).write.format("noop").mode("overwrite").save())
+        if (clearEach) spark.sharedState.cacheManager.clearCache()
+      }
       val plan = q(spark, dir).queryExecution.executedPlan.toString
       for (k <- Seq("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin",
                     "BroadcastNestedLoopJoin", "ShuffleExchange",
