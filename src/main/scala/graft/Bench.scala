@@ -102,7 +102,9 @@ object Bench {
     // round-10 additions
     "sim_knn_outliers",
     // round-11 additions
-    "sim_ann_hnsw", "embed_quantize_int8", "embed_matryoshka_eval")
+    "sim_ann_hnsw", "embed_quantize_int8", "embed_matryoshka_eval",
+    // round-12 additions
+    "sim_ann_binary", "text_perplexity_bucket")
 
   val Reps = 5
   /** Extra reps for queries whose 5-rep median is below [[SubSecond]]

@@ -22,7 +22,10 @@ object SimilarityOps {
 
   /** embeddings with double-precision vector + L2 norm. */
   private def vecs(sp: SparkSession, dir: String): DataFrame =
-    Engine.table(sp, dir, "embeddings")
+    vecsFrom(Engine.table(sp, dir, "embeddings"))
+
+  private def vecsFrom(emb: DataFrame): DataFrame =
+    emb
       .select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
@@ -1383,6 +1386,146 @@ object SimilarityOps {
     FROM ($arms)"""
   }
 
+  /** [[annBinary]] shortlist floor and corpus fraction: sized ∝ corpus
+    * for the same reason as [[pqShortlist]] (a FIXED shortlist shrinks
+    * relatively as the corpus grows and recall@5 decays with it —
+    * measured here too: 0.66 at 500 vectors, 0.42 at 5 000 with a
+    * fixed 50). 10% matches the PQ default: what uniform-random
+    * vectors need; real embedding corpora with cluster structure
+    * sustain the same recall at a far smaller fraction. No conf knob,
+    * unlike PQ: this op is exactly SQL-oracled and the oracle must
+    * compute the IDENTICAL shortlist bound, so the fraction is a
+    * compile-time constant both sides embed. */
+  val BinaryShortlistMin = 50
+  val BinaryShortlistFrac = 0.1
+
+  /** Binary (1-bit) embedding quantization + Hamming-shortlist ANN
+    * with exact re-rank — the "binary quantization" serving path
+    * modern vector stores ship (32× smaller than float32: Dim bits
+    * per vector): bit i = (xᵢ > meanᵢ), the per-dimension-centered
+    * sign code, packed into two 32-bit words; a query scans CODES
+    * with XOR+popcount (a few cycles per vector instead of a
+    * Dim-element float dot), keeps the best
+    * max([[BinaryShortlistMin]], [[BinaryShortlistFrac]]·n) by
+    * Hamming distance, and re-ranks only that shortlist with exact
+    * cosine — the same coarse-then-exact contract as [[annIvfPq]]'s
+    * ADC + re-rank.
+    *
+    * Scale shape: the code table build is two canonical passes (the
+    * [[dimProfile]] moment aggregation for per-dim means — ≤ Dim rows
+    * ever shuffled — then a broadcast-join of the Dim-row means onto
+    * the element stream, partial-agged back to one 16-byte code per
+    * vector); the query scan broadcasts the 10-row query codes and
+    * partial-aggregates the per-partition top-shortlist before the
+    * one query-keyed exchange; re-rank touches [[BinaryShortlist]]
+    * rows per query. At 100 TB the float vectors are read once to
+    * build codes; every search after that reads 16 B/vector.
+    *
+    * Fully SQL-oracled (no recall gate needed — the op is exact given
+    * its code definition): means run the DECIMAL(18,6) dance, bits
+    * compare bit-identical doubles, the packed words are exact
+    * integer sums of distinct powers of two, Hamming is integer, the
+    * shortlist and final ranks are row_number with total tiebreaks,
+    * and the re-rank cosine reuses the [[knnBruteForce]]-proven
+    * dot/norm chain. */
+  def annBinary(sp: SparkSession, dir: String): DataFrame =
+    annBinaryFrom(sp, Engine.table(sp, dir, "embeddings"))
+
+  /** [[annBinary]] over an injected (vec_id, embedding) frame —
+    * fixture entry point (spec plants hand-computable clusters). */
+  private[graft] def annBinaryFrom(sp: SparkSession, emb: DataFrame)
+      : DataFrame = {
+    val elems = emb
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("di", "xf")))
+      .select(col("vec_id"), col("di").cast("long").as("dim_idx"),
+        col("xf").cast("double").as("x"))
+    val means = elems.groupBy(col("dim_idx"))
+      .agg((sum(col("x").cast("decimal(18,6)")).cast("double") /
+        count(lit(1))).as("mean_x"))
+    val pow = expr("shiftleft(CAST(1 AS BIGINT), CAST(dim_idx % 32 AS INT))")
+    val sigs = elems.join(broadcast(means), "dim_idx")
+      .select(col("vec_id"),
+        when(col("x") > col("mean_x"), pow).otherwise(lit(0L)).as("p"),
+        (col("dim_idx") < 32).as("lo"))
+      .groupBy(col("vec_id"))
+      .agg(sum(when(col("lo"), col("p")).otherwise(lit(0L))).as("w0"),
+        sum(when(!col("lo"), col("p")).otherwise(lit(0L))).as("w1"))
+    val all = vecsFrom(emb)
+    val qsig = sigs.filter(col("vec_id") < 10)
+      .join(all, "vec_id")
+      .select(col("vec_id").as("query_id"), col("w0").as("q0"),
+        col("w1").as("q1"), col("v").as("qv"), col("nrm").as("qn"))
+    val scored = broadcast(qsig).join(sigs, col("vec_id") =!= col("query_id"))
+      .withColumn("hamming",
+        expr("CAST(bit_count(w0 ^ q0) + bit_count(w1 ^ q1) AS BIGINT)"))
+    val shortlistN = math.max(BinaryShortlistMin,
+      math.ceil(emb.count() * BinaryShortlistFrac).toInt)
+    val hw = Window.partitionBy(col("query_id"))
+      .orderBy(col("hamming"), col("vec_id"))
+    val short = scored.withColumn("hrank", row_number().over(hw))
+      .filter(col("hrank") <= shortlistN)
+      .select(col("query_id"), col("qv"), col("qn"), col("vec_id"),
+        col("hamming"))
+    val rw = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    short.join(all, "vec_id")
+      .withColumn("cosine", dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
+      .withColumn("rank", row_number().over(rw))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("rank"), col("hamming"), round(col("cosine"), 4).as("cosine_r"))
+  }
+
+  val annBinaryOracle: String = s"""
+    WITH elems AS (
+      SELECT vec_id, CAST(s.i - 1 AS BIGINT) AS dim_idx,
+        CAST(embedding[CAST(s.i AS INT)] AS DOUBLE) AS x
+      FROM embeddings, generate_series(1, $Dim) AS s(i)),
+    means AS (
+      SELECT dim_idx,
+        CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS mean_x
+      FROM elems GROUP BY dim_idx),
+    sigs AS (
+      SELECT vec_id,
+        CAST(SUM(CASE WHEN x > mean_x AND dim_idx < 32
+          THEN (CAST(1 AS BIGINT) << CAST(dim_idx % 32 AS INT))
+          ELSE 0 END) AS BIGINT) AS w0,
+        CAST(SUM(CASE WHEN x > mean_x AND dim_idx >= 32
+          THEN (CAST(1 AS BIGINT) << CAST(dim_idx % 32 AS INT))
+          ELSE 0 END) AS BIGINT) AS w1
+      FROM elems JOIN means USING (dim_idx) GROUP BY vec_id),
+    v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+                                CAST(embedding AS DOUBLE[]))) AS nrm
+      FROM embeddings),
+    scored AS (
+      SELECT q.vec_id AS query_id, s.vec_id,
+        CAST(bit_count(xor(s.w0, q.w0)) + bit_count(xor(s.w1, q.w1))
+          AS BIGINT) AS hamming
+      FROM sigs q JOIN sigs s ON s.vec_id <> q.vec_id
+      WHERE q.vec_id < 10),
+    short AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+        ORDER BY hamming, vec_id) AS hrank
+      FROM scored),
+    rer AS (
+      SELECT sh.query_id, sh.vec_id AS neighbor_id, sh.hamming,
+        list_inner_product(qv.v, av.v) / (qv.nrm * av.nrm) AS cosine
+      FROM short sh
+      JOIN v qv ON qv.vec_id = sh.query_id
+      JOIN v av ON av.vec_id = sh.vec_id
+      WHERE sh.hrank <= GREATEST($BinaryShortlistMin, CAST(CEIL(
+        (SELECT COUNT(*) FROM embeddings) * $BinaryShortlistFrac)
+        AS BIGINT))),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+        ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM rer)
+    SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, hamming,
+      round(cosine, 4) AS cosine_r
+    FROM ranked WHERE rank <= 5"""
+
   /** Neighbors per vector in [[knnGraph]]. */
   val KnnGraphK = 5
 
@@ -2145,6 +2288,7 @@ object SimilarityOps {
     "sim_ann_pq" -> (annPq _),
     "sim_ann_ivf_pq" -> (annIvfPq _),
     "sim_ann_hnsw" -> (annHnsw _),
+    "sim_ann_binary" -> (annBinary _),
     "sim_embedding_neardup" -> ((s, d) => embeddingNearDup(s, d)),
     "sim_neardup_lsh" -> (embeddingNearDupLsh _),
     "sim_kmeans" -> (kmeans _),
@@ -2162,5 +2306,6 @@ object SimilarityOps {
     "embed_covariance" -> covarianceOracle,
     "embed_outlier_filter" -> outlierFilterOracle,
     "sim_knn_bruteforce" -> knnBruteForceOracle,
+    "sim_ann_binary" -> annBinaryOracle,
     "sim_embedding_neardup" -> embeddingNearDupOracle)
 }

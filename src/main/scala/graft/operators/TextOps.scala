@@ -959,7 +959,109 @@ object TextOps {
       FROM documents)
     WHERE cum_tokens <= $TokenBudget"""
 
+  /** Unigram-LM surprisal filter with head/middle/tail bucketing —
+    * the CCNet perplexity-filtering pass (Wenzek et al., LREC 2020:
+    * score each document under a corpus LM, keep/route by perplexity
+    * tertile). The LM here is the corpus's own unigram model
+    * p(w) = c(w)/N (the scored corpus IS the training corpus, so
+    * every token has c ≥ 1 and no smoothing mass is needed); the
+    * per-doc score is the average negative log-likelihood in nats,
+    * nll(d) = ln N − (Σ_{w∈d} ln c(w)) / |d|, and buckets are
+    * z-score bands around the corpus nll distribution (tail =
+    * above mean+σ: the most-surprising docs a quality pipeline
+    * routes to review/drop; head = below mean−σ: the most-predictable,
+    * boilerplate-leaning docs).
+    *
+    * Scale shape: two corpus passes — (1) explode → token-keyed
+    * partial-agg count (vocabulary-sized result, Heaps' law keeps it
+    * broadcastable at 100 TB; above a junk-blown vocab cap the join
+    * falls back to a hash join, same posture as [[bpeTrain]]'s
+    * BpeLocalVocabMax), (2) explode → broadcast-join the per-token
+    * surprisal → doc-keyed partial-agg. The bucket stats are one
+    * scalar aggregate over the doc-level frame (partial-agged, never
+    * wider than one row), broadcast back. Nothing driver-side,
+    * nothing wider than the vocabulary.
+    *
+    * Float parity (fully SQL-oracled): per-token ln c(w) is rounded
+    * through DECIMAL(18,6) (a 6-dp-rounded double can never tie —
+    * the [[graft.operators.SimilarityOps.dimProfile]] argument), so
+    * the per-doc sums are exact, order-free and engine-identical;
+    * ln N takes the same decimal routing; nll is then one IEEE double
+    * chain over bit-identical inputs written identically on both
+    * engines, and the z-score stats reuse the dimProfile moment
+    * dance (decimal sums, guarded sqrt). */
+  def perplexityBucket(sp: SparkSession, dir: String): DataFrame =
+    perplexityBucketFrom(sp, Engine.table(sp, dir, "documents"))
+
+  /** [[perplexityBucket]] over an injected (doc_id, text) frame —
+    * fixture entry point (spec plants hand-computable token counts). */
+  private[graft] def perplexityBucketFrom(sp: SparkSession,
+      docs: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+    val vocab = toks.groupBy(col("token")).agg(count(lit(1)).as("c"))
+    val lq = vocab.select(col("token"),
+      log(col("c")).cast("decimal(18,6)").as("lq"))
+    val consts = vocab.agg(
+      log(sum(col("c"))).cast("decimal(18,6)").cast("double").as("ln_n"))
+    val doc = toks.join(broadcast(lq), "token")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tok"), sum(col("lq")).cast("double").as("slq"))
+    val scored = doc.crossJoin(broadcast(consts))
+      .select(col("doc_id"), col("n_tok"),
+        (col("ln_n") - col("slq") / col("n_tok")).as("nll"))
+    val stats = scored.agg(
+        count(lit(1)).as("nd"),
+        sum(col("nll").cast("decimal(18,6)")).cast("double").as("snll"),
+        sum((col("nll") * col("nll")).cast("decimal(18,6)"))
+          .cast("double").as("snll2"))
+      .select((col("snll") / col("nd")).as("mu"),
+        when(col("nd") * col("snll2") - col("snll") * col("snll") > 0,
+          sqrt(col("nd") * col("snll2") - col("snll") * col("snll")) /
+            col("nd"))
+          .otherwise(lit(0.0)).as("sd"))
+    scored.crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("n_tok"), col("nll"),
+        when(col("nll") > col("mu") + col("sd"), lit("tail"))
+          .when(col("nll") < col("mu") - col("sd"), lit("head"))
+          .otherwise(lit("middle")).as("bucket"))
+  }
+
+  val perplexityBucketOracle: String = """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      FROM documents),
+    vocab AS (SELECT token, COUNT(*) AS c FROM toks GROUP BY token),
+    consts AS (
+      SELECT CAST(CAST(ln(CAST(SUM(c) AS DOUBLE)) AS DECIMAL(18,6))
+        AS DOUBLE) AS ln_n FROM vocab),
+    lq AS (
+      SELECT token, CAST(ln(CAST(c AS DOUBLE)) AS DECIMAL(18,6)) AS lq
+      FROM vocab),
+    doc AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok,
+        CAST(SUM(lq) AS DOUBLE) AS slq
+      FROM toks JOIN lq USING (token) GROUP BY doc_id),
+    scored AS (
+      SELECT doc_id, n_tok, ln_n - slq / n_tok AS nll FROM doc, consts),
+    st0 AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS nd,
+        CAST(SUM(CAST(nll AS DECIMAL(18,6))) AS DOUBLE) AS snll,
+        CAST(SUM(CAST(nll * nll AS DECIMAL(18,6))) AS DOUBLE) AS snll2
+      FROM scored),
+    st AS (
+      SELECT snll / nd AS mu,
+        CASE WHEN nd * snll2 - snll * snll > 0
+          THEN sqrt(nd * snll2 - snll * snll) / nd ELSE 0.0 END AS sd
+      FROM st0)
+    SELECT doc_id, n_tok, nll,
+      CASE WHEN nll > mu + sd THEN 'tail'
+           WHEN nll < mu - sd THEN 'head'
+           ELSE 'middle' END AS bucket
+    FROM scored, st"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_perplexity_bucket" -> (perplexityBucket _),
     "text_redact_pii" -> (redactPii _),
     "pipeline_sample_per_lang" -> (samplePerLang _),
     "pipeline_topk_per_lang" -> (topkPerLang _),
@@ -985,6 +1087,7 @@ object TextOps {
     "text_bpe_train" -> (bpeTrain _))
 
   val oracles: Map[String, String] = Map(
+    "text_perplexity_bucket" -> perplexityBucketOracle,
     "text_redact_pii" -> redactPiiOracle,
     "pipeline_sample_per_lang" -> samplePerLangOracle,
     "pipeline_topk_per_lang" -> topkPerLangOracle,

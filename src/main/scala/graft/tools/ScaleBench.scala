@@ -105,7 +105,13 @@ object ScaleBench {
     // ~linear) and the RFM report whose round-11 distributed-window
     // rework (range-partition + per-partition offset ranks) was a
     // scale fix that had no scale measurement
-    "embed_quantize_int8", "events_rfm")
+    "embed_quantize_int8", "events_rfm",
+    // round 12: binary-quantization ANN (code build = two canonical
+    // passes like quantize_int8; the Hamming scan is the 16 B/vector
+    // serving path and must stay ∝ corpus) and the CCNet perplexity
+    // filter (two corpus passes + a broadcast vocabulary — the same
+    // ~linear contract as search_tfidf_topk)
+    "sim_ann_binary", "text_perplexity_bucket")
 
   /** Ops measured against a DEDICATED derived corpus instead of the
     * shared perturbed one (directory = scratch + suffix). The shared
@@ -138,7 +144,11 @@ object ScaleBench {
     // measures 0.96 at the 100× corpus (0.86 at the old ef=64 — the
     // round-11 low-margin gate), and search cost is build-dominated
     // so the higher beam is free at this scale
-    ("sim_ann_hnsw", 0.9))
+    ("sim_ann_hnsw", 0.9),
+    // binary quantization's shortlist is ∝ corpus (the pqShortlist
+    // argument), so recall RISES with scale (0.66 at 500 vectors,
+    // 0.82 at 5 000); gated at the family floor
+    ("sim_ann_binary", 0.8))
 
   /** Build the N× corpus (idempotent: skipped if the directory
     * already holds all three tables). The perturbations are exact at

@@ -10,6 +10,31 @@ import org.scalatest.funsuite.AnyFunSuite
 class CurationSpec extends AnyFunSuite {
   import TestSession._
 
+  test("perplexity bucketing scores hand-computable surprisal and routes the outlier to tail") {
+    import graft.operators.TextOps
+    import TestSession.spark.implicits._
+    // Corpus: a=8 occurrences, z/q/j/x singletons → N = 12.
+    // nll(docs 1,2) = ln12 − ln8 = ln(3/2); nll(doc 3) = ln12 (every
+    // token is a singleton: the maximally surprising doc). With
+    // mu ≈ 1.0986, sd ≈ 0.9803: doc 3 > mu+sd → tail; docs 1,2 sit
+    // inside the band → middle.
+    val docs = Seq((1L, "a a a a"), (2L, "a a a a"), (3L, "z q j x"))
+      .toDF("doc_id", "text")
+    val out = TextOps.perplexityBucketFrom(spark, docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getString(3)))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L))
+    val (n1, nll1, b1) = out(1L)
+    val (_, nll2, b2) = out(2L)
+    val (n3, nll3, b3) = out(3L)
+    assert(n1 == 4 && n3 == 4)
+    assert(math.abs(nll1 - math.log(12.0 / 8.0)) < 2e-6, s"nll1 $nll1")
+    assert(nll2 == nll1)
+    assert(math.abs(nll3 - math.log(12.0)) < 2e-6, s"nll3 $nll3")
+    assert(b1 == "middle" && b2 == "middle" && b3 == "tail",
+      s"buckets: $b1 $b2 $b3")
+  }
+
   test("boilerplate strip is consistent with the detector and conserves paragraphs") {
     import graft.operators.TextOps
     val det = TextOps.boilerplate(spark, sf).collect()

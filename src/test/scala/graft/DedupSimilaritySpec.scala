@@ -48,6 +48,41 @@ class DedupSimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("binary-quantization ANN: exact twins rank first and the word packing is boundary-exact") {
+    import spark.implicits._
+    // 20 vectors over Dim=64: queries 0..9 are Walsh rows (mutually
+    // orthogonal sign patterns), ids 9+i exact copies of query i
+    // (i=1..9), id 19 an exact copy of query 0 — so every query's
+    // true top-1 is its twin at cosine 1.0 / Hamming 0. Query 1 and
+    // its twin additionally carry ±3 in dims 31 AND 32 (opposite
+    // signs), flipping exactly one bit in EACH packed 32-bit word:
+    // Hamming must be exactly 2, which fails if either word drops,
+    // duplicates, or misaligns a bit at the 31/32 packing boundary.
+    def walsh(i: Int, d: Int): Double =
+      if (java.lang.Integer.bitCount(i & d) % 2 == 0) 1.0 else -1.0
+    def base(i: Int): Array[Double] = Array.tabulate(64)(walsh(i, _))
+    def q1Mod(sign: Double): Array[Double] = {
+      val v = base(1); v(31) = 3.0 * sign; v(32) = 3.0 * sign; v
+    }
+    val rows =
+      (0 to 9).map(i => (i.toLong, if (i == 1) q1Mod(1.0) else base(i))) ++
+        (1 to 9).map(i => (9L + i, if (i == 1) q1Mod(-1.0) else base(i))) :+
+        (19L, base(0))
+    val out = SimilarityOps
+      .annBinaryFrom(spark, rows.toDF("vec_id", "embedding"))
+      .collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getInt(2), r.getLong(3),
+        r.getDouble(4))))
+    val top1 = out.collect { case (q, (n, 1, h, c)) => q -> (n, h, c) }.toMap
+    assert(top1.keySet == (0L to 9L).toSet)
+    assert(top1(0L) == ((19L, 0L, 1.0)), s"query 0 top-1: ${top1(0L)}")
+    for (i <- 2 to 9)
+      assert(top1(i.toLong) == ((9L + i, 0L, 1.0)),
+        s"query $i top-1: ${top1(i.toLong)}")
+    // dot = 62·1 + 2·(−9) = 44, norms² = 62 + 9 + 9 = 80 → cos 0.55
+    assert(top1(1L) == ((10L, 2L, 0.55)), s"query 1 top-1: ${top1(1L)}")
+  }
+
   test("rarest-K containment cap diverges from exact containment on adversarial corpora") {
     // The QualityGates capped-vs-exact divergence gate measures 1.0/1.0
     // on every real corpus (planted dup clusters share their rarest
