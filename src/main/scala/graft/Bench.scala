@@ -176,10 +176,32 @@ object Bench {
     * machine CPU that went to NON-bench work while the child ran
     * (-1 when /proc/stat or the child cputime is unavailable). */
   final case class GroupStat(idx: Int, loadStart: Double,
-      externalCpuFrac: Double) {
+      externalCpuFrac: Double, stealPct: Double = 0.0) {
     def contended: Boolean =
       externalCpuFrac > ExternalCpuWarn ||
-        (externalCpuFrac < 0 && loadStart > IdleLoadMax * 2)
+        (externalCpuFrac < 0 && loadStart > IdleLoadMax * 2) ||
+        stealPct > StealWarnPct
+  }
+
+  /** Hypervisor-steal warning threshold (% of the group's CPU time).
+    * Steal is the contention source neither loadAvg nor the external-
+    * CPU fraction can see (stolen cycles are not local-runnable and
+    * not busy); this host measurably suffers it in bursts — a sweep
+    * window averaging ~5% steal inflated shuffle-heavy medians 1.5-3×
+    * against the same code profiled minutes later. */
+  val StealWarnPct = 5.0
+
+  /** (steal, total) jiffies from /proc/stat; (0,0) off-Linux. */
+  private def stealSnapshot(): (Long, Long) =
+    scala.util.Try {
+      val parts = scala.io.Source.fromFile("/proc/stat").getLines()
+        .next().trim.split("\\s+").drop(1).map(_.toLong)
+      (if (parts.length > 7) parts(7) else 0L, parts.sum)
+    }.getOrElse((0L, 0L))
+
+  private def stealPctBetween(b: (Long, Long), a: (Long, Long)): Double = {
+    val dt = a._2 - b._2
+    if (dt <= 0) 0.0 else 100.0 * (a._1 - b._1) / dt
   }
 
   /** Block until the host is near-idle (or the wait budget is spent);
@@ -317,10 +339,12 @@ object Bench {
       pb.redirectOutput(ProcessBuilder.Redirect.DISCARD)
       pb.redirectError(ProcessBuilder.Redirect.INHERIT)
       val busy0 = procStatBusySeconds
+      val steal0 = stealSnapshot()
       val t0 = System.nanoTime
       val rc = pb.start().waitFor()
       val elapsedS = (System.nanoTime - t0) / 1e9
       val busy1 = procStatBusySeconds
+      val stealP = stealPctBetween(steal0, stealSnapshot())
       if (rc != 0) {
         System.err.println(s"[bench] group $idx child exited $rc")
         return (None, stat)
@@ -334,8 +358,8 @@ object Bench {
         case (Some(b0), Some(b1)) if childCpuS >= 0 && elapsedS > 0 =>
           val ext = math.max(0.0, b1 - b0 - childCpuS) /
             (elapsedS * Runtime.getRuntime.availableProcessors)
-          GroupStat(idx, loadStart, ext)
-        case _ => stat
+          GroupStat(idx, loadStart, ext, stealP)
+        case _ => stat.copy(stealPct = stealP)
       }
       if (stat.contended)
         System.err.println(f"[bench] group $idx CONTENDED: " +
@@ -446,6 +470,7 @@ object Bench {
     val groupsJson = groupStats.map { s =>
       s"""{"idx":${s.idx},"load_start":${fmt(s.loadStart)},""" +
         s""""external_cpu_frac":${fmt(s.externalCpuFrac)},""" +
+        s""""steal_pct":${fmt(s.stealPct)},""" +
         s""""contended":${s.contended}}"""
     }.mkString("[", ",", "]")
     val full =

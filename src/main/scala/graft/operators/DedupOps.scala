@@ -318,16 +318,25 @@ object DedupOps {
     // backing sort compares the 8-byte key first — strings only break
     // hash ties. The df <= cap filter keeps the hot-shingle skew role
     // of the old anti-join.
+    // rn marks one representative row per (k, shingle) — SAME window
+    // partitioning as the df count, so Catalyst plans ONE exchange
+    // with two window passes (sorted only for rn); multiK below then
+    // aggregates the vocabulary-sized rn==1 slice instead of running
+    // a second corpus-sized countDistinct exchange (measured +20-40%
+    // on the whole op at the 100× corpus when it shuffled all 26M
+    // mention rows a second time)
     val sh = shAll
       .select(col("doc_id"), keyFn(col("shingle")).as("k"), col("shingle"))
       .withColumn("df", count(lit(1))
         .over(Window.partitionBy(col("k"), col("shingle"))))
       .filter(col("df") <= ShingleDfCap)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("k"), col("shingle")).orderBy(col("doc_id"))))
       .cache()
     // hashes carrying 2+ distinct surviving strings (~empty; only
     // collisions among rows that can actually meet in the join matter)
-    val multiK = sh.groupBy(col("k"))
-      .agg(countDistinct(col("shingle")).as("nv"))
+    val multiK = sh.filter(col("rn") === 1)
+      .groupBy(col("k")).agg(count(lit(1)).as("nv"))
       .filter(col("nv") > 1).select(col("k"))
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("shingle"))

@@ -290,14 +290,20 @@ object ScaleBench {
       reps: Int, namesCsv: String): Unit = {
     val names = namesCsv.split(",").toSeq.filter(_.nonEmpty)
     val spark = Engine.session("graft-scalebench")
+    // reps == 0: the parent's SACRIFICIAL child — run each op once per
+    // scale to absorb the start-of-run transient, report nothing real
     val lines = names.map { op =>
       val opScratch = scratch + OpScratchSuffix.getOrElse(op, "")
       runOnce(spark, op, baseDir) // warm-up at base
-      val base = median((1 to reps).map(_ => runOnce(spark, op, baseDir)))
-      val outB = outRows(spark, op, baseDir)
+      val base =
+        if (reps == 0) 0.0
+        else median((1 to reps).map(_ => runOnce(spark, op, baseDir)))
+      val outB = if (reps == 0) 0L else outRows(spark, op, baseDir)
       runOnce(spark, op, opScratch) // warm-up at Nx
-      val xN = median((1 to reps).map(_ => runOnce(spark, op, opScratch)))
-      val outN = outRows(spark, op, opScratch)
+      val xN =
+        if (reps == 0) 0.0
+        else median((1 to reps).map(_ => runOnce(spark, op, opScratch)))
+      val outN = if (reps == 0) 0L else outRows(spark, op, opScratch)
       f"$op\t$base%.4f\t$xN%.4f\t$outB\t$outN"
     }
     java.nio.file.Files.writeString(
@@ -380,6 +386,25 @@ object ScaleBench {
     * [[graft.Bench.IdleLoadMax]] (a fixed 2.0 since round 12 — the
     * old nproc/8 = 4.0 released round 11's driver bench into visible
     * contention) before the first forked group. */
+  /** (steal, total) jiffies from /proc/stat — hypervisor steal is the
+    * one contention source neither the idle gate (loadAvg sees only
+    * runnable LOCAL threads) nor per-group external-CPU fractions can
+    * see, and this host measurably suffers it in bursts (a sweep
+    * window with ~1.7 cores stolen on average inflated shuffle-heavy
+    * rows 1.5-3× against the same code profiled minutes later). Zero
+    * on bare metal / non-Linux → the recorded pct is just 0. */
+  private def stealSnapshot(): (Long, Long) =
+    scala.util.Try {
+      val parts = scala.io.Source.fromFile("/proc/stat").getLines()
+        .next().trim.split("\\s+").drop(1).map(_.toLong)
+      (if (parts.length > 7) parts(7) else 0L, parts.sum)
+    }.getOrElse((0L, 0L))
+
+  private def stealPct(before: (Long, Long), after: (Long, Long)): Double = {
+    val dt = after._2 - before._2
+    if (dt <= 0) 0.0 else 100.0 * (after._1 - before._1) / dt
+  }
+
   private def awaitIdle(): Double = {
     val max = graft.Bench.IdleLoadMax
     val t0 = System.nanoTime
@@ -436,9 +461,37 @@ object ScaleBench {
     val forkFailures = scala.collection.mutable.ListBuffer.empty[(Int, Seq[String], String)]
     val idleWaitedS = awaitIdle()
     System.err.println(f"[scalebench] idle gate: waited $idleWaitedS%.0f s before first timed group")
+    // Sacrificial untimed child (the graft.Bench sacrificial-group
+    // rationale, observed here too): in back-to-back full sweeps the
+    // FIRST forked child's leading ops measured 4-8× their settled
+    // medians (dedup_minhash_lsh 13-15 s vs a settled 1.7-2.0 s base)
+    // while an identical group re-forked manually minutes later
+    // measured normally — a start-of-run transient that follows the
+    // first child of the run, not any op. One throwaway child runs
+    // the first group's ops once per scale with results discarded;
+    // the record carries whether it ran so a sweep without it is
+    // visibly un-warmed.
+    val sacrificed =
+      if (recallOnly) false
+      else Ops.filterNot(skip).headOption.exists { _ =>
+        val first = Ops.filterNot(skip).take(GroupSize)
+        System.err.println(
+          s"[scalebench] sacrificial child: ${first.mkString(", ")} (untimed)")
+        forkGroup(first, -1, baseDir, scratch, 0).isRight
+      }
+    // per-group hypervisor-steal percentage, recorded so a contended
+    // group is visible IN the record (see stealSnapshot)
+    val groupSteal = scala.collection.mutable.ListBuffer.empty[(Int, Double)]
+    val stealRun0 = stealSnapshot()
     val results = (if (recallOnly) Seq.empty[String] else Ops.filterNot(skip))
       .grouped(GroupSize).zipWithIndex.flatMap { case (g, i) =>
-        forkGroup(g, i, baseDir, scratch, reps) match {
+        val st0 = stealSnapshot()
+        val out = forkGroup(g, i, baseDir, scratch, reps)
+        val stp = stealPct(st0, stealSnapshot())
+        groupSteal += ((i, stp))
+        if (stp > 2.0) System.err.println(
+          f"[scalebench] group $i: hypervisor steal $stp%.1f%% of cpu time")
+        out match {
           case Right(rows) =>
             rows.map { case (op, b, x, ob, ox) => (op, b, x, ob, ox, false) }
           case Left(reason) =>
@@ -509,7 +562,8 @@ object ScaleBench {
         "(nonzero at base) — the N-x measurement exercises no output path"))
 
     def fmt(d: Double) = f"$d%.4f"
-    val json = s"""{"copies":$copies,"reps":$reps,"base":"$baseDir","child_mem":"$ChildMem","rows":{""" +
+    val stealRunPct = stealPct(stealRun0, stealSnapshot())
+    val json = s"""{"copies":$copies,"reps":$reps,"base":"$baseDir","child_mem":"$ChildMem","sacrificial_child":$sacrificed,"idle_waited_s":${fmt(idleWaitedS)},"steal_pct":${fmt(stealRunPct)},"group_steal_pct":[${groupSteal.map(g => fmt(g._2)).mkString(",")}],"rows":{""" +
       rows.map { case (t, (b, x)) => s""""$t":[$b,$x]""" }.mkString(",") +
       s"""},"ops":{""" +
       results.map { case (op, b, x, r, outB, outN, inProc) =>
