@@ -64,50 +64,32 @@ object RollingMinHash {
 }
 
 /** Winnowing fingerprint selection (Schleimer et al., SIGMOD'03 —
-  * the MOSS algorithm): Karp-Rabin rolling hashes over w-byte
-  * windows, sampled by keeping the minimum of every t consecutive
-  * window hashes (rightmost minimum on ties). GUARANTEE: any
-  * substring of length ≥ w + t − 1 shared byte-identically by two
-  * texts contributes at least one fingerprint selected at the same
+  * the MOSS algorithm) over the WORD alphabet: polynomial hashes of
+  * k-word grams, sampled by keeping the minimum of every t
+  * consecutive gram hashes (rightmost minimum on ties). GUARANTEE:
+  * any run of ≥ k + t − 1 words shared verbatim by two texts
+  * contributes at least one fingerprint selected at the same
   * position inside the shared span in BOTH texts — the property
   * `dedup_substring`'s recall gate and planted-span spec pin. Used
   * by the operator (executor-side) and the quality gates
   * (driver-side recompute) so the two can never drift. */
 object Winnowing {
-  val Window = 50 // bytes per hashed window
-  val Block = 32  // windows per winnowing block; guarantee = 50+32-1 = 81
+  val WordGram = 4   // words per hashed k-gram (token-level winnowing)
+  val WordBlock = 10 // k-grams per block; guarantee = 4+10-1 = 13 words
 
-  /** (hash, byte offset) of the selected fingerprints, consecutive
-    * duplicates collapsed. Texts shorter than one window yield none;
-    * texts with fewer than `t` windows yield their single global min. */
-  def fingerprints(bytes: Array[Byte], w: Int = Window,
-      t: Int = Block): Array[(Long, Int)] = {
-    val n = bytes.length
-    if (n < w) return Array.empty
-    val m = n - w + 1
-    val hs = new Array[Long](m)
-    var pow = 1L
-    var i = 1
-    while (i < w) { pow *= RollingMinHash.B; i += 1 }
-    var h = 0L
-    i = 0
-    while (i < w) { h = h * RollingMinHash.B + (bytes(i) & 0xffL); i += 1 }
-    hs(0) = h
-    i = w
-    while (i < n) {
-      h = (h - (bytes(i - w) & 0xffL) * pow) * RollingMinHash.B +
-        (bytes(i) & 0xffL)
-      hs(i - w + 1) = h
-      i += 1
-    }
+  /** Window-min selection over a precomputed hash sequence —
+    * the shared core of the byte and word variants. O(m·t): t is a
+    * small constant; a monotone deque would be O(m) but adds no
+    * value at this t. Fewer than `t` hashes yield the global min. */
+  private def select(hs: Array[Long], t: Int): Array[(Long, Int)] = {
+    val m = hs.length
+    if (m == 0) return Array.empty
     if (m <= t) {
       var best = 0
       var j = 1
       while (j < m) { if (hs(j) <= hs(best)) best = j; j += 1 }
       return Array((hs(best), best))
     }
-    // O(m·t) window-min scan: t is a small constant (32); a monotone
-    // deque would be O(m) but adds no value at this t
     val out = Array.newBuilder[(Long, Int)]
     var last = -1
     var j = 0
@@ -119,6 +101,50 @@ object Winnowing {
       j += 1
     }
     out.result()
+  }
+
+  /** FNV-1a 64 over a word's UTF-16 code units — the per-word hash
+    * the k-gram polynomial rolls over (64-bit so the df-cap groupBy
+    * never merges distinct words by collision at corpus vocab sizes). */
+  private def wordHash(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < s.length) {
+      h = (h ^ (s.charAt(i) & 0xffffL)) * 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+
+  /** Token-level winnowing: (hash, word offset) of the selected
+    * word k-gram fingerprints, consecutive duplicates collapsed.
+    * GUARANTEE (same theorem, word alphabet): any run of ≥ k + t − 1
+    * words shared verbatim by two texts co-selects a fingerprint at
+    * the same in-span position in both. Word-level sampling is
+    * invariant under any per-word bijection — the property that
+    * keeps duplicate-pair structure exactly proportional when a
+    * corpus is replicated with word-salting (byte windows are not:
+    * salting inflates bytes-per-word, silently shortening the
+    * effective guarantee and blowing up candidate pairs ~270×
+    * per copy at the 100× sweep). */
+  def wordFingerprints(words: Array[String], k: Int = WordGram,
+      t: Int = WordBlock): Array[(Long, Int)] = {
+    val n = words.length
+    if (n < k) return Array.empty
+    val wh = new Array[Long](n)
+    var i = 0
+    while (i < n) { wh(i) = wordHash(words(i)); i += 1 }
+    val m = n - k + 1
+    val hs = new Array[Long](m)
+    var j = 0
+    while (j < m) {
+      var h = 0L
+      var x = 0
+      while (x < k) { h = h * RollingMinHash.B + wh(j + x); x += 1 }
+      hs(j) = h
+      j += 1
+    }
+    select(hs, t)
   }
 }
 

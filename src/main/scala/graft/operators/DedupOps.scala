@@ -306,9 +306,21 @@ object DedupOps {
 
   /** Core of [[containment]]/[[containmentExact]] with an injectable
     * shingle-key function — the probe ⋈ corpus join is keyed on the
-    * 8-byte [[shingleKey]] with the same exact collision split as
-    * [[ngramJaccardKeyed]] (rows under a hash shared by 2+ distinct
-    * strings join on (k, shingle); everything else on k alone). */
+    * 8-byte [[shingleKey]], with an exact collision split like
+    * [[ngramJaccardKeyed]]'s, BUT branched at runtime: `multiK` (the
+    * vocabulary-sized set of hashes carrying 2+ distinct surviving
+    * strings) is materialized once and checked with a driver-side
+    * `isEmpty`. Under a 64-bit key it is empty with probability
+    * ~1−V²/2⁶⁵ — so the common path joins on the bare 8-byte key with
+    * NO anti/semi splits and no union, and only a genuinely colliding
+    * vocabulary (the spec's weak-key fixture) pays the 4-join split.
+    * The unconditional split was a measured 3.3× regression at sf0.1
+    * (1.12 → 3.67 s) for rows that never exist. Measured (round 13,
+    * same harness): 100× corpus 25.2 s vs 36.3 s for the r11
+    * string-keyed window and 96.4 s for the r12 unconditional split —
+    * the 8-byte fast path is the best 100-TB posture of the three;
+    * the check-and-cache pre-job costs ~0.8 s at sf0.1 (1.9 vs 1.12),
+    * the deliberate price of the 1.4× at-scale win. */
   private[graft] def containmentKeyed(sp: SparkSession, docsIn: DataFrame,
       probeK: Option[Int], keyFn: Column => Column): DataFrame = {
     val shAll = shinglesRawFrom(sp, docsIn).distinct()
@@ -349,19 +361,28 @@ object DedupOps {
       .select(col("doc_id").as("doc_a"), col("k"), col("shingle"),
         probeK.map(k => least(col("n_sh"), lit(k.toLong)))
           .getOrElse(col("n_sh")).as("den"))
-    val probeSafe = probe.join(multiK, Seq("k"), "left_anti")
-      .select(col("doc_a"), col("k"), col("den"))
-    val probeColl = probe.join(multiK, Seq("k"), "left_semi")
-    val corpusSafe = sh.join(multiK, Seq("k"), "left_anti")
-      .select(col("doc_id").as("doc_b"), col("k"))
-    val corpusColl = sh.join(multiK, Seq("k"), "left_semi")
-      .select(col("doc_id").as("doc_b"), col("k"), col("shingle"))
-    // a safe probe row's hash is never a collided hash, so the two
-    // mention streams are disjoint per shingle — union, then aggregate
-    val mentions = probeSafe.join(corpusSafe, "k")
-      .select(col("doc_a"), col("doc_b"), col("den"))
-      .union(probeColl.join(corpusColl, Seq("k", "shingle"))
-        .select(col("doc_a"), col("doc_b"), col("den")))
+    // vocab-sized frame; isEmpty is one cheap job over the cached sh —
+    // the only driver action in the op, and it buys back 4 joins + a
+    // union on every real corpus (64-bit xxhash: no collisions)
+    val mentions = if (multiK.isEmpty) {
+      probe.select(col("doc_a"), col("k"), col("den"))
+        .join(sh.select(col("doc_id").as("doc_b"), col("k")), "k")
+        .select(col("doc_a"), col("doc_b"), col("den"))
+    } else {
+      val probeSafe = probe.join(multiK, Seq("k"), "left_anti")
+        .select(col("doc_a"), col("k"), col("den"))
+      val probeColl = probe.join(multiK, Seq("k"), "left_semi")
+      val corpusSafe = sh.join(multiK, Seq("k"), "left_anti")
+        .select(col("doc_id").as("doc_b"), col("k"))
+      val corpusColl = sh.join(multiK, Seq("k"), "left_semi")
+        .select(col("doc_id").as("doc_b"), col("k"), col("shingle"))
+      // a safe probe row's hash is never a collided hash, so the two
+      // mention streams are disjoint per shingle — union, then aggregate
+      probeSafe.join(corpusSafe, "k")
+        .select(col("doc_a"), col("doc_b"), col("den"))
+        .union(probeColl.join(corpusColl, Seq("k", "shingle"))
+          .select(col("doc_a"), col("doc_b"), col("den")))
+    }
     mentions
       .filter(col("doc_a") =!= col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))
@@ -896,21 +917,28 @@ object DedupOps {
     * Jaccard and MinHash miss: two long documents sharing one long
     * verbatim span (quotes, mirrored passages) have low global
     * similarity but must still be caught (Lee et al. 2022,
-    * arXiv:2107.06499 make the training-data case). Winnowing
-    * (functions.Winnowing, SIGMOD'03) samples each document's 50-byte
-    * window hashes down to ~1 per 32 windows with the guarantee that
-    * any byte-identical shared span ≥ 81 bytes yields a co-selected
-    * fingerprint in both documents; docs sharing a fingerprint become
-    * candidates, and each candidate match carries its 50-byte window
-    * CONTENT so verification is a binary equality in the join
-    * condition — every emitted pair provably shares ≥1 verbatim
-    * 50-byte window (precision 1.0 by construction; recall 1.0 for
-    * spans ≥ 81 bytes by the winnowing theorem, gated + spec'd with
-    * planted spans since the testdata corpus shares no spans).
+    * arXiv:2107.06499 make the training-data case — their unit is
+    * the TOKEN run, which this op matches). Token-level winnowing
+    * (functions.Winnowing.wordFingerprints, SIGMOD'03 over the word
+    * alphabet) samples each document's 4-word-gram hashes down to
+    * ~1 per 10 with the guarantee that any word-identical shared
+    * run ≥ 13 words yields a co-selected fingerprint in both
+    * documents; docs sharing a fingerprint become candidates, and
+    * each candidate match carries its 4-word-gram CONTENT so
+    * verification is a string equality in the join condition —
+    * every emitted pair provably shares ≥1 verbatim 4-word run
+    * (precision 1.0 by construction; recall 1.0 for runs ≥ 13 words
+    * by the winnowing theorem, gated + spec'd with planted spans
+    * since the testdata corpus shares no long spans).
     *
-    * Scale shape: fingerprint volume is ~|text|/32 rows per doc; the
+    * Scale shape: fingerprint volume is ~|words|/5 rows per doc; the
     * only shuffle is the fingerprint-key self-join, bounded by the
-    * df cap; no all-pairs product. */
+    * df cap; no all-pairs product. Word-level (vs the previous
+    * byte-window) sampling is invariant under per-word salting, so
+    * candidate volume — and the op's OUTPUT — scales linearly with
+    * a replicated corpus instead of the measured 26,903× out-blowup
+    * the byte windows hit at the 100× sweep (salting inflated
+    * bytes-per-word and silently shortened the effective guarantee). */
   def substringDedup(sp: SparkSession, dir: String): DataFrame =
     substringDedupFrom(sp, Engine.table(sp, dir, "documents"))
 
@@ -920,11 +948,13 @@ object DedupOps {
       .as[(Long, String)]
       .mapPartitions { it =>
         it.flatMap { case (id, text) =>
-          val b = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-          graft.functions.Winnowing.fingerprints(b).iterator.map {
-            case (fp, off) =>
-              val end = math.min(off + graft.functions.Winnowing.Window, b.length)
-              (id, fp, off, java.util.Arrays.copyOfRange(b, off, end))
+          val words = text.split(" ", -1)
+          graft.functions.Winnowing.wordFingerprints(words).iterator.map {
+            case (fp, wi) =>
+              val end = math.min(wi + graft.functions.Winnowing.WordGram,
+                words.length)
+              // off = word offset of the matched gram (span reporting)
+              (id, fp, wi, words.slice(wi, end).mkString(" "))
           }
         }
       }

@@ -851,12 +851,22 @@ object SimilarityOps {
   /** Beam width while building ([[HnswM]]·8 — the paper's
     * efConstruction ≈ 100 regime scaled to the 64-d test corpus). */
   val HnswEfConstruction = 64
-  /** Beam width while searching. Recall@5 rises monotonically with
-    * this knob (the single runtime recall/latency dial HNSW offers).
-    * Operating point chosen from the measured recall/latency curve in
-    * `HNSW_CURVE.json` (swept at the base and 100× ScaleBench corpora
-    * via [[graft.tools.HnswCurve]]) — see that record for the knee. */
-  val HnswEfSearch = 128
+  /** Beam width while searching, a step schedule keyed on the vector
+    * count the op already counts for sharding (like [[lshConfig]]
+    * scales tables/bits). The round-13 curve re-measurement
+    * (`HNSW_CURVE.json`, [[graft.tools.HnswCurve]]) REVERSED the
+    * round-12 premise that ef is a latency dial here: wall is
+    * build-dominated and ef-INSENSITIVE at both measured scales
+    * (2k vectors: 0.93 s at ef=32 vs 0.81 s at ef=128; 200k: 3.09 —
+    * 3.25 s across ef=32..256), so ef is chosen for RECALL alone —
+    * recall@5 at 200k measured 0.62/0.86/0.96/1.00 for
+    * ef=32/64/128/256. Small corpora take 64 (per-shard search is
+    * near-exhaustive there anyway); big corpora take 256, the
+    * measured recall-1.0 point that costs no wall. Latency at small
+    * corpora is instead recovered by the [[HnswMinShardRows]] build-
+    * parallelism floor. */
+  private[graft] def hnswEfFor(n: Long): Int =
+    if (n <= 65536) 64 else 256
 
   /** Target rows per HNSW shard. The shard count is derived from the
     * CORPUS SIZE (ceil(n / this)), not from
@@ -867,6 +877,17 @@ object SimilarityOps {
     * in-memory build (~64 B/row at M=8) regardless of executor count,
     * with shards >> cores so every executor stays busy. */
   val HnswShardRows = 4096
+  /** Small-corpus build-parallelism floor: a corpus under one
+    * [[HnswShardRows]] shard builds ONE graph in ONE task — the
+    * measured sf0.1 wall (0.84 s) was almost entirely that
+    * single-threaded insert loop, not search (ef-insensitive, see
+    * [[hnswEfFor]]). Corpora too small for the 4096-row sizing are
+    * instead split into up to [[HnswSmallShardCap]] shards of at
+    * least this many rows — still derived from n alone (deterministic
+    * output), and per-shard search on a few-hundred-node graph at
+    * ef=64 is near-exhaustive, so the split costs no recall. */
+  val HnswMinShardRows = 256
+  val HnswSmallShardCap = 8
 
   /** ANN top-5 via partition-local HNSW graphs.
     *
@@ -895,13 +916,14 @@ object SimilarityOps {
     * force is gated in DedupSimilaritySpec/QualityGates and re-gated
     * at the 100× corpus in ScaleBench. */
   def annHnsw(sp: SparkSession, dir: String): DataFrame =
-    annHnswWith(sp, dir, HnswEfSearch)
+    annHnswWith(sp, dir, None)
 
   /** [[annHnsw]] with an explicit search beam width — the sweep entry
     * point [[graft.tools.HnswCurve]] uses to record the recall/latency
-    * curve behind the committed [[HnswEfSearch]] operating point. */
+    * curve behind the committed [[hnswEfFor]] step schedule. None =
+    * the schedule (the production path). */
   private[graft] def annHnswWith(sp: SparkSession, dir: String,
-      efSearch: Int): DataFrame = {
+      efSearchOverride: Option[Int]): DataFrame = {
     import sp.implicits._
     val all = vecs(sp, dir)
     val qArr = all.filter(col("vec_id") < 10)
@@ -912,11 +934,15 @@ object SimilarityOps {
         (id, a.map(_ * inv))
       }
     val qB = sp.sparkContext.broadcast(qArr)
-    val (m, efC, efS, k) = (HnswM, HnswEfConstruction, efSearch, 5)
-    // corpus-size-derived shard count (see [[HnswShardRows]]): one
-    // cheap count() job, then a fixed hash partitioning on vec_id
-    val nShards = math.max(1,
-      math.ceil(all.count().toDouble / HnswShardRows).toInt)
+    // corpus-size-derived shard count (see [[HnswShardRows]]) AND
+    // search beam (see [[hnswEfFor]]): one cheap count() job feeds
+    // both, then a fixed hash partitioning on vec_id
+    val nVec = all.count()
+    val (m, efC, efS, k) =
+      (HnswM, HnswEfConstruction, efSearchOverride.getOrElse(hnswEfFor(nVec)), 5)
+    val nShards = math.max(
+      math.ceil(nVec.toDouble / HnswShardRows).toInt,
+      math.min(HnswSmallShardCap, math.max(1L, nVec / HnswMinShardRows).toInt))
     val local = all.select(col("vec_id"), col("v"), col("nrm"))
       .as[(Long, Seq[Double], Double)]
       .repartition(nShards, col("vec_id"))
@@ -1415,11 +1441,14 @@ object SimilarityOps {
     * [[dimProfile]] moment aggregation for per-dim means — ≤ Dim rows
     * ever shuffled — then a broadcast-join of the Dim-row means onto
     * the element stream, partial-agged back to one 16-byte code per
-    * vector); the query scan broadcasts the 10-row query codes and
-    * partial-aggregates the per-partition top-shortlist before the
-    * one query-keyed exchange; re-rank touches [[BinaryShortlist]]
-    * rows per query. At 100 TB the float vectors are read once to
-    * build codes; every search after that reads 16 B/vector.
+    * vector, CACHED — it feeds both the query branch and the scan
+    * side, and its count() sizes the shortlist, so the element pass
+    * runs exactly once); the query scan broadcasts the 10-row query
+    * codes and partial-aggregates the per-partition top-shortlist
+    * before the one query-keyed exchange; re-rank touches
+    * [[BinaryShortlistMin]]-bounded rows per query. At 100 TB the
+    * float vectors are read once to build codes; every search after
+    * that reads 16 B/vector.
     *
     * Fully SQL-oracled (no recall gate needed — the op is exact given
     * its code definition): means run the DECIMAL(18,6) dance, bits
@@ -1443,6 +1472,10 @@ object SimilarityOps {
       .agg((sum(col("x").cast("decimal(18,6)")).cast("double") /
         count(lit(1))).as("mean_x"))
     val pow = expr("shiftleft(CAST(1 AS BIGINT), CAST(dim_idx % 32 AS INT))")
+    // cached: the code table feeds BOTH the query branch and the scan
+    // side of the Hamming join — uncached, the element pass (explode +
+    // means join + pack agg) would run twice, against the docstring's
+    // "float vectors are read once to build codes" contract
     val sigs = elems.join(broadcast(means), "dim_idx")
       .select(col("vec_id"),
         when(col("x") > col("mean_x"), pow).otherwise(lit(0L)).as("p"),
@@ -1450,6 +1483,12 @@ object SimilarityOps {
       .groupBy(col("vec_id"))
       .agg(sum(when(col("lo"), col("p")).otherwise(lit(0L))).as("w0"),
         sum(when(!col("lo"), col("p")).otherwise(lit(0L))).as("w1"))
+      .cache()
+    // one row per vector, so this count() == emb.count() — and it
+    // doubles as the cache materialization, replacing the dedicated
+    // corpus-count job the op used to run just to size the shortlist
+    val shortlistN = math.max(BinaryShortlistMin,
+      math.ceil(sigs.count() * BinaryShortlistFrac).toInt)
     val all = vecsFrom(emb)
     val qsig = sigs.filter(col("vec_id") < 10)
       .join(all, "vec_id")
@@ -1458,8 +1497,6 @@ object SimilarityOps {
     val scored = broadcast(qsig).join(sigs, col("vec_id") =!= col("query_id"))
       .withColumn("hamming",
         expr("CAST(bit_count(w0 ^ q0) + bit_count(w1 ^ q1) AS BIGINT)"))
-    val shortlistN = math.max(BinaryShortlistMin,
-      math.ceil(emb.count() * BinaryShortlistFrac).toInt)
     val hw = Window.partitionBy(col("query_id"))
       .orderBy(col("hamming"), col("vec_id"))
     val short = scored.withColumn("hrank", row_number().over(hw))

@@ -973,14 +973,23 @@ object TextOps {
     * boilerplate-leaning docs).
     *
     * Scale shape: two corpus passes — (1) explode → token-keyed
-    * partial-agg count (vocabulary-sized result, Heaps' law keeps it
-    * broadcastable at 100 TB; above a junk-blown vocab cap the join
-    * falls back to a hash join, same posture as [[bpeTrain]]'s
-    * BpeLocalVocabMax), (2) explode → broadcast-join the per-token
-    * surprisal → doc-keyed partial-agg. The bucket stats are one
-    * scalar aggregate over the doc-level frame (partial-agged, never
-    * wider than one row), broadcast back. Nothing driver-side,
+    * partial-agg count, cached + counted (vocabulary-sized result,
+    * Heaps' law keeps it broadcastable at 100 TB; above
+    * [[BpeLocalVocabMax]] — a junk-blown vocabulary — the surprisal
+    * join drops the broadcast hint and runs as a plain shuffled hash
+    * join, same posture as [[bpeTrain]]'s local-vs-distributed
+    * branch), (2) explode → join the per-token surprisal → doc-keyed
+    * partial-agg. The bucket stats are one scalar aggregate over the
+    * doc-level frame (partial-agged, never wider than one row),
+    * broadcast back. Nothing driver-side beyond the vocab count,
     * nothing wider than the vocabulary.
+    *
+    * Tokenization is `split(text, ' ')` WITHOUT an empty-token
+    * filter, by design: whitespace runs contribute empty-string
+    * tokens to the LM mass, N, and n_tok on BOTH engines (DuckDB
+    * `string_split` keeps empties identically), so oracle parity
+    * holds; a doc that is mostly runs of spaces scoring as repetitive
+    * boilerplate (head bucket) is the intended CCNet-ish behavior.
     *
     * Float parity (fully SQL-oracled): per-token ln c(w) is rounded
     * through DECIMAL(18,6) (a 6-dp-rounded double can never tie —
@@ -994,17 +1003,23 @@ object TextOps {
     perplexityBucketFrom(sp, Engine.table(sp, dir, "documents"))
 
   /** [[perplexityBucket]] over an injected (doc_id, text) frame —
-    * fixture entry point (spec plants hand-computable token counts). */
+    * fixture entry point (spec plants hand-computable token counts
+    * and, via `vocabCap`, forces the over-cap plain-join path). */
   private[graft] def perplexityBucketFrom(sp: SparkSession,
-      docs: DataFrame): DataFrame = {
+      docs: DataFrame, vocabCap: Long = BpeLocalVocabMax): DataFrame = {
     val toks = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+    // cache: lq, consts and the cap count all read this vocab-sized
+    // frame — uncached it would re-run the corpus explode+agg per use
     val vocab = toks.groupBy(col("token")).agg(count(lit(1)).as("c"))
-    val lq = vocab.select(col("token"),
+      .cache()
+    val underCap = vocab.count() <= vocabCap
+    val lq0 = vocab.select(col("token"),
       log(col("c")).cast("decimal(18,6)").as("lq"))
+    val lq = if (underCap) broadcast(lq0) else lq0
     val consts = vocab.agg(
       log(sum(col("c"))).cast("decimal(18,6)").cast("double").as("ln_n"))
-    val doc = toks.join(broadcast(lq), "token")
+    val doc = toks.join(lq, "token")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tok"), sum(col("lq")).cast("double").as("slq"))
     val scored = doc.crossJoin(broadcast(consts))

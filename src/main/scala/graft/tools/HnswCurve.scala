@@ -4,7 +4,7 @@ import graft.{Engine, SparkEntry}
 import org.apache.spark.sql.SparkSession
 
 /** Record the HNSW recall/latency curve behind the committed
-  * `HnswEfSearch` operating point: sweep the search beam width at the
+  * `hnswEfFor` step schedule: sweep the search beam width at the
   * base corpus AND the 100× ScaleBench corpus (recall decays with
   * corpus size at fixed ef, so the operating point must be justified
   * where it is weakest), scoring recall@5 against brute force and
@@ -38,7 +38,7 @@ object HnswCurve {
     def cell(dir: String, ef: Int): (Double, Double) = {
       val bf = pairs(SparkEntry.queries("sim_knn_bruteforce")(spark, dir))
       spark.sharedState.cacheManager.clearCache()
-      def run() = graft.operators.SimilarityOps.annHnswWith(spark, dir, ef)
+      def run() = graft.operators.SimilarityOps.annHnswWith(spark, dir, Some(ef))
       val got = pairs(run())
       val recall =
         if (bf.isEmpty) 1.0 else (got & bf).size.toDouble / bf.size
@@ -70,7 +70,7 @@ object HnswCurve {
     val json = s"""{"m":${graft.operators.SimilarityOps.HnswM},""" +
       s""""ef_construction":${graft.operators.SimilarityOps.HnswEfConstruction},""" +
       s""""shard_rows":${graft.operators.SimilarityOps.HnswShardRows},""" +
-      s""""chosen_ef_search":${graft.operators.SimilarityOps.HnswEfSearch},""" +
+      s""""ef_schedule":"n<=65536:64, else:256 (hnswEfFor)",""" +
       body.mkString(",") + "}"
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), json)
     println(json)

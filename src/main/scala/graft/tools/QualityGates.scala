@@ -133,12 +133,19 @@ object QualityGates {
         if (bf.isEmpty) 1.0 else (ann & bf).size.toDouble / bf.size, th,
         ann.size, bf.size)
     }
-    annRecall("sim_ann_lsh", SimilarityOps.annLsh(sp, dir), 0.2)
-    annRecall("sim_ann_ivf", SimilarityOps.annIvf(sp, dir), 0.3)
+    // thresholds = measured knee minus a margin (round 13; the old
+    // 0.2/0.3/0.25 floors would have let a 4× recall regression pass
+    // silently): lsh measures 0.90 and ivf 0.88 across rounds → gate
+    // at 0.75 (±3 neighbors of headroom on the 50-pair oracle set);
+    // PQ-family measures 0.64-0.74 — quantization loss, not a plan
+    // property — so those gate at measured-minus-~0.1 with the lower
+    // absolute level documented here rather than hidden by a slack gate
+    annRecall("sim_ann_lsh", SimilarityOps.annLsh(sp, dir), 0.75)
+    annRecall("sim_ann_ivf", SimilarityOps.annIvf(sp, dir), 0.75)
     annRecall("sim_ann_pq", SimilarityOps.annPq(sp, dir), 0.55)
     // composed IVF+PQ: bounded above by IVF's pool recall — the PQ
     // stage can only lose candidates the probed lists contain
-    annRecall("sim_ann_ivf_pq", SimilarityOps.annIvfPq(sp, dir), 0.25)
+    annRecall("sim_ann_ivf_pq", SimilarityOps.annIvfPq(sp, dir), 0.6)
     // partition-sharded HNSW: every shard answers every query and the
     // merge is exact, so at oracle SFs (shards of ~60 vectors, beam
     // ef ≥ shard size) the search is near-exhaustive — gate high; the
@@ -471,23 +478,24 @@ object QualityGates {
 
     // ---- dedup_substring vs a driver-side exact recompute on a
     // bounded sample: every pair of the first 40 docs sharing ANY
-    // 81-byte substring must be reported (the winnowing guarantee) —
+    // 13-word run must be reported (the token-winnowing guarantee) —
     // UNLESS every fingerprint backing the span is corpus-wide
     // boilerplate (df > FpDfCap), which the op intentionally drops;
     // the recompute applies the same exclusion so a hot span cannot
     // produce a spurious FAIL at the 1.0 threshold. Precision needs
-    // no gate — window bytes are equality-compared in the join itself.
+    // no gate — gram contents are equality-compared in the join itself.
     val subAll = Engine.table(sp, dir, "documents")
       .select(col("doc_id"), col("text"))
-      .collect().map(r => (r.getLong(0), r.getString(1).getBytes("UTF-8")))
+      .collect().map(r => (r.getLong(0), r.getString(1).split(" ", -1)))
+    val K = graft.functions.Winnowing.WordGram
+    val GuaranteeWords = K + graft.functions.Winnowing.WordBlock - 1
     // independent driver-side winnow of the whole corpus: fingerprint
     // occurrences (for the df cap, counted per occurrence exactly like
-    // the op's groupBy) + window contents
-    val fpsByDoc: Map[Long, Seq[(Long, String)]] = subAll.map { case (id, b) =>
-      id -> graft.functions.Winnowing.fingerprints(b).toSeq.map {
-        case (fp, off) =>
-          val end = math.min(off + graft.functions.Winnowing.Window, b.length)
-          (fp, new String(b, off, end - off, "ISO-8859-1"))
+    // the op's groupBy) + gram contents
+    val fpsByDoc: Map[Long, Seq[(Long, String)]] = subAll.map { case (id, ws) =>
+      id -> graft.functions.Winnowing.wordFingerprints(ws).toSeq.map {
+        case (fp, wi) =>
+          (fp, ws.slice(wi, math.min(wi + K, ws.length)).mkString(" "))
       }
     }.toMap
     val fpDf: Map[Long, Int] = fpsByDoc.values.flatten
@@ -495,10 +503,10 @@ object QualityGates {
     val hotFps: Set[Long] =
       fpDf.collect { case (fp, df) if df > DedupOps.FpDfCap => fp }.toSet
     val subSample = subAll.filter(_._1 < 40)
-    val winSets: Map[Long, Set[String]] = subSample.map { case (id, b) =>
-      id -> (if (b.length < 81) Set.empty[String]
-        else (0 to b.length - 81)
-          .map(i => new String(b, i, 81, "ISO-8859-1")).toSet)
+    val winSets: Map[Long, Set[String]] = subSample.map { case (id, ws) =>
+      id -> (if (ws.length < GuaranteeWords) Set.empty[String]
+        else (0 to ws.length - GuaranteeWords)
+          .map(i => ws.slice(i, i + GuaranteeWords).mkString(" ")).toSet)
     }.toMap
     // surviving (non-hot) fingerprints with their window bytes per doc
     def cool(id: Long): Map[Long, Set[String]] = fpsByDoc(id)
@@ -509,7 +517,7 @@ object QualityGates {
       if ia < ib && (winSets(ia) & winSets(ib)).nonEmpty
       ca = cool(ia); cb = cool(ib)
       // pair demanded only when backed by a surviving co-selected
-      // fingerprint whose 50-byte window contents match
+      // fingerprint whose 4-word-gram contents match
       if (ca.keySet & cb.keySet).exists(fp => (ca(fp) & cb(fp)).nonEmpty)
     } yield (ia, ib)).toSet
     val subGot = DedupOps.substringDedup(sp, dir)

@@ -386,24 +386,14 @@ object ScaleBench {
     * [[graft.Bench.IdleLoadMax]] (a fixed 2.0 since round 12 — the
     * old nproc/8 = 4.0 released round 11's driver bench into visible
     * contention) before the first forked group. */
-  /** (steal, total) jiffies from /proc/stat — hypervisor steal is the
-    * one contention source neither the idle gate (loadAvg sees only
-    * runnable LOCAL threads) nor per-group external-CPU fractions can
-    * see, and this host measurably suffers it in bursts (a sweep
-    * window with ~1.7 cores stolen on average inflated shuffle-heavy
-    * rows 1.5-3× against the same code profiled minutes later). Zero
-    * on bare metal / non-Linux → the recorded pct is just 0. */
-  private def stealSnapshot(): (Long, Long) =
-    scala.util.Try {
-      val parts = scala.io.Source.fromFile("/proc/stat").getLines()
-        .next().trim.split("\\s+").drop(1).map(_.toLong)
-      (if (parts.length > 7) parts(7) else 0L, parts.sum)
-    }.getOrElse((0L, 0L))
-
-  private def stealPct(before: (Long, Long), after: (Long, Long)): Double = {
-    val dt = after._2 - before._2
-    if (dt <= 0) 0.0 else 100.0 * (after._1 - before._1) / dt
-  }
+  // hypervisor-steal measurement: shared [[graft.ProcStat]] reader
+  // (one copy for both harnesses — the round-12 duplicate drifted on
+  // the guest-jiffy double-count). Steal is the one contention source
+  // neither the idle gate (loadAvg sees only runnable LOCAL threads)
+  // nor per-group external-CPU fractions can see, and this host
+  // measurably suffers it in bursts (a sweep window with ~1.7 cores
+  // stolen on average inflated shuffle-heavy rows 1.5-3× against the
+  // same code profiled minutes later). -1 = unavailable.
 
   private def awaitIdle(): Double = {
     val max = graft.Bench.IdleLoadMax
@@ -480,14 +470,14 @@ object ScaleBench {
         forkGroup(first, -1, baseDir, scratch, 0).isRight
       }
     // per-group hypervisor-steal percentage, recorded so a contended
-    // group is visible IN the record (see stealSnapshot)
+    // group is visible IN the record (see graft.ProcStat)
     val groupSteal = scala.collection.mutable.ListBuffer.empty[(Int, Double)]
-    val stealRun0 = stealSnapshot()
+    val stealRun0 = graft.ProcStat.snapshot()
     val results = (if (recallOnly) Seq.empty[String] else Ops.filterNot(skip))
       .grouped(GroupSize).zipWithIndex.flatMap { case (g, i) =>
-        val st0 = stealSnapshot()
+        val st0 = graft.ProcStat.snapshot()
         val out = forkGroup(g, i, baseDir, scratch, reps)
-        val stp = stealPct(st0, stealSnapshot())
+        val stp = graft.ProcStat.stealPctBetween(st0, graft.ProcStat.snapshot())
         groupSteal += ((i, stp))
         if (stp > 2.0) System.err.println(
           f"[scalebench] group $i: hypervisor steal $stp%.1f%% of cpu time")
@@ -562,7 +552,7 @@ object ScaleBench {
         "(nonzero at base) — the N-x measurement exercises no output path"))
 
     def fmt(d: Double) = f"$d%.4f"
-    val stealRunPct = stealPct(stealRun0, stealSnapshot())
+    val stealRunPct = graft.ProcStat.stealPctBetween(stealRun0, graft.ProcStat.snapshot())
     val json = s"""{"copies":$copies,"reps":$reps,"base":"$baseDir","child_mem":"$ChildMem","sacrificial_child":$sacrificed,"idle_waited_s":${fmt(idleWaitedS)},"steal_pct":${fmt(stealRunPct)},"group_steal_pct":[${groupSteal.map(g => fmt(g._2)).mkString(",")}],"rows":{""" +
       rows.map { case (t, (b, x)) => s""""$t":[$b,$x]""" }.mkString(",") +
       s"""},"ops":{""" +

@@ -35,6 +35,33 @@ class CurationSpec extends AnyFunSuite {
       s"buckets: $b1 $b2 $b3")
   }
 
+  test("perplexity bucketing over-cap path drops the broadcast hint and scores identically") {
+    import graft.operators.TextOps
+    import TestSession.spark.implicits._
+    val docs = Seq((1L, "a a a a"), (2L, "a a a a"), (3L, "z q j x"))
+      .toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getString(3)))
+      .sortBy(_._1).toSeq
+    // Disable size-based auto-broadcast so the ONLY thing that can put a
+    // broadcast in the plan is a forced hint — the hint is the 100-TB OOM
+    // hazard (it ignores size); the threshold path self-limits. Inspect
+    // the pre-AQE sparkPlan (AQE may re-broadcast the tiny fixture join).
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val under = TextOps.perplexityBucketFrom(spark, docs) // vocab 5 ≤ cap
+      val over = TextOps.perplexityBucketFrom(spark, docs, vocabCap = 1L)
+      assert(rows(over) == rows(under), "over-cap path diverged from broadcast path")
+      def shuffledJoins(df: org.apache.spark.sql.DataFrame) = {
+        val p = df.queryExecution.sparkPlan.toString
+        Seq("SortMergeJoin", "ShuffledHashJoin").count(p.contains)
+      }
+      assert(shuffledJoins(under) == 0, "under-cap plan shuffled the hinted token join")
+      assert(shuffledJoins(over) > 0, "over-cap plan still broadcasts the surprisal join")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("boilerplate strip is consistent with the detector and conserves paragraphs") {
     import graft.operators.TextOps
     val det = TextOps.boilerplate(spark, sf).collect()

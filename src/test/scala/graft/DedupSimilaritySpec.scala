@@ -383,16 +383,17 @@ class DedupSimilaritySpec extends AnyFunSuite {
   }
 
   test("substring dedup finds planted verbatim spans and nothing else") {
-    // the corpus shares no verbatim spans, so span-dups are PLANTED:
-    // graft a 120-byte span of doc i into doc i+100's text at
-    // doc_id i+300000 (120 ≥ the 81-byte winnowing guarantee)
+    // the corpus shares no long verbatim spans, so span-dups are
+    // PLANTED: graft the first 20 WORDS of doc i into doc i+100's
+    // text at doc_id i+300000 (20 ≥ the 13-word winnowing guarantee)
     val docs = Engine.table(spark, sf, "documents")
       .select(col("doc_id"), col("text"))
-    // sources: the 20 lowest-id docs long enough that their 120-char
-    // prefix is a full-length span (the guarantee needs ≥ 81 bytes)
-    val srcRows = docs.filter(length(col("text")) >= 200)
+    // sources: the 20 lowest-id docs long enough that their 20-word
+    // prefix is a full-length span (the guarantee needs ≥ 13 words)
+    val srcRows = docs.filter(size(split(col("text"), " ")) >= 30)
       .orderBy(col("doc_id")).limit(20)
-      .select(col("doc_id"), substring(col("text"), 1, 120).as("span"))
+      .select(col("doc_id"),
+        array_join(slice(split(col("text"), " "), 1, 20), " ").as("span"))
       .collect()
     assert(srcRows.length == 20, "testdata assumption broken: <20 long docs")
     import spark.implicits._
@@ -413,21 +414,23 @@ class DedupSimilaritySpec extends AnyFunSuite {
     // every planted pair found (winnowing guarantee)
     assert(want.subsetOf(pairs),
       s"missed planted span pairs: ${(want -- pairs).take(5)}")
-    // the synthetic corpus turns out to repeat sentence fragments, so
-    // raw-corpus pairs are legitimate — verify a sample of them
-    // exactly: each reported pair must truly share a verbatim
-    // 50-byte window (precision; the op compares window bytes in the
-    // join, so a failure here would mean fingerprint plumbing broke)
+    // any raw-corpus pairs (repeated sentence fragments) are
+    // legitimate — verify a sample of them exactly: each reported
+    // pair must truly share a verbatim 4-word run (precision; the op
+    // compares gram strings in the join, so a failure here would
+    // mean fingerprint plumbing broke)
     val rawPairs = pairs.filter { case (a, b) => a < 300000L && b < 300000L }
-    assert(rawPairs.nonEmpty, "expected shared fragments in the raw corpus")
+    val K = graft.functions.Winnowing.WordGram
     val texts = docs.filter(col("doc_id") < 500)
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
-    def wins(s: String): Set[String] =
-      if (s.length < 50) Set.empty
-      else (0 to s.length - 50).map(i => s.substring(i, i + 50)).toSet
-    for ((a, b) <- rawPairs.take(10)) {
-      assert((wins(texts(a)) & wins(texts(b))).nonEmpty,
-        s"pair ($a,$b) reported but shares no 50-char window")
+    def grams(s: String): Set[String] = {
+      val ws = s.split(" ", -1)
+      if (ws.length < K) Set.empty
+      else (0 to ws.length - K).map(i => ws.slice(i, i + K).mkString(" ")).toSet
+    }
+    for ((a, b) <- rawPairs.take(10) if texts.contains(a) && texts.contains(b)) {
+      assert((grams(texts(a)) & grams(texts(b))).nonEmpty,
+        s"pair ($a,$b) reported but shares no $K-word run")
     }
   }
 

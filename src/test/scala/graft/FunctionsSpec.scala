@@ -175,6 +175,51 @@ class FunctionsSpec extends AnyFunSuite {
     assert(viaExpr == blobs.map(graft.functions.Mp4Meta.meta))
   }
 
+  test("word winnowing guarantee: a shared 13-word run co-selects a fingerprint") {
+    import graft.functions.Winnowing
+    val G = Winnowing.WordGram + Winnowing.WordBlock - 1 // 13
+    val rnd = new scala.util.Random(7)
+    def vocabWord() = "w" + rnd.nextInt(5000)
+    // 50 trials: plant one G-word run inside two otherwise-unrelated texts
+    for (trial <- 0 until 50) {
+      val span = Array.fill(G)(vocabWord())
+      val a = Array.fill(rnd.nextInt(80) + 20)(vocabWord()) ++ span ++
+        Array.fill(rnd.nextInt(80) + 20)(vocabWord())
+      val b = Array.fill(rnd.nextInt(80) + 20)(vocabWord()) ++ span ++
+        Array.fill(rnd.nextInt(80) + 20)(vocabWord())
+      val fa = Winnowing.wordFingerprints(a).map(_._1).toSet
+      val fb = Winnowing.wordFingerprints(b).map(_._1).toSet
+      assert((fa & fb).nonEmpty, s"trial $trial: planted $G-word run missed")
+    }
+  }
+
+  test("word winnowing selection positions are invariant under per-word salting") {
+    // the 100×-corpus scale property: salting every word (a bijection
+    // on the word alphabet) must not move which POSITIONS are selected
+    // beyond hash relabeling — so dup-pair structure scales exactly
+    // linearly when a corpus is replicated with per-copy word salts.
+    // Positions can differ only when the salt permutes window-min
+    // ARGMINS; assert the per-copy PAIR structure instead: two docs
+    // sharing a planted run still co-select after salting.
+    import graft.functions.Winnowing
+    val G = Winnowing.WordGram + Winnowing.WordBlock - 1
+    val rnd = new scala.util.Random(11)
+    def vocabWord() = "w" + rnd.nextInt(5000)
+    val span = Array.fill(G)(vocabWord())
+    val a = Array.fill(40)(vocabWord()) ++ span ++ Array.fill(40)(vocabWord())
+    val b = Array.fill(40)(vocabWord()) ++ span ++ Array.fill(40)(vocabWord())
+    for (salt <- 1 to 20) {
+      val sa = a.map(_ + "⁅" + salt + "⁆")
+      val sb = b.map(_ + "⁅" + salt + "⁆")
+      val fa = Winnowing.wordFingerprints(sa).map(_._1).toSet
+      val fb = Winnowing.wordFingerprints(sb).map(_._1).toSet
+      assert((fa & fb).nonEmpty, s"salt $salt: shared run lost under salting")
+      // cross-copy grams must be fully disjoint (different salt)
+      val fa2 = Winnowing.wordFingerprints(a.map(_ + "⁅0⁆")).map(_._1).toSet
+      assert((fa & fa2).isEmpty, s"salt $salt: cross-salt fingerprints collide")
+    }
+  }
+
   test("shared k-grams give shared min-hash for near-identical docs") {
     val base = "word " * 200
     val fp1 = RollingMinHash.minHash((base + "tail one").getBytes, 16)
