@@ -104,7 +104,9 @@ object Bench {
     // round-11 additions
     "sim_ann_hnsw", "embed_quantize_int8", "embed_matryoshka_eval",
     // round-12 additions
-    "sim_ann_binary", "text_perplexity_bucket")
+    "sim_ann_binary", "text_perplexity_bucket",
+    // round-13 additions
+    "media_flac_meta", "media_mp3_meta")
 
   val Reps = 5
   /** Extra reps for queries whose 5-rep median is below [[SubSecond]]

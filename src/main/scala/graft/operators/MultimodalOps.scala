@@ -553,7 +553,210 @@ object MultimodalOps {
         // (600 + (doc_id * 37) % 46000) AS duration_ms
     FROM documents"""
 
+  /** Deterministic FLAC stream parameters for doc_id — rates from the
+    * real FLAC ladder; total samples modulo 2³⁴ so the 36-bit field's
+    * high nibble (the part that lives ABOVE the 32-bit boundary) is
+    * nonzero for ids past ~430, exercising the cross-word split. */
+  private val FlacRates =
+    Array(8000, 16000, 22050, 24000, 32000, 44100, 48000, 88200, 96000)
+  private def flacParamsOf(docId: Long): (Int, Int, Int, Long) = {
+    val rate = FlacRates(((docId % 9) + 9).toInt % 9)
+    val channels = 1 + (docId % 8).toInt
+    val bps = 16 + 8 * (docId % 2).toInt
+    val total = 1000L + (docId * 10000019L) % (1L << 34)
+    (rate, channels, bps, total)
+  }
+
+  /** A spec-valid 42-byte FLAC prefix for doc_id: "fLaC" marker + a
+    * last-block STREAMINFO METADATA_BLOCK (header byte 0x80, 3-byte
+    * length 34) laid out exactly per the FLAC format spec — the
+    * interesting part being the BIT-PACKED region at offsets 18-25:
+    * sample rate (20 bits), channels−1 (3), bits-per-sample−1 (5),
+    * total samples (36) share bytes with no alignment, unlike every
+    * other container this family synthesizes. Min/max frame sizes vary
+    * with doc_id so a parser that drifts an offset lands in moving
+    * data. MD5 left zero (integrity is [[crcCheck]]'s concern). */
+  private def synthFlac(docId: Long): Array[Byte] = {
+    val (rate, ch, bps, total) = flacParamsOf(docId)
+    val b = java.nio.ByteBuffer.allocate(42)
+    b.put("fLaC".getBytes("US-ASCII"))
+    b.put(0x80.toByte).put(0.toByte).put(0.toByte).put(34.toByte)
+    b.putShort(4096.toShort).putShort(4096.toShort) // min/max block size
+    val minFrame = 1000 + (docId * 17) % 4000
+    val maxFrame = minFrame + (docId * 29) % 3000
+    def u24(v: Long): Unit =
+      b.put((v >> 16).toByte).put((v >> 8).toByte).put(v.toByte)
+    u24(minFrame); u24(maxFrame)
+    b.put((rate >> 12).toByte)
+    b.put(((rate >> 4) & 0xFF).toByte)
+    b.put((((rate & 0xF) << 4) | ((ch - 1) << 1) | ((bps - 1) >> 4)).toByte)
+    b.put(((((bps - 1) & 0xF) << 4) | ((total >> 32) & 0xF).toInt).toByte)
+    b.putInt((total & 0xFFFFFFFFL).toInt)
+    b.array() // remaining 16 MD5 bytes stay zero
+  }
+
+  /** FLAC STREAMINFO parsing — the first BIT-level parse in the media
+    * family: every other container ([[imageDims]], [[wavMeta]],
+    * [[mp4Meta]]) reads byte-aligned fields, while STREAMINFO packs
+    * sample rate / channels / bits-per-sample / a 36-bit sample count
+    * across byte boundaries, so the parse is shift-and-mask arithmetic
+    * on hex-sliced bytes (div/%, still declarative and codegen'd — no
+    * UDF). The 36-bit total-samples field spans the 32-bit word
+    * boundary: its high nibble joins a 4-byte big-endian read, and the
+    * synth corpus plants totals > 2³² so a parser that drops the high
+    * nibble hash-mismatches. The oracle recomputes every field from
+    * doc_id through the encoder's arithmetic. Scale: row-local
+    * projection, no shuffle. */
+  def flacMeta(sp: SparkSession, dir: String): DataFrame = {
+    import sp.implicits._
+    val blobs = Engine.table(sp, dir, "documents")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(it => it.map(id => (id, synthFlac(id))))
+      .toDF("doc_id", "blob")
+    val hx = upper(hex(col("blob")))
+    // 1-based byte position n (two hex chars per byte), as BIGINT —
+    // be(23,4) reads the low 32 bits of the sample count, which
+    // overflows the imageDims-style int cast
+    def u(pos: Int): Column =
+      conv(substring(hx, (pos - 1) * 2 + 1, 2), 16, 10).cast("long")
+    def be(pos: Int, nBytes: Int): Column =
+      conv(substring(hx, (pos - 1) * 2 + 1, nBytes * 2), 16, 10).cast("long")
+    val isFlac = substring(hx, 1, 8) === "664C6143"
+    blobs.select(col("doc_id"),
+        when(isFlac, lit("flac")).otherwise(lit("unknown")).as("fmt"),
+        // rate = top 20 bits of bytes 18-20 (pos 19, 3 bytes)
+        (be(19, 3) / 16).cast("long").as("sample_rate"),
+        // channels-1 = bits 3-1 of byte 20 (pos 21)
+        ((u(21) / 2).cast("long") % 8 + 1).as("channels"),
+        // bps-1 = lowest bit of byte 20 ‖ top nibble of byte 21
+        ((u(21) % 2) * 16 + (u(22) / 16).cast("long") + 1).as("bits"),
+        // 36-bit total: low nibble of byte 21 is bits 35-32
+        ((u(22) % 16) * lit(4294967296L) + be(23, 4)).as("n_samples"))
+      .withColumn("duration_ms",
+        expr("n_samples * 1000 div sample_rate"))
+  }
+
+  val flacMetaOracle: String = """
+    SELECT doc_id, 'flac' AS fmt,
+      CAST(CASE doc_id % 9 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+        WHEN 2 THEN 22050 WHEN 3 THEN 24000 WHEN 4 THEN 32000
+        WHEN 5 THEN 44100 WHEN 6 THEN 48000 WHEN 7 THEN 88200
+        ELSE 96000 END AS BIGINT) AS sample_rate,
+      CAST(1 + doc_id % 8 AS BIGINT) AS channels,
+      CAST(16 + 8 * (doc_id % 2) AS BIGINT) AS bits,
+      CAST(1000 + (doc_id * 10000019) % 17179869184 AS BIGINT) AS n_samples,
+      CAST((1000 + (doc_id * 10000019) % 17179869184) * 1000
+        // (CASE doc_id % 9 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+            WHEN 2 THEN 22050 WHEN 3 THEN 24000 WHEN 4 THEN 32000
+            WHEN 5 THEN 44100 WHEN 6 THEN 48000 WHEN 7 THEN 88200
+            ELSE 96000 END) AS BIGINT) AS duration_ms
+    FROM documents"""
+
+  /** MPEG-1 Layer III bitrate ladder (kbps), indexed by the header's
+    * 4-bit bitrate field (index 0 = "free" is never synthesized;
+    * index 15 is forbidden by the spec). */
+  private val Mp3Bitrates =
+    Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+  private val Mp3Rates = Array(44100, 48000, 32000)
+  private def mp3ParamsOf(docId: Long): (Int, Int, Int, Int, Int) = (
+    ((docId * 97) % 20000).toInt, // ID3v2 tag payload bytes
+    1 + (docId % 14).toInt,       // bitrate index 1..14
+    (docId % 3).toInt,            // sample-rate index
+    (docId % 2).toInt,            // padding bit
+    (docId % 4).toInt)            // channel mode
+
+  /** An ID3v2.4 tag (10-byte header + doc_id-varying payload) followed
+    * by a spec-valid MPEG-1 Layer III frame header. The tag size is
+    * written SYNCSAFE (7 bits per byte, high bit clear — the ID3 quirk
+    * real MP3 parsers trip on) and ranges to ~20 000, so one, two and
+    * three syncsafe bytes are all exercised. */
+  private def synthMp3(docId: Long): Array[Byte] = {
+    val (tagPad, bIdx, srIdx, pad, mode) = mp3ParamsOf(docId)
+    val b = java.nio.ByteBuffer.allocate(10 + tagPad + 4)
+    b.put("ID3".getBytes("US-ASCII"))
+    b.put(4.toByte).put(0.toByte).put(0.toByte) // v2.4.0, no flags
+    b.put(((tagPad >> 21) & 0x7f).toByte).put(((tagPad >> 14) & 0x7f).toByte)
+    b.put(((tagPad >> 7) & 0x7f).toByte).put((tagPad & 0x7f).toByte)
+    var i = 0
+    while (i < tagPad) { b.put((i % 247).toByte); i += 1 }
+    // frame sync + MPEG-1 + Layer III + no CRC = FF FB
+    b.put(0xFF.toByte).put(0xFB.toByte)
+    b.put(((bIdx << 4) | (srIdx << 2) | (pad << 1)).toByte)
+    b.put((mode << 6).toByte)
+    b.array()
+  }
+
+  /** MP3 metadata — the DATA-DEPENDENT-offset hex parse ([[jpegDims]]
+    * walks markers in a custom expression; here the single hop is
+    * expressible declaratively): decode the ID3v2 SYNCSAFE tag size
+    * (7 bits per byte — a straight be32 read is wrong whenever any
+    * size byte ≥ 0x80, which the ≥128-byte tags the corpus plants
+    * guarantee), jump over the tag with a dynamic-position substring,
+    * then decode the frame header's packed fields and the derived
+    * frame length (144·bitrate/rate + padding — the real decoder
+    * formula, integer div). The oracle recomputes everything from
+    * doc_id. Scale: row-local projection, no shuffle. */
+  def mp3Meta(sp: SparkSession, dir: String): DataFrame = {
+    import sp.implicits._
+    val blobs = Engine.table(sp, dir, "documents")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(it => it.map(id => (id, synthMp3(id))))
+      .toDF("doc_id", "blob")
+    blobs.select(col("doc_id"), upper(hex(col("blob"))).as("hx"))
+      .withColumn("is_id3", expr("substring(hx, 1, 6) = '494433'"))
+      .withColumn("tag_size", expr(
+        "(cast(conv(substring(hx,13,2),16,10) as bigint) % 128) * 2097152 + " +
+        "(cast(conv(substring(hx,15,2),16,10) as bigint) % 128) * 16384 + " +
+        "(cast(conv(substring(hx,17,2),16,10) as bigint) % 128) * 128 + " +
+        " cast(conv(substring(hx,19,2),16,10) as bigint) % 128"))
+      .withColumn("fh",
+        expr("substring(hx, cast((10 + tag_size) * 2 + 1 as int), 8)"))
+      .withColumn("ok",
+        expr("is_id3 and substring(fh, 1, 4) = 'FFFB'"))
+      .withColumn("b2", expr("cast(conv(substring(fh,5,2),16,10) as int)"))
+      .withColumn("b3", expr("cast(conv(substring(fh,7,2),16,10) as int)"))
+      .select(col("doc_id"),
+        when(col("ok"), lit("mp3")).otherwise(lit("unknown")).as("fmt"),
+        col("tag_size"),
+        when(col("ok"), element_at(
+            lit(Mp3Bitrates), expr("cast(b2 div 16 as int) + 1")).cast("long"))
+          .as("bitrate_kbps"),
+        when(col("ok"), element_at(
+            lit(Mp3Rates), expr("cast((b2 div 4) % 4 as int) + 1")).cast("long"))
+          .as("sample_rate"),
+        when(col("ok"), expr(
+            "CASE b3 div 64 WHEN 0 THEN 'stereo' WHEN 1 THEN 'joint_stereo' " +
+            "WHEN 2 THEN 'dual_channel' ELSE 'mono' END"))
+          .as("channel_mode"),
+        expr("(b2 div 2) % 2").cast("long").as("pad"))
+      .withColumn("frame_bytes",
+        expr("144 * bitrate_kbps * 1000 div sample_rate + pad"))
+      .drop("pad")
+  }
+
+  val mp3MetaOracle: String = """
+    WITH p AS (
+      SELECT doc_id,
+        CASE 1 + doc_id % 14
+          WHEN 1 THEN 32 WHEN 2 THEN 40 WHEN 3 THEN 48 WHEN 4 THEN 56
+          WHEN 5 THEN 64 WHEN 6 THEN 80 WHEN 7 THEN 96 WHEN 8 THEN 112
+          WHEN 9 THEN 128 WHEN 10 THEN 160 WHEN 11 THEN 192
+          WHEN 12 THEN 224 WHEN 13 THEN 256 ELSE 320 END AS kbps,
+        CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+          ELSE 32000 END AS rate
+      FROM documents)
+    SELECT doc_id, 'mp3' AS fmt,
+      CAST((doc_id * 97) % 20000 AS BIGINT) AS tag_size,
+      CAST(kbps AS BIGINT) AS bitrate_kbps,
+      CAST(rate AS BIGINT) AS sample_rate,
+      CASE doc_id % 4 WHEN 0 THEN 'stereo' WHEN 1 THEN 'joint_stereo'
+        WHEN 2 THEN 'dual_channel' ELSE 'mono' END AS channel_mode,
+      CAST(144 * kbps * 1000 // rate + doc_id % 2 AS BIGINT) AS frame_bytes
+    FROM p"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "media_flac_meta" -> (flacMeta _),
+    "media_mp3_meta" -> (mp3Meta _),
     "media_crc_check" -> (crcCheck _),
     "media_mp4_meta" -> (mp4Meta _),
     "media_jpeg_dims" -> (jpegDims _),
@@ -565,6 +768,8 @@ object MultimodalOps {
     "media_image_dims" -> (imageDims _))
 
   val oracles: Map[String, String] = Map(
+    "media_flac_meta" -> flacMetaOracle,
+    "media_mp3_meta" -> mp3MetaOracle,
     "media_crc_check" -> crcCheckOracle,
     "media_mp4_meta" -> mp4MetaOracle,
     "media_jpeg_dims" -> jpegDimsOracle,

@@ -31,6 +31,37 @@ class MultimodalSpec extends AnyFunSuite {
     assert(sniffed.forall(_.getString(1) == "unknown"))
   }
 
+  test("FLAC parse splits the 36-bit sample count across the 32-bit boundary") {
+    val rows = MultimodalOps.flacMeta(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getString(1) == "flac", s"doc $id fmt")
+      assert(r.getLong(3) == 1 + id % 8, s"doc $id channels")
+      assert(r.getLong(4) == 16 + 8 * (id % 2), s"doc $id bits")
+      assert(r.getLong(5) == 1000L + (id * 10000019L) % (1L << 34),
+        s"doc $id n_samples")
+    }
+    // the high nibble (bits 35-32) must actually be nonzero somewhere,
+    // or the cross-word split was never exercised
+    assert(rows.exists(_.getLong(5) > (1L << 32)),
+      "corpus planted no sample count above 2^32")
+  }
+
+  test("MP3 parse decodes multi-byte syncsafe tag sizes") {
+    val rows = MultimodalOps.mp3Meta(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getString(1) == "mp3", s"doc $id fmt (sync not found)")
+      assert(r.getLong(2) == (id * 97) % 20000, s"doc $id tag_size")
+    }
+    // a straight be32 read agrees with syncsafe only below 128 — the
+    // corpus must plant sizes that cross the 7- and 14-bit boundaries
+    assert(rows.exists(_.getLong(2) >= 128), "no 2-byte syncsafe size")
+    assert(rows.exists(_.getLong(2) >= 16384), "no 3-byte syncsafe size")
+  }
+
   test("header parse recovers the dims each container encodes") {
     val rows = MultimodalOps.imageDims(spark, sf).collect()
     assert(rows.nonEmpty)
