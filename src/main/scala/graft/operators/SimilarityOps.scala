@@ -1623,16 +1623,29 @@ object SimilarityOps {
     // duplication factor is tables × (flips+1), far too high to score
     // through)
     val flips = math.min(bits, KnnProbeFlips)
-    // hash-spread the probe rows by src BEFORE the candidate join
-    // (pre-explode, so the exchange carries one vector per (vec,
-    // table), not per probe): when the capped bucket side is small
-    // enough that AQE broadcasts it, the join would otherwise inherit
-    // the scan's few-split partitioning and produce every candidate
-    // pair inside one task (measured: 400 MB single-task sorter
-    // allocations, GC-locker stalls, 60+ s wall at 10× where the
-    // spread plan runs 3× faster). Width scales with expected pair
-    // volume (probes × expected occupancy 32, ~5M pairs per task) —
-    // a fixed 32 put ~17M pairs in one task at the 100× corpus.
+    // JOIN-KEY partitioning at pair-volume width (probes × expected
+    // occupancy 32, ~5M pairs per task). The round-12 form spread the
+    // PRE-explode probe rows by src — protection a BROADCAST bucket
+    // join needs (it inherits the probe side's partitioning, and the
+    // scan's few splits put every candidate pair in one task) — but at
+    // corpus scale AQE never broadcasts the capped side, and the
+    // sort-merge join the planner picks instead RE-exchanged both
+    // sides by (tbl, sig) at the static 32-partition width: the
+    // 109-way src spread collapsed into 32 sort-heavy pair-production
+    // tasks and the src exchange became pure overhead. Measured solo
+    // at the 100× corpus (SOLO_sim_knn_graph.json: idle host,
+    // steal < 0.2 %, fingerprint-identical plans): 33.8/63.9/41.4 s —
+    // a 1.9× rep-to-rep spread with NO plan flip and NO contention,
+    // i.e. the memory-pressure-dependent spill behavior of two
+    // multi-GB sorts. So partition BOTH sides on the JOIN KEYS at
+    // `parts` — probe post-explode (the explode must precede its
+    // exchange: a flipped signature lands in another partition),
+    // candidate before the cap window (the window needs the same
+    // (tbl, sig) exchange, so one shuffle serves both it and the
+    // join) — and hint a shuffled-hash join. No sort anywhere in the
+    // join, pair production runs `parts`-wide, and the broadcast
+    // regime keeps its spread (the probe exchange survives either
+    // strategy).
     val pairsPerTask = 5e6
     val parts = math.max(sp.sparkContext.defaultParallelism,
       math.ceil(n.toDouble * tables * (flips + 1) * 32 / pairsPerTask).toInt)
@@ -1640,27 +1653,36 @@ object SimilarityOps {
       .select(col("vec_id").as("src"), col("tbl").as("qtbl"),
         col("sig").as("psig"), col("ord"),
         col("v").as("va"), col("nrm").as("na"))
-      .repartition(parts, col("src"))
       .select(col("src"), col("qtbl"),
         explode(array(col("psig") +:
           (0 until flips).map(q => expr(
             s"psig ^ shiftleft(1L, cast((ord >> ${q * 4}) & 15 as int))")): _*))
           .as("qsig"),
         col("va"), col("na"))
+      .repartition(parts, col("qtbl"), col("qsig"))
     // candidate-side bucket cap ([[KnnBucketCap]]): row_number over a
-    // deterministic hash order + filter is a WindowGroupLimit — Spark
-    // trims each bucket to the cap BEFORE the exchange, so the pass
-    // stays linear even when a duplicate cluster melts into one hot
-    // bucket. The member VECTOR rides along (528 B/row over a
+    // deterministic hash order + filter is a WindowGroupLimit, so the
+    // pass stays linear even when a duplicate cluster melts into one
+    // hot bucket. The member VECTOR rides along (528 B/row over a
     // tables·n-row table — bounded), so scoring can happen inside the
-    // join stage.
+    // join stage. The build side of the shuffled-hash join holds only
+    // this cap-bounded table's partition slice (~total/parts — a few
+    // MB at any scale, since parts grows ∝ n). Known trade: the
+    // explicit repartition blocks the map-side partial WindowGroupLimit
+    // trim, so a melted hot bucket ships untrimmed through this ONE
+    // exchange (it shipped through an exchange of the same table
+    // before too — the trim only helped buckets already over the cap);
+    // the cap still bounds the join work, which is the quadratic
+    // hazard the window exists for.
     val bw = Window.partitionBy(col("tbl"), col("sig"))
       .orderBy(xxhash64(col("dst"), col("tbl"), col("sig")), col("dst"))
     val capped = b.select(col("vec_id").as("dst"), col("tbl"), col("sig"),
         col("v").as("vb"), col("nrm").as("nb"))
+      .repartition(parts, col("tbl"), col("sig"))
       .withColumn("brn", row_number().over(bw))
       .filter(col("brn") <= KnnBucketCap)
       .drop("brn")
+      .hint("shuffle_hash")
     // score INSIDE the join stage, then reduce to narrow rows before
     // anything shuffles again: the earlier distinct-then-join-vectors
     // form shipped two 64-double vectors per candidate pair through

@@ -43,8 +43,14 @@ object SoloProfile {
     "BroadcastNestedLoopJoin", "CartesianProduct",
     "AQEShuffleRead", "skewed=true", "coalesced")
 
-  private def fingerprint(plan: String): Map[String, Int] =
-    Markers.map(m => m -> m.r.findAllIn(plan).length).toMap
+  private def fingerprint(plan: String): Map[String, Int] = {
+    // count only the FINAL adaptive plan — the stringified
+    // AdaptiveSparkPlan carries the initial plan too, which would
+    // double every marker and, worse, hide a flip where the final
+    // differs from the initial in the same way across reps
+    val finalOnly = plan.split("== Initial Plan ==")(0)
+    Markers.map(m => m -> m.r.findAllIn(finalOnly).length).toMap
+  }
 
   private def escape(s: String): String =
     "\"" + s.flatMap {
