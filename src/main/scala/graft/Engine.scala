@@ -86,13 +86,28 @@ object Engine {
 
   /** Register every table as a temp view (idempotent) and return the
     * session, so SQL-shaped queries (subqueries, window functions) can
-    * run through `spark.sql`. */
-  def registerViews(spark: SparkSession, dir: String): SparkSession = {
-    tableNames.foreach { n =>
-      table(spark, dir, n).createOrReplaceTempView(n)
+    * run through `spark.sql`.
+    *
+    * Skips the re-registration when this session's views already point
+    * at `dir` (round 13): every `Engine.sql` query paid 10 fresh
+    * parquet reads (file listing + footer/schema per table) per
+    * invocation just to recreate identical views — a fixed ~0.2 s tax
+    * on each of the three SQL-shaped queries at any scale. Keyed by
+    * session UUID; a dir switch (tests drive several SFs through one
+    * session) re-registers. */
+  private val registeredDir =
+    collection.mutable.Map.empty[String, String]
+  def registerViews(spark: SparkSession, dir: String): SparkSession =
+    registeredDir.synchronized {
+      val key = org.apache.spark.sql.GraftShim.sessionUUID(spark)
+      if (!registeredDir.get(key).contains(dir)) {
+        tableNames.foreach { n =>
+          table(spark, dir, n).createOrReplaceTempView(n)
+        }
+        registeredDir(key) = dir
+      }
+      spark
     }
-    spark
-  }
 
   /** Run a SQL text after registering the per-SF views. */
   def sql(spark: SparkSession, dir: String, text: String): DataFrame = {

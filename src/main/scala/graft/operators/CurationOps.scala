@@ -52,15 +52,23 @@ object CurationOps {
 
   /** Training docs sharing ≥1 word 5-gram with the eval set, with the
     * count of distinct shared grams. */
-  def decontaminate(sp: SparkSession, dir: String): DataFrame = {
-    val grams = gramsOf(sp, dir)
-    val evalGrams = grams.filter(col("source") === EvalSource)
-      .select(col("g")).distinct()
-    grams.filter(col("source") =!= EvalSource)
-      .join(evalGrams, "g")
+  def decontaminate(sp: SparkSession, dir: String): DataFrame =
+    // ONE corpus gram pass (round 13): the old eval-side
+    // `filter → distinct` and train-side filter were two references to
+    // the gram subtree whose distinct is exchange-free (pre-partitioned
+    // by doc_id), so the scan + explode genuinely ran TWICE and the
+    // join exchanged both. A max(in_eval) window over the gram key
+    // replaces the self-join: one exchange on `g`, then the per-doc
+    // count. Row-identical: gram rows are distinct per (doc, g), and
+    // joining against the distinct eval-gram set multiplied by exactly
+    // 1 — same rows as filtering on the flag.
+    gramsOf(sp, dir)
+      .withColumn("in_eval",
+        max(when(col("source") === EvalSource, 1).otherwise(0))
+          .over(Window.partitionBy(col("g"))))
+      .filter(col("source") =!= EvalSource && col("in_eval") === 1)
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shared")) // grams are distinct per doc already
-  }
 
   val decontaminateOracle: String = s"""
     WITH words AS (
@@ -88,20 +96,23 @@ object CurationOps {
     * double division of two exact integers — IEEE division is
     * deterministic, so both engines produce the identical double.
     * Scale: |grams| ≈ corpus words; join keyed on gram text. */
-  def contaminationScore(sp: SparkSession, dir: String): DataFrame = {
-    val grams = gramsOf(sp, dir)
-    val evalGrams = grams.filter(col("source") === EvalSource)
-      .select(col("g")).distinct()
-    val train = grams.filter(col("source") =!= EvalSource)
-    val own = train.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
-    val shared = train.join(evalGrams, Seq("g"))
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
-    own.join(shared, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_grams"),
-        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
-        (coalesce(col("n_shared"), lit(0L)).cast("double") /
+  def contaminationScore(sp: SparkSession, dir: String): DataFrame =
+    // same one-pass window shape as [[decontaminate]] — and here the
+    // numerator (shared grams) and denominator (own grams) fold into
+    // ONE per-doc aggregate, so the old own⋈shared left join (plus its
+    // third corpus-subtree execution) disappears. The flagged sum
+    // equals the join count for the same reason as decontaminate.
+    gramsOf(sp, dir)
+      .withColumn("in_eval",
+        max(when(col("source") === EvalSource, 1L).otherwise(0L))
+          .over(Window.partitionBy(col("g"))))
+      .filter(col("source") =!= EvalSource)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"), sum(col("in_eval")).as("n_shared"))
+      .select(col("doc_id"), col("n_grams"), col("n_shared"),
+        (col("n_shared").cast("double") /
           col("n_grams").cast("double")).as("contamination"))
-  }
+
 
   val contaminationScoreOracle: String = s"""
     WITH words AS (

@@ -497,8 +497,14 @@ object DedupOps {
     // at 100 TB the near-dup vertex set is a small fraction of the
     // lake. Isolated docs get their self-label in ONE final left join,
     // the same tail [[clusterFromStar]] always had.
-    var labels = edges.select(col("src").as("doc_id")).distinct()
-      .select(col("doc_id"), col("doc_id").as("canonical_id"))
+    // seeded with min(self, neighbors) — exactly what round 1 of the
+    // propagation loop below computes from self-labels, so starting
+    // here saves one full join+aggregate round (round 13; components
+    // here converge in 2-3 rounds, so that is a 30-50% round cut)
+    var labels = edges.groupBy(col("src").as("doc_id"))
+      .agg(min(col("dst")).as("mn"))
+      .select(col("doc_id"),
+        least(col("doc_id"), col("mn")).as("canonical_id"))
       .cache()
     val MaxRounds = 64 // diameter bound; convergence usually in 2-3
     var rounds = 0

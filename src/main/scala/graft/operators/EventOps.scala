@@ -774,13 +774,18 @@ object EventOps {
         .agg(min(when(col("cum") >= ceil(col("tot") * lit(0.5)),
           col(valueCol))).as(out))
     }
+    // hourly and withDev are (type × hour)-bounded aggregates that
+    // feed 2-3 consumers each — uncached, every consumer re-scanned
+    // and re-aggregated the events table (round 13; 3-4 scans → 1)
     val hourly = Engine.table(sp, dir, "events")
       .groupBy(col("event_type"),
         unix_timestamp(date_trunc("hour", col("ts"))).as("hour_ts"))
       .agg(count(lit(1)).as("n"))
+      .cache()
     val med = lowerMedian(hourly, "n", "med")
     val withDev = hourly.join(med, "event_type")
       .withColumn("dev", abs(col("n") - col("med")))
+      .cache()
     val mad = lowerMedian(withDev, "dev", "mad")
     withDev.join(mad, "event_type")
       .select(col("event_type"), col("hour_ts"), col("n"), col("med"),

@@ -702,7 +702,15 @@ object MultimodalOps {
       .select(col("doc_id")).as[Long]
       .mapPartitions(it => it.map(id => (id, synthMp3(id))))
       .toDF("doc_id", "blob")
-    blobs.select(col("doc_id"), upper(hex(col("blob"))).as("hx"))
+    // hex only the bytes the parse READS (round 13): the 10-byte ID3
+    // header and the 4-byte frame header after the tag hop — hexing
+    // the whole blob materialized a ~2× tag-sized string per row
+    // (tags run to 20 000 B) that the parse then probed 14 bytes of;
+    // binary substring keeps the dynamic offset, the decoded fields
+    // are byte-identical
+    blobs.select(col("doc_id"),
+        upper(hex(substring(col("blob"), 1, 10))).as("hx"),
+        col("blob"))
       .withColumn("is_id3", expr("substring(hx, 1, 6) = '494433'"))
       .withColumn("tag_size", expr(
         "(cast(conv(substring(hx,13,2),16,10) as bigint) % 128) * 2097152 + " +
@@ -710,7 +718,7 @@ object MultimodalOps {
         "(cast(conv(substring(hx,17,2),16,10) as bigint) % 128) * 128 + " +
         " cast(conv(substring(hx,19,2),16,10) as bigint) % 128"))
       .withColumn("fh",
-        expr("substring(hx, cast((10 + tag_size) * 2 + 1 as int), 8)"))
+        expr("upper(hex(substring(blob, cast(10 + tag_size + 1 as int), 4)))"))
       .withColumn("ok",
         expr("is_id3 and substring(fh, 1, 4) = 'FFFB'"))
       .withColumn("b2", expr("cast(conv(substring(fh,5,2),16,10) as int)"))

@@ -611,9 +611,13 @@ object Relational {
     * rely on AQE's own runtime filter. The probe is a UDF because
     * Spark exposes no public might_contain expression. */
   def joinBloomPrefilter(sp: SparkSession, dir: String): DataFrame = {
+    // cached: referenced three times (the sizing count, the Bloom
+    // build's treeAggregate, and the join) — uncached that is three
+    // scans of orders; the pin is the filtered 2-column projection
     val urgent = t(sp, dir, "orders")
       .filter(col("o_orderpriority") === lit("1-URGENT"))
       .select(col("o_orderkey"), col("o_orderdate"))
+      .cache()
     val bloom = urgent.stat.bloomFilter(
       "o_orderkey", math.max(urgent.count(), 64L), 0.01)
     val bc = sp.sparkContext.broadcast(bloom)

@@ -61,8 +61,13 @@ object SearchOps {
 
     val tf = postings.groupBy(col("doc_id"), col("token"))
       .agg(count(lit(1)).as("tf"))
-    val df = postings.select("doc_id", "token").distinct()
-      .groupBy(col("token")).agg(count(lit(1)).as("df"))
+    // df(t) = |{doc : tf(t,doc) > 0}| = tf's row count per token — the
+    // old `postings.distinct → groupBy(token)` was a SECOND subtree
+    // over the corpus explode (its first-stage aggregate differed from
+    // tf's, so no exchange reuse: the scan+explode ran twice). Derived
+    // from tf, the shared prefix is literally the same subtree and the
+    // corpus is read/exploded/shuffled ONCE (ReusedExchange).
+    val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
     // corpus size as a 1-row broadcast (plan-side, no driver action)
     val n = docs.agg(count(lit(1)).as("n_docs"))
 
@@ -153,8 +158,10 @@ object SearchOps {
       .join(broadcast(qVocab), "token")
     val tf = postings.groupBy(col("doc_id"), col("token"))
       .agg(count(lit(1)).as("tf"))
-    val dfx = postings.select("doc_id", "token").distinct()
-      .groupBy(col("token")).agg(count(lit(1)).as("df"))
+    // same single-corpus-pass derivation as [[tfidfTopK]]: df = tf's
+    // per-token row count, sharing tf's exchange instead of a second
+    // distinct subtree over the corpus explode
+    val dfx = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
     val dl = docs.select(col("doc_id"),
       (length(col("text")) - length(replace(col("text"), lit(" "), lit(""))) + 1)
         .cast("long").as("dl"))

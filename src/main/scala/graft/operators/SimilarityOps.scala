@@ -312,7 +312,8 @@ object SimilarityOps {
     * unchanged; the probed fraction stays ~¼ of the corpus at every
     * scale while the finer quantization keeps candidates local. The
     * count() is one cheap aggregate job (a table stat at 100 TB). */
-  private def ivfRouting(sp: SparkSession, dir: String)
+  private def ivfRouting(sp: SparkSession, dir: String,
+      sampleIn: Array[Array[Double]] = null)
       : (DataFrame, DataFrame, Long) = {
     import sp.implicits._
     val all = vecs(sp, dir)
@@ -336,7 +337,10 @@ object SimilarityOps {
     // (at quantizer sizes beyond ~3k lists, raise the sample cap or
     // train hierarchically — the 10k cap keeps ≥3 points per list up
     // to k ≈ 3000, i.e. corpora to ~10⁸ vectors at the √N law).
-    val sample = lloydSample(sp, all, "graft.ivf.sampleMod", k)
+    // `sampleIn` lets a composed op (annIvfPq) hand in the one sample
+    // it already collected — identical rows, one sample job fewer.
+    val sample = if (sampleIn != null) sampleIn
+      else lloydSample(sp, all, "graft.ivf.sampleMod", k)
     // SPHERICAL k-means: the ANN metric is cosine, so the quantizer
     // clusters UNIT vectors — Euclidean Voronoi cells on the sphere
     // are exactly cosine Voronoi cells. Clustering the raw
@@ -610,11 +614,13 @@ object SimilarityOps {
     * deterministic hash sample (same posture as the IVF quantizer —
     * codebook training never reads the full corpus). Returns
     * books(m)(k) = centroid array of subspace m. */
-  private def pqCodebooks(sp: SparkSession, dir: String): Array[Array[Array[Double]]] = {
+  private def pqCodebooks(sp: SparkSession, dir: String,
+      sampleIn: Array[Array[Double]] = null): Array[Array[Array[Double]]] = {
     // ONE bounded sample collect feeds all M subspace codebooks —
     // the prior shape (8 sequential MLlib fits over the same sample)
     // spent ~19 s of pure job-scheduling overhead at any SF
-    val sample = lloydSample(sp, vecs(sp, dir), "graft.pq.sampleMod", PqK)
+    val sample = if (sampleIn != null) sampleIn
+      else lloydSample(sp, vecs(sp, dir), "graft.pq.sampleMod", PqK)
     (0 until PqM).map { m =>
       val sub = sample.map(v =>
         java.util.Arrays.copyOfRange(v, m * PqSub, (m + 1) * PqSub))
@@ -798,8 +804,18 @@ object SimilarityOps {
     * second k-means sweep at this code budget. Approximate →
     * recall-gated (QualityGates + ScaleBench), no SQL oracle. */
   def annIvfPq(sp: SparkSession, dir: String): DataFrame = {
-    val (assigned, qProbes, nVecs) = ivfRouting(sp, dir)
-    val books = pqCodebooks(sp, dir)
+    // the IVF and PQ trainers draw the SAME deterministic hash sample
+    // whenever their mod knobs agree (they default equal): collect it
+    // once and hand it to both — one sample scan+sort job fewer per
+    // invocation, identical rows, so lists/codes are bit-unchanged.
+    // (ivfRouting normalizes its copy itself; pq trains on raw.)
+    val shared =
+      if (sp.conf.getOption("graft.ivf.sampleMod").getOrElse("4") ==
+          sp.conf.getOption("graft.pq.sampleMod").getOrElse("4"))
+        lloydSample(sp, vecs(sp, dir), "graft.ivf.sampleMod", PqK)
+      else null
+    val (assigned, qProbes, nVecs) = ivfRouting(sp, dir, shared)
+    val books = pqCodebooks(sp, dir, shared)
     // 2× the standalone-PQ shortlist fraction: the composed op's ADC
     // scores only the probed half of the corpus, so the re-rank is
     // still bounded by the same corpus fraction — and the extra width
@@ -1354,6 +1370,15 @@ object SimilarityOps {
       df.withColumn(s"cos_$d", dot(qp, vp) /
         (sqrt(dot(qp, qp)) * sqrt(dot(vp, vp))))
     }
+      // narrow (ids + one cosine per prefix, no vectors) and cached:
+      // the frame feeds one rank window PER prefix plus the recall
+      // join/count — uncached, the |q|×corpus scoring pass (4 prefix
+      // dots per pair) re-executed per consumer (round-13 plan audit:
+      // 36 parquet scans in the uncached initial plan). |q|·n rows of
+      // 6 numbers — the knnBruteForce-class bounded pin.
+      .select(col("query_id") +: col("vec_id") +:
+        MatryoshkaDims.map(d => col(s"cos_$d")): _*)
+      .cache()
     val full = MatryoshkaDims.last
     val tops = MatryoshkaDims.map { d =>
       val w = Window.partitionBy(col("query_id"))
@@ -1995,12 +2020,15 @@ object SimilarityOps {
         }
         if (any) Iterator.single(acc) else Iterator.empty
       }
-      val agg = partials.toDF("value")
-        .select(posexplode(col("value")).as(Seq("p", "u")))
-        .groupBy(col("p")).agg(sum(col("u")).as("su"))
-        .collect()
+      // driver-side partial sum (the logregFit round-13 move): one
+      // bounded collect of ≤ #partitions accumulator arrays replaces a
+      // per-sweep posexplode + groupBy shuffle stage. Long addition is
+      // exact and order-free → centroid trajectory bit-identical.
       val acc = new Array[Long](kk * d + kk + 1)
-      agg.foreach(r => acc(r.getInt(0)) = r.getLong(1))
+      partials.collect().foreach { a =>
+        var p = 0
+        while (p < acc.length) { acc(p) += a(p); p += 1 }
+      }
       inertias(t) = Exact.q6decToDouble(acc(kk * d + kk))
       cents = Array.tabulate(kk) { j =>
         val cnt = acc(kk * d + j)
@@ -2111,18 +2139,30 @@ object SimilarityOps {
     * how expensive the graph build was. */
   def graphCentralityFrom(sp: SparkSession, edges: DataFrame,
       nodes: DataFrame): DataFrame = {
-    import sp.implicits._
     val n = nodes.count()
+    // Round-13 note: two restructurings were tried here and measured
+    // SLOWER at sf0.1, so only the quantization changed:
+    //  - attaching deg to the EDGE table turned one big-table join per
+    //    sweep into two (1.84 → 2.3 s);
+    //  - carrying the node set in `ranks` itself (dropping the
+    //    per-sweep `nodes` re-scan) references the previous sweep's
+    //    subtree TWICE per sweep — the logical plan doubles per
+    //    iteration and analysis cost explodes; the nodes re-scan is
+    //    what keeps lineage growth LINEAR in sweep count.
+    // The per-contribution quantization is now the DECLARATIVE decimal
+    // cast (bit-identical to Exact.q6dec by construction — q6dec IS the
+    // double→DECIMAL(18,6) cast twin), so a sweep stays inside
+    // WholeStageCodegen instead of crossing a typed-map serialization
+    // boundary (guide §4.1).
     val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     val base = (1.0 - CentDamp) / n
     var ranks = nodes.withColumn("r", lit(1.0 / n))
     for (_ <- 0 until CentIters) {
       val contribs = ranks
         .join(outdeg, ranks("vec_id") === outdeg("src"))
-        .select(col("src"), (col("r") / col("deg")).as("c"))
-        .as[(Long, Double)]
-        .map { case (src, c) => (src, Exact.q6dec(c)) }
-        .toDF("src", "cq")
+        .select(col("src"),
+          expr("cast(cast(r / deg as decimal(18,6)) * 1000000 as bigint)")
+            .as("cq"))
       val sums = edges.join(contribs, "src")
         .groupBy(col("dst")).agg(sum(col("cq")).as("s"))
       ranks = nodes

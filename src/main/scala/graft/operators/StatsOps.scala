@@ -290,8 +290,12 @@ object StatsOps {
     * headroom: |c·M| ≤ N·M ≤ n² docs² — safe below ~3·10⁹ docs, ANSI
     * fails loudly beyond. */
   def ksDrift(sp: SparkSession, dir: String): DataFrame = {
+    // cached: the (source × n_chars)-bounded distribution feeds FIVE
+    // consumers (sources, values, grand, per-value cum, and the grid
+    // join) — uncached each re-scanned documents (round 13: 5 → 1)
     val counts = Engine.table(sp, dir, "documents")
       .groupBy(col("source"), col("n_chars")).agg(count(lit(1)).as("n"))
+      .cache()
     val sources = counts.groupBy(col("source")).agg(sum(col("n")).as("n_s"))
     val values = counts.select(col("n_chars")).distinct()
     val grand = counts.agg(sum(col("n")).as("tot"))

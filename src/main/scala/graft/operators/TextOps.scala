@@ -142,6 +142,10 @@ object TextOps {
       .withColumn("n_stop", (occ(padded, "the") + occ(padded, "a")).cast("long"))
       .select(col("doc_id"), col("source"),
         (col("n_stop").cast("double") / col("n_tokens")).as("score"))
+      // cached: feeds the distribution aggregate AND the join-back —
+      // uncached, the text scan + stopword replace-and-measure ran
+      // twice (round 13). One narrow row per doc, the sigs-cache class.
+      .cache()
     val wCum = Window.partitionBy(col("source")).orderBy(col("score"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val wAll = Window.partitionBy(col("source"))
@@ -260,9 +264,13 @@ object TextOps {
       .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
       .filter(length(col("token")) >= 2)
       .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
-    val df = Engine.table(sp, dir, "documents")
-      .select(explode(array_distinct(split(col("text"), " "))).as("token"))
-      .groupBy(col("token")).agg(count(lit(1)).as("df"))
+    // df derived from tf (round 13): tf has exactly one row per
+    // (doc, token), so its per-token row count IS the document
+    // frequency for every token tf can join — the old array_distinct
+    // explode was a second full corpus pass whose extra coverage
+    // (length-1 tokens) never survives the join. Shares tf's exchange
+    // via ReusedExchange: the corpus is read and exploded ONCE.
+    val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("tf").desc, col("df").asc, col("token").asc)
     tf.join(df, "token")
@@ -325,8 +333,15 @@ object TextOps {
       // every later shuffle carry 16 bytes, not the paragraph text
       .select(col("doc_id"), md5(col("para").cast("binary")).as("ph"))
       .distinct()
-    val df = paras.groupBy(col("ph")).agg(count(lit(1)).as("df"))
-    paras.join(df, "ph")
+    // df via ONE window exchange on the hash (round 13): `paras` is
+    // distinct per (doc_id, ph), so count().over(ph) IS the per-
+    // paragraph document frequency — the old groupBy(ph) + join-back
+    // referenced the paras subtree twice (scan + explode ran twice)
+    // and exchanged the stream for the join anyway. Same trick as
+    // [[graft.operators.DedupOps.containmentKeyed]]'s window-df.
+    paras
+      .withColumn("df", count(lit(1))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy(col("ph"))))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_paras"),
         sum(when(col("df") > BoilerDfCap, 1L).otherwise(0L))
