@@ -501,11 +501,12 @@ object DedupOps {
     // propagation loop below computes from self-labels, so starting
     // here saves one full join+aggregate round (round 13; components
     // here converge in 2-3 rounds, so that is a 30-50% round cut)
-    var labels = edges.groupBy(col("src").as("doc_id"))
+    var pinned = edges.groupBy(col("src").as("doc_id"))
       .agg(min(col("dst")).as("mn"))
       .select(col("doc_id"),
         least(col("doc_id"), col("mn")).as("canonical_id"))
       .cache()
+    var labels = pinned
     val MaxRounds = 64 // diameter bound; convergence usually in 2-3
     var rounds = 0
     var converged = false
@@ -513,15 +514,25 @@ object DedupOps {
       rounds += 1
       val viaNbr = edges.join(labels, edges("dst") === labels("doc_id"))
         .select(col("src").as("doc_id"), col("canonical_id"))
-      val next = labels.select(col("doc_id"), col("canonical_id")).union(viaNbr)
-        .groupBy(col("doc_id")).agg(min(col("canonical_id")).as("canonical_id"))
+      // the round's OLD label rides the union as a marked column, so
+      // the convergence check is a filter over the cached aggregate —
+      // the pre-round-13 form re-joined next against labels every
+      // round just to recover the value this aggregate already saw.
+      // Every group has an own-row (viaNbr's sources are exactly the
+      // label keys — edges are symmetrized), so `old` is never null.
+      val next = labels.select(col("doc_id"), col("canonical_id"),
+          lit(true).as("own"))
+        .union(viaNbr.select(col("doc_id"), col("canonical_id"),
+          lit(false).as("own")))
+        .groupBy(col("doc_id"))
+        .agg(min(col("canonical_id")).as("canonical_id"),
+          min(when(col("own"), col("canonical_id"))).as("old"))
         .cache()
       // min-propagation only ever decreases a label
-      val changed = next
-        .join(labels.withColumnRenamed("canonical_id", "old"), "doc_id")
-        .filter(col("canonical_id") < col("old")).count()
-      labels.unpersist()
-      labels = next
+      val changed = next.filter(col("canonical_id") < col("old")).count()
+      pinned.unpersist()
+      pinned = next
+      labels = next.select(col("doc_id"), col("canonical_id"))
       converged = changed == 0
     }
     // fail loudly rather than return partial labels: a component with
@@ -577,6 +588,12 @@ object DedupOps {
         greatest(col("doc_a"), col("doc_b")).as("hi"))
       .filter(col("lo") =!= col("hi"))
       .distinct().localCheckpoint(true)
+    // edge count threaded through the loop (round 13): each round's
+    // convergence check used to re-count the PREVIOUS round's edge set
+    // — a job whose answer was already in hand as last round's
+    // next.count(). One count on the checkpointed seed, then one per
+    // round instead of two.
+    var edgeCount = edges.count()
     val MaxRounds = 32 // ≥ 2·log₂ of any feasible component size
     var rounds = 0
     var converged = false
@@ -606,9 +623,10 @@ object DedupOps {
       // fixed point: the canonical edge set stopped changing (set
       // equality via count + one-sided except — both shrink-phase
       // cheap, and the usual exit is after ~log rounds)
-      converged = next.count() == edges.count() &&
-        next.exceptAll(edges).isEmpty
+      val nextCount = next.count()
+      converged = nextCount == edgeCount && next.exceptAll(edges).isEmpty
       edges = next
+      edgeCount = nextCount
     }
     require(converged,
       s"star connected-components did not converge in $MaxRounds rounds")
@@ -745,14 +763,15 @@ object DedupOps {
     * verify path — a scan + row-local explode, cheaper and flatter than
     * evicting/refetching a corpus-sized cache. */
   def minhashLsh(sp: SparkSession, dir: String): DataFrame = {
-    // Distinct hashed shingles serve BOTH paths: min() over distinct
-    // equals min() over raw (signature agg), and verification needs set
-    // semantics anyway. The distinct is exchange-free — shinglesRaw
-    // pre-partitions by doc_id, and HashPartitioning(doc_id) satisfies
-    // the (doc_id, shingle) clustering.
+    // Raw hashed shingles (with duplicates). The signature aggregate
+    // reads them UNDEDUPED — min() per permutation over a multiset
+    // equals min() over its set, so the old shared distinct was pure
+    // overhead on this path (one corpus-sized hash aggregate, round
+    // 13). Verification still needs set semantics, but only for
+    // CANDIDATE docs — its distinct moved below the semi-join, where
+    // the stream is candidate-bounded instead of corpus-sized.
     def sh = shinglesRaw(sp, dir)
       .select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
-      .distinct()
     // one row per doc: the only corpus-wide pin, 64 longs + id per row
     val sigs = sh.groupBy(col("doc_id"))
       .agg(minhashSig(col("shingle")).as("sig"))
@@ -781,8 +800,11 @@ object DedupOps {
     val candIds = cands
       .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
     // bounded by the candidate set, used three times below (sizes + the
-    // two sides of the intersection join) — pin THIS, not the corpus
-    val shCand = sh.join(candIds, "doc_id", "left_semi").cache()
+    // two sides of the intersection join) — pin THIS, not the corpus.
+    // distinct AFTER the semi-join: same set either way (the semi-join
+    // keeps whole rows), but the dedup aggregate now runs over the
+    // candidate-bounded stream, not the corpus
+    val shCand = sh.join(candIds, "doc_id", "left_semi").distinct().cache()
     val sizes = shCand.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val inter = cands
       .join(shCand.as("xa"), col("xa.doc_id") === col("doc_a"))
@@ -815,9 +837,11 @@ object DedupOps {
     * emit (restricted to cross-side), which is what the quality gate
     * checks against the exact cross-side n-gram Jaccard twin. */
   def minhashLshIncremental(sp: SparkSession, dir: String): DataFrame = {
+    // same two round-13 moves as [[minhashLsh]]: signatures read the
+    // raw (undeduped) hash stream — min is multiset-insensitive — and
+    // the verify-path distinct runs after the candidate semi-join
     def sh = shinglesRaw(sp, dir)
       .select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
-      .distinct()
     val srcTag = Engine.table(sp, dir, "documents")
       .select(col("doc_id"),
         (col("source") === IncrementalBatchSource).as("is_new"))
@@ -840,7 +864,7 @@ object DedupOps {
       .cache()
     val candIds = cands
       .select(explode(array(col("new_id"), col("ref_id"))).as("doc_id"))
-    val shCand = sh.join(candIds, Seq("doc_id"), "left_semi").cache()
+    val shCand = sh.join(candIds, Seq("doc_id"), "left_semi").distinct().cache()
     val sizes = shCand.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val inter = cands
       .join(shCand.as("xa"), col("xa.doc_id") === col("new_id"))

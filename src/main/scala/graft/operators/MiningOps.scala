@@ -183,8 +183,13 @@ object MiningOps {
     val cAb = bigrams.groupBy(col("token"), col("next"))
       .agg(count(lit(1)).as("c_ab"))
       .filter(col("c_ab") >= CollocMinSupport)
-    val cA = toks.groupBy(col("token")).agg(count(lit(1)).as("c_a"))
-    val n = toks.agg(count(lit(1)).as("n_tokens"))
+    // cached: vocabulary-sized (one row per distinct token — a bounded
+    // pin, not a corpus stream), referenced three times below (both
+    // unigram join sides + the total). n_tokens = Σ c_a exactly —
+    // summing the pinned unigram aggregate replaces what was a THIRD
+    // scan+explode of the corpus (round 13)
+    val cA = toks.groupBy(col("token")).agg(count(lit(1)).as("c_a")).cache()
+    val n = cA.agg(sum(col("c_a")).as("n_tokens"))
     cAb
       .join(cA, Seq("token"))
       .join(cA.select(col("token").as("next"), col("c_a").as("c_b")),

@@ -394,18 +394,27 @@ object TextOps {
     val hot = occ.select(col("doc_id"), col("ph")).distinct()
       .groupBy(col("ph")).agg(count(lit(1)).as("df"))
       .filter(col("df") > BoilerDfCap).select(col("ph"))
-    val kept = occ.join(hot, Seq("ph"), "left_anti")
-    val totals = occ.groupBy(col("doc_id")).agg(count(lit(1)).as("n_total"))
-    val cleaned = kept.groupBy(col("doc_id")).agg(
-      count(lit(1)).as("n_kept"),
-      array_join(transform(
-        array_sort(collect_list(struct(col("idx"), col("para")))),
-        x => x("para")), " ").as("clean_text"))
-    totals.join(cleaned, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("clean_text"), lit("")).as("clean_text"),
-        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-        (col("n_total") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+    // ONE reconstruction pass (round 13): the old kept/totals/cleaned
+    // trio referenced the uncached occ subtree three times — three
+    // scan+explode runs — and finished with a totals⋈cleaned join.
+    // Joining the (tiny, distinct-per-ph) hot set as a left-join FLAG
+    // instead of an anti-join keeps every occurrence row, so totals,
+    // kept-count and the ordered reconstruction fold into a single
+    // groupBy(doc_id): collect_list skips the when()-nulled hot rows,
+    // count(when) counts the survivors. Two corpus passes total (df +
+    // reconstruction), no corpus-sized cache, row-identical output
+    // (hot has one row per ph, so the left join multiplies by exactly
+    // 1; an all-boilerplate doc gets an empty collect_list → "").
+    occ.join(hot.withColumn("is_hot", lit(true)), Seq("ph"), "left")
+      .groupBy(col("doc_id")).agg(
+        count(lit(1)).as("n_total"),
+        count(when(col("is_hot").isNull, lit(1))).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(when(col("is_hot").isNull,
+            struct(col("idx"), col("para"))))),
+          x => x("para")), " ").as("clean_text"))
+      .select(col("doc_id"), col("clean_text"), col("n_kept"),
+        (col("n_total") - col("n_kept")).as("n_removed"))
   }
 
   val boilerplateStripOracle: String = s"""
