@@ -45,6 +45,19 @@ object Engine {
       // sort-based aggregation (set here once — operators must not
       // mutate shared-session conf per call)
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1000000")
+      // allow the planner to pick a shuffled-hash join when its size
+      // conditions hold instead of defaulting to sort-merge (round 13):
+      // the hot dedup joins are fixed-width hash-keyed streams where
+      // SHJ skips two sorts; the build side stays bounded (df caps,
+      // candidate caps). The AQE threshold additionally converts an
+      // SMJ to SHJ at runtime when every post-shuffle build partition
+      // is under 64 MB — bounded memory at any scale since partition
+      // counts grow with input under AQE. Both env-overridable for
+      // cluster tuning.
+      .config("spark.sql.join.preferSortMergeJoin",
+        sys.env.getOrElse("SPARK_GRAFT_PREFER_SMJ", "false"))
+      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_SHJ_LOCALMAP_MAX", "64m"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -63,7 +76,27 @@ object Engine {
     *  - MICROS without UTC adjustment arrives as TIMESTAMP_NTZ; the
     *    session timezone is pinned to UTC, so a cast to TimestampType
     *    is epoch-identical (no wall-clock shift). */
+  /** Memoized per (session, dir, table): building a parquet DataFrame
+    * pays directory listing + footer/schema reads every time, and hot
+    * operators call `table` for the same inputs on every invocation —
+    * a pure fixed tax (round 13; the same round's registerViews skip,
+    * for the SQL-shaped queries, measured ~0.2 s/query from the same
+    * cause). The cached value is a LOGICAL PLAN, not data — every
+    * action still reads the parquet files — so bench/oracle runs keep
+    * computing from the inputs. Input dirs are write-once in every
+    * harness (testdata is immutable; spec fixtures build fresh temp
+    * dirs; ScaleBench's derive is create-if-absent), which is what
+    * makes reusing the file listing sound. */
+  private val tableCache =
+    collection.mutable.Map.empty[(String, String, String), DataFrame]
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    tableCache.synchronized {
+      tableCache.getOrElseUpdate(
+        (org.apache.spark.sql.GraftShim.sessionUUID(spark), dir, name),
+        buildTable(spark, dir, name))
+    }
+
+  private def buildTable(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
       import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
       import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}

@@ -1043,9 +1043,14 @@ object TextOps {
     val lq = if (underCap) broadcast(lq0) else lq0
     val consts = vocab.agg(
       log(sum(col("c"))).cast("decimal(18,6)").cast("double").as("ln_n"))
+    // cached: one narrow row per doc (id + 2 numbers) — the z-score
+    // stats aggregate AND the final bucket projection both read it;
+    // uncached, the second corpus pass (explode + surprisal join +
+    // doc aggregate) ran TWICE per invocation (round 13)
     val doc = toks.join(lq, "token")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tok"), sum(col("lq")).cast("double").as("slq"))
+      .cache()
     val scored = doc.crossJoin(broadcast(consts))
       .select(col("doc_id"), col("n_tok"),
         (col("ln_n") - col("slq") / col("n_tok")).as("nll"))

@@ -51,10 +51,25 @@ class CurationSpec extends AnyFunSuite {
     try {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       val under = TextOps.perplexityBucketFrom(spark, docs) // vocab 5 ≤ cap
+      val underRows = rows(under)
+      // drop the under-cap run's cached per-doc frame before building
+      // the over-cap variant: cache lookup canonicalizes hints away,
+      // so without this the over-cap plan would silently reuse the
+      // broadcast run's cached join and the probe below would see no
+      // join at all
+      spark.sharedState.cacheManager.clearCache()
       val over = TextOps.perplexityBucketFrom(spark, docs, vocabCap = 1L)
-      assert(rows(over) == rows(under), "over-cap path diverged from broadcast path")
+      assert(rows(over) == underRows, "over-cap path diverged from broadcast path")
+      // the per-doc frame is cached (round 13), so the token⋈surprisal
+      // join lives inside an InMemoryRelation — recurse through cached
+      // plans or the probe sees only the post-cache slice
       def shuffledJoins(df: org.apache.spark.sql.DataFrame) = {
-        val p = df.queryExecution.sparkPlan.toString
+        def planStr(p: org.apache.spark.sql.execution.SparkPlan): String =
+          p.toString + p.collect {
+            case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+              planStr(s.relation.cachedPlan)
+          }.mkString
+        val p = planStr(df.queryExecution.sparkPlan)
         Seq("SortMergeJoin", "ShuffledHashJoin").count(p.contains)
       }
       assert(shuffledJoins(under) == 0, "under-cap plan shuffled the hinted token join")
