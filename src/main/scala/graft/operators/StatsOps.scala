@@ -293,8 +293,14 @@ object StatsOps {
     // cached: the (source × n_chars)-bounded distribution feeds FIVE
     // consumers (sources, values, grand, per-value cum, and the grid
     // join) — uncached each re-scanned documents (round 13: 5 → 1)
+    // coalesce(1) before the pin: the distribution is a few thousand
+    // rows feeding global-order windows (single-partition by design) —
+    // leaving it at shuffle-partition width made every one of the five
+    // tiny downstream stages schedule 32 near-empty tasks against the
+    // cache (measured 2× the op's wall at sf0.1, round 13)
     val counts = Engine.table(sp, dir, "documents")
       .groupBy(col("source"), col("n_chars")).agg(count(lit(1)).as("n"))
+      .coalesce(1)
       .cache()
     val sources = counts.groupBy(col("source")).agg(sum(col("n")).as("n_s"))
     val values = counts.select(col("n_chars")).distinct()
