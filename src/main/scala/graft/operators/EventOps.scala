@@ -284,8 +284,12 @@ object EventOps {
     * cartesian shape at any scale. */
   def funnel(sp: SparkSession, dir: String): DataFrame = {
     val ev = Engine.table(sp, dir, "events")
+    // cached: one row per clicking user — the conversion join AND the
+    // final left join both read it; uncached, the events scan + filter
+    // + aggregate ran twice (round 13)
     val firstClick = ev.filter(col("event_type") === "click")
       .groupBy(col("user_id")).agg(min(unix_millis(col("ts"))).as("fc_ms"))
+      .cache()
     val conv = ev.filter(col("event_type") === "purchase")
       .select(col("user_id"), unix_millis(col("ts")).as("p_ms"))
       .join(firstClick, "user_id")
@@ -326,8 +330,13 @@ object EventOps {
     * engines ([[FunnelWindowMs]]). */
   def funnelK(sp: SparkSession, dir: String): DataFrame = {
     val ev = Engine.table(sp, dir, "events")
+    // both stage frames cached (one row per user — bounded pins):
+    // each feeds the next stage's join AND the final assembly join;
+    // uncached, every reference re-ran its events scan + filter +
+    // aggregate (round 13: 5 event scans → 3)
     val firstClick = ev.filter(col("event_type") === "click")
       .groupBy(col("user_id")).agg(min(unix_millis(col("ts"))).as("fc_ms"))
+      .cache()
     // earliest view inside the first stage window: min() over the
     // post-filtered equi-join — the "ordered" constraint is the filter
     val firstView = ev.filter(col("event_type") === "view")
@@ -336,6 +345,7 @@ object EventOps {
       .filter(col("v_ms") >= col("fc_ms") &&
         col("v_ms") <= col("fc_ms") + lit(FunnelWindowMs))
       .groupBy(col("user_id")).agg(min(col("v_ms")).as("fv_ms"))
+      .cache()
     val conv = ev.filter(col("event_type") === "purchase")
       .select(col("user_id"), unix_millis(col("ts")).as("p_ms"))
       .join(firstView, "user_id")
