@@ -215,9 +215,20 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        spark.sharedState.cacheManager.clearCache()
         return -1.0
       }
-      (System.nanoTime() - t0) / 1e9
+      val s = (System.nanoTime() - t0) / 1e9
+      // COLD reps (round 14; ScaleBench.runOnce has always done this):
+      // every invocation builds a canonically-equal plan, so an op's
+      // internal .cache() materialized by the warm-up was REUSED by
+      // every timed rep — ~10 cache-pinning ops' round-13 medians
+      // measured post-cache work, not a cold invocation (the r13
+      // driver log tail was wall-to-wall "already cached" warnings).
+      // Clearing AFTER the clock stops keeps the drop itself untimed;
+      // each rep then recomputes its own caches inside its window.
+      spark.sharedState.cacheManager.clearCache()
+      s
     }
     runOnce() // untimed warm-up: codegen + parquet footers + JIT
     val base = (1 to Reps).map(_ => runOnce()).filter(_ >= 0)
@@ -229,11 +240,6 @@ object Bench {
           (median(base) < SubSecond || base.max / base.min > SpreadGoal))
         base ++ (1 to ExtraReps).map(_ => runOnce()).filter(_ >= 0)
       else base
-    // each invocation builds fresh DataFrames, so per-op cache()s
-    // (minhash signatures, shingle subsets) accumulate as dead
-    // entries across reps/queries — dropping them between queries
-    // removes that GC pressure from the next query's measurement
-    spark.sharedState.cacheManager.clearCache()
     if (times.isEmpty) Seq(-1.0) else times
   }
 

@@ -88,12 +88,21 @@ object Engine {
     * dirs; ScaleBench's derive is create-if-absent), which is what
     * makes reusing the file listing sound. */
   private val tableCache =
-    collection.mutable.Map.empty[(String, String, String), DataFrame]
+    collection.mutable.LinkedHashMap.empty[(String, String, String), DataFrame]
+  /** Bound on memoized table plans (round 14 hygiene): test suites
+    * spin up many short-lived sessions and each leaked a few entries
+    * forever. Insertion-order eviction is enough — the hot path (one
+    * long-lived session × 10 tables × a couple of dirs) never comes
+    * near the cap, so production behavior is unchanged. */
+  private val TableCacheMax = 256
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     tableCache.synchronized {
-      tableCache.getOrElseUpdate(
+      val df = tableCache.getOrElseUpdate(
         (org.apache.spark.sql.GraftShim.sessionUUID(spark), dir, name),
         buildTable(spark, dir, name))
+      while (tableCache.size > TableCacheMax)
+        tableCache.remove(tableCache.head._1)
+      df
     }
 
   private def buildTable(spark: SparkSession, dir: String, name: String): DataFrame =
@@ -129,7 +138,7 @@ object Engine {
     * session UUID; a dir switch (tests drive several SFs through one
     * session) re-registers. */
   private val registeredDir =
-    collection.mutable.Map.empty[String, String]
+    collection.mutable.LinkedHashMap.empty[String, String]
   def registerViews(spark: SparkSession, dir: String): SparkSession =
     registeredDir.synchronized {
       val key = org.apache.spark.sql.GraftShim.sessionUUID(spark)
@@ -138,6 +147,8 @@ object Engine {
           table(spark, dir, n).createOrReplaceTempView(n)
         }
         registeredDir(key) = dir
+        while (registeredDir.size > TableCacheMax)
+          registeredDir.remove(registeredDir.head._1)
       }
       spark
     }
