@@ -58,6 +58,25 @@ object Engine {
         sys.env.getOrElse("SPARK_GRAFT_PREFER_SMJ", "false"))
       .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
         sys.env.getOrElse("SPARK_GRAFT_SHJ_LOCALMAP_MAX", "64m"))
+      // NEGATIVE RESULT (round 14): size-first AQE coalescing
+      // (parallelismFirst=false, advisory 8m or 64m) was hypothesized
+      // to fix the 8-core-beats-32-core inversion (tiny stages
+      // scheduling 32 near-empty tasks) and measured WORSE on a clean
+      // paired A/B over 16 representative queries: size-first at 8m
+      // lost 28% overall (17.9 s vs 14.0 s), with CPU-bound mid-size
+      // stages starved of parallelism (dedup_cluster_lsh 1.93 → 2.84,
+      // orders_basket_pairs 1.50 → 2.29, pipeline_contamination_score
+      // 0.78 → 1.24); its only wins were a few milliseconds on
+      // kilobyte-sized stages. Local stages are CPU-bound, not
+      // byte-bound, so bytes are the wrong coalescing signal here.
+      // Spark defaults kept; both knobs stay env-overridable because
+      // on a REAL cluster (guide §2.2: 100 MB-1 GB reduce partitions)
+      // size-first with a large advisory is the right posture — that
+      // decision tracks per-node memory/network, not this sandbox.
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        sys.env.getOrElse("SPARK_GRAFT_AQE_PARALLELISM_FIRST", "true"))
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        sys.env.getOrElse("SPARK_GRAFT_AQE_ADVISORY", "64m"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

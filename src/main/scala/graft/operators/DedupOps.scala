@@ -55,9 +55,29 @@ object DedupOps {
   private[graft] def shinglesRaw(sp: SparkSession, dir: String): DataFrame =
     shinglesRawFrom(sp, Engine.table(sp, dir, "documents"))
 
+  /** Per-document DISTINCT shingles, deduped INSIDE the row (round
+    * 14): every duplicate of a (doc_id, shingle) pair originates from
+    * the single text row that exploded into it, so `array_distinct`
+    * on the per-doc shingle array before the explode is exactly
+    * `.distinct()` over the exploded stream — minus the corpus-sized
+    * exchange + two hash aggregates the distinct planned (the same
+    * class of win as round 13's raw-stream MinHash signatures, where
+    * dropping that aggregate cut the op 0.57× at 100×). Guide §2.4
+    * (remove shuffles outright: the data is already doc-local). */
+  private[graft] def shinglesSetFrom(sp: SparkSession, docs: DataFrame): DataFrame = {
+    val words = split(col("text"), " ")
+    docs
+      .repartition(sp.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"), words.as("ws"))
+      .select(col("doc_id"),
+        explode(array_distinct(transform(
+          sequence(lit(1), greatest(size(col("ws")) - 2, lit(1))),
+          i => concat_ws(" ", slice(col("ws"), i, lit(3)))))).as("shingle"))
+  }
+
   /** Distinct string shingles (the exact-Jaccard/oracle path). */
   private[graft] def shingles(sp: SparkSession, dir: String): DataFrame =
-    shinglesRaw(sp, dir).distinct()
+    shinglesSetFrom(sp, Engine.table(sp, dir, "documents"))
 
   /** The shingle JOIN key: shingle strings hashed to 8-byte longs.
     *
@@ -135,7 +155,19 @@ object DedupOps {
     * path and pin row identity against the string-keyed semantics. */
   private[graft] def ngramJaccardKeyed(sp: SparkSession, dir: String,
       keyFn: Column => Column): DataFrame = {
-    // one cached pass of the shingle pipeline feeds everything below
+    // one cached pass of the shingle pipeline feeds everything below.
+    // NEGATIVE RESULT (round 14): repartitioning this frame on `k`
+    // before the pin — so the per-string df aggregate and both
+    // self-join sides could reuse one exchange (§2.4) — does NOT
+    // deliver: InMemoryTableScan does not advertise the cached
+    // child's partitioning to consumers planned before the cache
+    // materializes (and cold-measurement reps clear the cache, so
+    // every rep replans that way). The dumped plan kept every
+    // downstream ENSURE_REQUIREMENTS exchange and merely ADDED the
+    // repartition. Without the cache, ReusedExchange cannot dedupe
+    // either: column pruning gives the df branch a narrower subtree
+    // than the join branches (the df-from-tf lesson). The pin + per-
+    // consumer exchanges is the honest shape.
     val shK = shingles(sp, dir)
       .select(col("doc_id"), keyFn(col("shingle")).as("k"), col("shingle"))
       .cache()
@@ -323,7 +355,10 @@ object DedupOps {
     * the deliberate price of the 1.4× at-scale win. */
   private[graft] def containmentKeyed(sp: SparkSession, docsIn: DataFrame,
       probeK: Option[Int], keyFn: Column => Column): DataFrame = {
-    val shAll = shinglesRawFrom(sp, docsIn).distinct()
+    // per-doc set semantics via array_distinct (see [[shinglesSetFrom]])
+    // — the old corpus-wide `.distinct()` exchanged ~26M string rows at
+    // the 100× corpus before the df window exchanged them AGAIN
+    val shAll = shinglesSetFrom(sp, docsIn)
     // df attach via a window count — ONE exchange (a groupBy+join would
     // shuffle the same 26M rows twice). Partitioning on (k, shingle)
     // groups by the exact string (same k for equal strings), but the

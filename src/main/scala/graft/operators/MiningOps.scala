@@ -238,15 +238,38 @@ object MiningOps {
     * their (value, count) distributions scale with |users| — a
     * single-partition window here would be the r10 WindowExec warning
     * at 100 TB, not a bounded aggregate. */
-  private def quintiles(df: DataFrame, valueCol: String, prefix: String): DataFrame = {
-    val (cum, tot) = ScaleWindows.cumulative(
-      df.groupBy(col(valueCol)).agg(count(lit(1)).as("c")), valueCol, "c")
-    val qs = Seq(0.2, 0.4, 0.6, 0.8).zipWithIndex.map { case (p, i) =>
-      min(when(col("cum") >= ceil(lit(tot) * lit(p)), col(valueCol)))
-        .as(s"${prefix}_t${i + 1}")
+  /** ONE distribution pass for all three quintile threshold sets
+    * (round 14; the r13 shape ran three sequential
+    * groupBy → range-partition → offsets-fetch → window passes, one
+    * per metric — each a full users-frame aggregation plus a driver
+    * collect). The users frame is unpivoted to (metric, v) rows,
+    * aggregated to the three (value, count) distributions in one
+    * exchange, cumulated per metric by [[ScaleWindows.cumulativeBy]]
+    * (one range partition + ONE offsets fetch), and reduced to the
+    * same 12 threshold columns. Threshold arithmetic is unchanged:
+    * t_i = min value whose cumulative count reaches ceil(tot·p) —
+    * integer-exact, so the oracle hash cannot move. */
+  private def quintilesAll(users: DataFrame): DataFrame = {
+    val dist = users.select(explode(array(
+        struct(lit("r").as("m"), col("r_ms").as("v")),
+        struct(lit("f").as("m"), col("f").as("v")),
+        struct(lit("m").as("m"), col("m_cents").as("v")))).as("x"))
+      .select(col("x.m").as("metric"), col("x.v").as("v"))
+      .groupBy(col("metric"), col("v")).agg(count(lit(1)).as("c"))
+    val cum = ScaleWindows.cumulativeBy(dist, "metric", "v", "c")
+    val perMetric = Seq(0.2, 0.4, 0.6, 0.8).zipWithIndex.map { case (p, i) =>
+      min(when(col("cum") >= ceil(col("tot") * lit(p)), col("v")))
+        .as(s"t${i + 1}")
     }
-    cum
-      .agg(qs.head, qs.tail: _*)
+    val th = cum.groupBy(col("metric"))
+      .agg(perMetric.head, perMetric.tail: _*)
+    // pivot the 3 threshold rows to the one 12-column row the scoring
+    // crossJoin broadcasts — a 3-row aggregate, still plan-side
+    val cols = for {
+      pfx <- Seq("r", "f", "m"); i <- 1 to 4
+    } yield min(when(col("metric") === pfx, col(s"t$i")))
+      .as(s"${pfx}_t$i")
+    th.agg(cols.head, cols.tail: _*)
   }
 
   /** RFM customer scoring: per user, Recency (latest activity),
@@ -260,11 +283,12 @@ object MiningOps {
     * the integer (value, count) distributions, and a score is
     * `1 + #thresholds strictly below` — tie-stable, fully oracled.
     *
-    * Scale shape: one aggregation to the per-user table; each
-    * quintile pass runs over the (value, count) DISTRIBUTION of that
-    * table with a DISTRIBUTED cumulative sum (r_ms/m_cents
-    * distributions scale with |users| — see [[quintiles]]); scoring
-    * is a broadcast of one 12-number row. */
+    * Scale shape: one aggregation to the per-user table; ONE
+    * unpivoted distribution pass computes all three (value, count)
+    * DISTRIBUTIONS and their per-metric DISTRIBUTED cumulative sums
+    * (r_ms/m_cents distributions scale with |users| — see
+    * [[quintilesAll]]); scoring is a broadcast of one 12-number
+    * row. */
   def rfm(sp: SparkSession, dir: String): DataFrame = {
     // cached: the three quintile passes each run a driver-side
     // cumulative-offset fetch over this frame and the final scoring
@@ -278,9 +302,7 @@ object MiningOps {
         count(lit(1)).as("f"),
         sum(rint(col("value") * 100).cast("long")).as("m_cents"))
       .cache()
-    val th = quintiles(users, "r_ms", "r")
-      .crossJoin(quintiles(users, "f", "f"))
-      .crossJoin(quintiles(users, "m_cents", "m"))
+    val th = quintilesAll(users)
     def score(v: String, prefix: String) =
       (lit(1) +
         when(col(v) > col(s"${prefix}_t1"), 1).otherwise(0) +

@@ -49,4 +49,41 @@ object ScaleWindows {
       .drop("__pid", "__off")
     (out, tot)
   }
+
+  /** Grouped variant of [[cumulative]]: one exact running sum of
+    * `weightCol` in ascending `valueCol` order PER `keyCol` group,
+    * from a single range-partition + offsets fetch over the whole
+    * frame (range order on (key, value) makes partition order global
+    * order within every group). Adds `cum` and the per-group grand
+    * total `tot` — the shape [[MiningOps.rfm]]'s three quintile
+    * passes collapse into: 3× (persist + collect + window) becomes
+    * 1× with a 3-way-unpivoted input. Offsets/totals stay a
+    * ≤ |partitions|·|keys| driver fetch. */
+  def cumulativeBy(df: DataFrame, keyCol: String, valueCol: String,
+      weightCol: String): DataFrame = {
+    val sp = df.sparkSession
+    import sp.implicits._
+    val sorted = df.repartitionByRange(col(keyCol).asc, col(valueCol).asc)
+      .withColumn("__pid", spark_partition_id())
+      .persist()
+    val stats = sorted.groupBy(col("__pid"), col(keyCol))
+      .agg(sum(col(weightCol)).as("w")).collect()
+      .map(r => (r.getAs[Int]("__pid"), r.getAs[String](keyCol),
+        r.getAs[Long]("w")))
+    val offRows = stats.groupBy(_._2).toSeq.flatMap { case (key, rows) =>
+      val sortedRows = rows.sortBy(_._1)
+      val tot = sortedRows.map(_._3).sum
+      val offs = sortedRows.map(_._3).scanLeft(0L)(_ + _).init
+      sortedRows.map(_._1).zip(offs).map { case (pid, off) =>
+        (pid, key, off, tot)
+      }
+    }
+    val offDf = offRows.toDF("__pid", keyCol, "__off", "tot")
+    val w = Window.partitionBy(col("__pid"), col(keyCol))
+      .orderBy(col(valueCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sorted.join(broadcast(offDf), Seq("__pid", keyCol))
+      .withColumn("cum", sum(col(weightCol)).over(w) + col("__off"))
+      .drop("__pid", "__off")
+  }
 }

@@ -61,17 +61,22 @@ object SearchOps {
 
     val tf = postings.groupBy(col("doc_id"), col("token"))
       .agg(count(lit(1)).as("tf"))
-    // df(t) = |{doc : tf(t,doc) > 0}| = tf's row count per token — the
-    // old `postings.distinct → groupBy(token)` was a SECOND subtree
-    // over the corpus explode (its first-stage aggregate differed from
-    // tf's, so no exchange reuse: the scan+explode ran twice). Derived
-    // from tf, the shared prefix is literally the same subtree and the
-    // corpus is read/exploded/shuffled ONCE (ReusedExchange).
-    val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    // df(t) = |{doc : tf(t,doc) > 0}| = tf's row count per token,
+    // attached as a WINDOW count (round 14). Round 13 derived df as
+    // tf.groupBy(token) and joined it back expecting ReusedExchange —
+    // which provably cannot fire: column pruning strips the tf count
+    // from the df branch's aggregate, so the two exchange subtrees are
+    // not canonically equal and the corpus scan + explode ran TWICE
+    // (the committed r13 plan shows both subtrees; the op regressed
+    // 1.44×). A token-partitioned window count computes the same df
+    // in tf's own lineage: one corpus pass, and the exchange on token
+    // the join needed anyway now also carries the df.
+    val withDf = tf.withColumn("df",
+      count(lit(1)).over(Window.partitionBy(col("token"))))
     // corpus size as a 1-row broadcast (plan-side, no driver action)
     val n = docs.agg(count(lit(1)).as("n_docs"))
 
-    val scored = tf.join(df, "token")
+    val scored = withDf
       .join(broadcast(qTerms), "token")
       .crossJoin(broadcast(n))
       .withColumn("w", expr(s"(n_docs * ${IdfScale}L) div df"))
@@ -158,16 +163,18 @@ object SearchOps {
       .join(broadcast(qVocab), "token")
     val tf = postings.groupBy(col("doc_id"), col("token"))
       .agg(count(lit(1)).as("tf"))
-    // same single-corpus-pass derivation as [[tfidfTopK]]: df = tf's
-    // per-token row count, sharing tf's exchange instead of a second
-    // distinct subtree over the corpus explode
-    val dfx = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    // same single-corpus-pass df derivation as [[tfidfTopK]] (round
+    // 14): a token-partitioned window count in tf's own lineage —
+    // the r13 groupBy+join-back shape scanned and exploded the corpus
+    // twice because column pruning defeats ReusedExchange there
+    val withDf = tf.withColumn("df",
+      count(lit(1)).over(Window.partitionBy(col("token"))))
     val dl = docs.select(col("doc_id"),
       (length(col("text")) - length(replace(col("text"), lit(" "), lit(""))) + 1)
         .cast("long").as("dl"))
     val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
 
-    val scored = tf.join(dfx, "token")
+    val scored = withDf
       .join(broadcast(qTerms), "token")
       .join(dl, "doc_id")
       .crossJoin(broadcast(stats))

@@ -264,16 +264,24 @@ object TextOps {
       .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
       .filter(length(col("token")) >= 2)
       .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
-    // df derived from tf (round 13): tf has exactly one row per
-    // (doc, token), so its per-token row count IS the document
-    // frequency for every token tf can join — the old array_distinct
-    // explode was a second full corpus pass whose extra coverage
-    // (length-1 tokens) never survives the join. Shares tf's exchange
-    // via ReusedExchange: the corpus is read and exploded ONCE.
-    val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    // df derived from tf (round 13), attached as a WINDOW count
+    // (round 14): tf has exactly one row per (doc, token), so its
+    // per-token row count IS the document frequency for every token
+    // tf can join — the old array_distinct explode was a second full
+    // corpus pass whose extra coverage (length-1 tokens) never
+    // survives the join. Round 13 derived df as tf.groupBy(token) and
+    // joined it back, betting on ReusedExchange — which provably
+    // CANNOT fire there: column pruning strips the `tf` count from
+    // the df branch's aggregate, so the two exchange subtrees are not
+    // canonically equal and the corpus was scanned + exploded TWICE
+    // (the committed r13 plan shows both subtrees; the op regressed
+    // 1.15×). count over a token-partitioned window computes the same
+    // df per row in tf's OWN lineage — one scan, one explode, and one
+    // exchange on token replacing the join's two.
+    val df = count(lit(1)).over(Window.partitionBy(col("token")))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("tf").desc, col("df").asc, col("token").asc)
-    tf.join(df, "token")
+    tf.withColumn("df", df)
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= KeywordsK)
       .select(col("doc_id"), col("rk"), col("token"), col("tf"), col("df"))
