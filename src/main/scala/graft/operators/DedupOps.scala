@@ -155,69 +155,87 @@ object DedupOps {
     * path and pin row identity against the string-keyed semantics. */
   private[graft] def ngramJaccardKeyed(sp: SparkSession, dir: String,
       keyFn: Column => Column): DataFrame = {
-    // one cached pass of the shingle pipeline feeds everything below.
-    // NEGATIVE RESULT (round 14): repartitioning this frame on `k`
-    // before the pin — so the per-string df aggregate and both
+    // NEGATIVE RESULT (round 14): repartitioning the shingle stream on
+    // `k` before a pin — so the per-string df aggregate and both
     // self-join sides could reuse one exchange (§2.4) — does NOT
     // deliver: InMemoryTableScan does not advertise the cached
     // child's partitioning to consumers planned before the cache
     // materializes (and cold-measurement reps clear the cache, so
     // every rep replans that way). The dumped plan kept every
     // downstream ENSURE_REQUIREMENTS exchange and merely ADDED the
-    // repartition. Without the cache, ReusedExchange cannot dedupe
-    // either: column pruning gives the df branch a narrower subtree
-    // than the join branches (the df-from-tf lesson). The pin + per-
-    // consumer exchanges is the honest shape.
-    val shK = shingles(sp, dir)
-      .select(col("doc_id"), keyFn(col("shingle")).as("k"), col("shingle"))
-      .cache()
-    // exact df per shingle STRING (the grouping key carries the string,
-    // so a hash collision can never merge two shingles' counts); the
-    // partial aggregate collapses each partition to ~|vocabulary| rows
-    // before the exchange, and the exchange key leads with the long
-    // cached: vocabulary-sized (not corpus-sized), and its three
-    // consumers below (multiK, hotK, hotColl) would otherwise each
-    // re-run the aggregation
-    val perStr = shK.groupBy(col("k"), col("shingle"))
+    // repartition.
+    //
+    // ROUND 14 (the [[containmentKeyed]] technique, guide §1.2/§2.3):
+    // df per shingle STRING by hash aggregate over an UNCACHED stream
+    // pass — strings cross the wire exactly once, into a partial
+    // aggregate, and the round-13 corpus-sized 26M-row string cache is
+    // gone. The vocabulary-sized per-string table is the only string
+    // pin; the collision split is then branched at RUNTIME like
+    // containment's: multiK is ~V²/2⁶⁵ ≈ empty on any real corpus, so
+    // the fast path drops the two multiK anti-joins, the collided
+    // mention stream and the union — round 13 paid two corpus-sized
+    // cache-read exchanges on the coll self-join just to produce ZERO
+    // rows. A genuinely colliding vocabulary (the spec's weak-key
+    // fixture) takes the string-keyed slow branch, round 13's shape
+    // verbatim.
+    val perStr = shingles(sp, dir)
+      .select(keyFn(col("shingle")).as("k"), col("shingle"))
+      .groupBy(col("k"), col("shingle"))
       .agg(count(lit(1)).as("df"))
       .cache()
-    // hashes shared by 2+ distinct shingles: ~V²/2⁶⁵ expected, i.e.
-    // empty on any real corpus — kept declarative (AQE broadcasts it)
+    // hashes shared by 2+ distinct shingles; the one driver action
     val multiK = perStr.groupBy(col("k"))
       .agg(count(lit(1)).as("nv"))
       .filter(col("nv") > 1).select(col("k"))
-    // hot shingles are a tiny, bounded set (each needs > DfCap docs);
-    // the anti-joins are AQE-broadcast at runtime — no driver collect.
-    // Collision-free hot hashes drop by k alone; a collided hash where
-    // only ONE string is hot must drop per string (hotColl).
-    val hotK = perStr.join(multiK, Seq("k"), "left_anti")
-      .filter(col("df") > ShingleDfCap).select(col("k"))
-    val hotColl = perStr.join(multiK, Seq("k"), "left_semi")
-      .filter(col("df") > ShingleDfCap).select(col("k"), col("shingle"))
-    // the heavy stream: fixed-width (doc_id, k) rows — this is what the
-    // self-join shuffles and sorts (cached: the join reads it twice)
-    val safe = shK.join(multiK, Seq("k"), "left_anti")
-      .join(hotK, Seq("k"), "left_anti")
-      .select(col("doc_id"), col("k"))
-      .cache()
-    // rows under a collided hash keep the string and join on BOTH keys
-    val coll = shK.join(multiK, Seq("k"), "left_semi")
-      .join(hotColl, Seq("k", "shingle"), "left_anti")
-      .select(col("doc_id"), col("k"), col("shingle"))
-      .cache()
-    val sizes = safe.select(col("doc_id"))
-      .union(coll.select(col("doc_id")))
+    val (safe, coll) = if (multiK.isEmpty) {
+      // hot shingles are a tiny, bounded set (each needs > DfCap
+      // docs); the anti-join is AQE-broadcast at runtime — no driver
+      // collect. With no collisions a hash IS a string: drop by k.
+      val hotK = perStr.filter(col("df") > ShingleDfCap).select(col("k"))
+      // the heavy stream: fixed-width (doc_id, k) rows — this is what
+      // the self-join shuffles (cached: read by x, y and sizes)
+      val safe = shingles(sp, dir)
+        .select(col("doc_id"), keyFn(col("shingle")).as("k"))
+        .join(hotK, Seq("k"), "left_anti")
+        .cache()
+      (safe, None)
+    } else {
+      val shK = shingles(sp, dir)
+        .select(col("doc_id"), keyFn(col("shingle")).as("k"), col("shingle"))
+        .cache()
+      // collision-free hot hashes drop by k alone; a collided hash
+      // where only ONE string is hot must drop per string (hotColl)
+      val hotK = perStr.join(multiK, Seq("k"), "left_anti")
+        .filter(col("df") > ShingleDfCap).select(col("k"))
+      val hotColl = perStr.join(multiK, Seq("k"), "left_semi")
+        .filter(col("df") > ShingleDfCap).select(col("k"), col("shingle"))
+      val safe = shK.join(multiK, Seq("k"), "left_anti")
+        .join(hotK, Seq("k"), "left_anti")
+        .select(col("doc_id"), col("k"))
+        .cache()
+      // rows under a collided hash keep the string, join on BOTH keys
+      val coll = shK.join(multiK, Seq("k"), "left_semi")
+        .join(hotColl, Seq("k", "shingle"), "left_anti")
+        .select(col("doc_id"), col("k"), col("shingle"))
+        .cache()
+      (safe, Some(coll))
+    }
+    val sizes = coll.map(c => safe.select(col("doc_id"))
+        .union(c.select(col("doc_id"))))
+      .getOrElse(safe.select(col("doc_id")))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     // a safe row's hash is never a collided hash, so the two mention
     // streams can never pair the same shingle twice — union, then one
     // aggregate counts |A∩B| exactly
-    val mentions = safe.as("x").join(safe.as("y"),
+    val safeMentions = safe.as("x").join(safe.as("y"),
         col("x.k") === col("y.k") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .union(coll.as("x").join(coll.as("y"),
+    val mentions = coll.map(c => safeMentions.union(
+        c.as("x").join(c.as("y"),
           col("x.k") === col("y.k") && col("x.shingle") === col("y.shingle") &&
             col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b")))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))))
+      .getOrElse(safeMentions)
     val inter = mentions.groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("c"))
     val j = inter
@@ -347,63 +365,111 @@ object DedupOps {
     * NO anti/semi splits and no union, and only a genuinely colliding
     * vocabulary (the spec's weak-key fixture) pays the 4-join split.
     * The unconditional split was a measured 3.3× regression at sf0.1
-    * (1.12 → 3.67 s) for rows that never exist. Measured (round 13,
-    * same harness): 100× corpus 25.2 s vs 36.3 s for the r11
-    * string-keyed window and 96.4 s for the r12 unconditional split —
-    * the 8-byte fast path is the best 100-TB posture of the three;
-    * the check-and-cache pre-job costs ~0.8 s at sf0.1 (1.9 vs 1.12),
-    * the deliberate price of the 1.4× at-scale win. */
+    * (1.12 → 3.67 s) for rows that never exist. History of the 100×
+    * sub-sweep record (committed SCALEBENCH_100x*.json — an earlier
+    * in-code "25.2 s" figure came from a dev window that did not match
+    * the committed record and is retired): r12 unconditional split
+    * 96.4 s → r13 runtime-branched fast path 58.3 s → round 14
+    * re-measured and rebuilt (see the in-method comment; numbers in
+    * OPTIMIZATION_r14.md). The collision check costs one vocab-sized
+    * driver isEmpty at sf0.1 — the deliberate price of the at-scale
+    * fast path. */
   private[graft] def containmentKeyed(sp: SparkSession, docsIn: DataFrame,
       probeK: Option[Int], keyFn: Column => Column): DataFrame = {
-    // per-doc set semantics via array_distinct (see [[shinglesSetFrom]])
-    // — the old corpus-wide `.distinct()` exchanged ~26M string rows at
-    // the 100× corpus before the df window exchanged them AGAIN
-    val shAll = shinglesSetFrom(sp, docsIn)
-    // df attach via a window count — ONE exchange (a groupBy+join would
-    // shuffle the same 26M rows twice). Partitioning on (k, shingle)
-    // groups by the exact string (same k for equal strings), but the
-    // backing sort compares the 8-byte key first — strings only break
-    // hash ties. The df <= cap filter keeps the hot-shingle skew role
-    // of the old anti-join.
-    // rn marks one representative row per (k, shingle) — SAME window
-    // partitioning as the df count, so Catalyst plans ONE exchange
-    // with two window passes (sorted only for rn); multiK below then
-    // aggregates the vocabulary-sized rn==1 slice instead of running
-    // a second corpus-sized countDistinct exchange (measured +20-40%
-    // on the whole op at the 100× corpus when it shuffled all 26M
-    // mention rows a second time)
-    val sh = shAll
-      .select(col("doc_id"), keyFn(col("shingle")).as("k"), col("shingle"))
-      .withColumn("df", count(lit(1))
-        .over(Window.partitionBy(col("k"), col("shingle"))))
-      .filter(col("df") <= ShingleDfCap)
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("k"), col("shingle")).orderBy(col("doc_id"))))
+    // ROUND 14 (guide §1.2/§2.3/§2.4): the round-13 shape attached df
+    // with a count-over-(k, shingle) window — one 26M-row string-keyed
+    // exchange plus TWO full sorts of the exploded corpus (df count +
+    // the rn collision marker), all materialized into a corpus-sized
+    // cache that every consumer re-exchanged anyway (InMemoryTableScan
+    // hides partitioning — the round-14 negative result in
+    // [[ngramJaccardKeyed]]). Windows don't partial-aggregate; hash
+    // aggregates do. New shape:
+    //  - PASS 1 (strings cross the wire exactly once, NO sorts):
+    //    groupBy(k, shingle) → count, partial map-side aggregation
+    //    collapses hot shingles before the exchange, then a
+    //    vocabulary-sized rollup to k carries df = Σ per-string counts,
+    //    nv = #distinct strings under the hash, and the string itself
+    //    (min = THE string when nv == 1). Cached: vocabulary-sized, the
+    //    only pin the op keeps.
+    //  - PASS 2: the shingle stream re-derived as bare fixed-width
+    //    (doc_id, k) rows — 16 B/row, radix-sortable, no strings. The
+    //    probe, sizes and corpus subtrees all consume the SAME
+    //    select(doc_id, k) → Exchange(k) subtree, which is left
+    //    UNCACHED precisely so ReusedExchange dedupes it (three
+    //    canonically-equal exchanges → one executed + two reused; a
+    //    cache boundary would hide the partitioning and force three).
+    //    The corpus mention side then arrives at the mentions join
+    //    already partitioned on k — no further exchange.
+    // df semantics are unchanged: with no collisions (nv == 1 for every
+    // k — the production xxhash64 case, expected colliding pairs
+    // ~V²/2⁶⁵), per-k df ≡ per-string df and min(shingle) ≡ the row's
+    // shingle, so the probe's (df, shingle) ordering and the ≤ cap
+    // filter are bit-identical to the window form. ANY collision (or
+    // a hot/cool string pair sharing a hash) flips to the string-keyed
+    // slow branch below, which reproduces round 13's exact semantics.
+    val dfTab = shinglesSetFrom(sp, docsIn)
+      .select(keyFn(col("shingle")).as("k"), col("shingle"))
+      .groupBy(col("k"), col("shingle")).agg(count(lit(1)).as("dfs"))
+      .groupBy(col("k")).agg(sum(col("dfs")).as("df"),
+        count(lit(1)).as("nv"), min(col("shingle")).as("shingle"))
       .cache()
-    // hashes carrying 2+ distinct surviving strings (~empty; only
-    // collisions among rows that can actually meet in the join matter)
-    val multiK = sh.filter(col("rn") === 1)
-      .groupBy(col("k")).agg(count(lit(1)).as("nv"))
-      .filter(col("nv") > 1).select(col("k"))
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("shingle"))
-    val probe = (probeK match {
-        case Some(k) => // WindowGroupLimit: trimmed to K before any exchange
-          sh.withColumn("pos", row_number().over(w)).filter(col("pos") <= k)
-        case None => sh
-      })
-      .join(sizes, "doc_id") // co-partitioned on doc_id after the window
-      .select(col("doc_id").as("doc_a"), col("k"), col("shingle"),
-        probeK.map(k => least(col("n_sh"), lit(k.toLong)))
-          .getOrElse(col("n_sh")).as("den"))
-    // vocab-sized frame; isEmpty is one cheap job over the cached sh —
-    // the only driver action in the op, and it buys back 4 joins + a
-    // union on every real corpus (64-bit xxhash: no collisions)
-    val mentions = if (multiK.isEmpty) {
-      probe.select(col("doc_a"), col("k"), col("den"))
-        .join(sh.select(col("doc_id").as("doc_b"), col("k")), "k")
-        .select(col("doc_a"), col("doc_b"), col("den"))
+    // the only driver action in the op (multiK.isEmpty in round 13 —
+    // same job count, but now a filter over the vocab-sized pin
+    // instead of an aggregate over a corpus-sized one)
+    if (dfTab.filter(col("nv") > 1).isEmpty) {
+      val dfCool = dfTab.filter(col("df") <= ShingleDfCap)
+      val st = shinglesSetFrom(sp, docsIn)
+        .select(col("doc_id"), keyFn(col("shingle")).as("k"))
+      val enriched = st.join(
+        dfCool.select(col("k"), col("df"), col("shingle")), "k")
+      val sizes = st.join(dfCool.select(col("k")), Seq("k"), "left_semi")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("df"), col("shingle"))
+      val probe = (probeK match {
+          case Some(k) => // WindowGroupLimit: trimmed before the exchange
+            enriched.withColumn("pos", row_number().over(w))
+              .filter(col("pos") <= k)
+          case None => enriched
+        })
+        .join(sizes, "doc_id") // co-partitioned on doc_id after the window
+        .select(col("doc_id").as("doc_a"), col("k"),
+          probeK.map(k => least(col("n_sh"), lit(k.toLong)))
+            .getOrElse(col("n_sh")).as("den"))
+      val corpus = st.join(dfCool.select(col("k")), Seq("k"), "left_semi")
+        .select(col("doc_id").as("doc_b"), col("k"))
+      containmentScore(probe.join(corpus, "k")
+        .select(col("doc_a"), col("doc_b"), col("den")))
     } else {
+      // STRING-KEYED SLOW BRANCH — genuinely colliding vocabularies
+      // only (the spec's weak-key fixture): round 13's window shape
+      // verbatim, exact per-(k, shingle) df and the 4-join split.
+      val sh = shinglesSetFrom(sp, docsIn)
+        .select(col("doc_id"), keyFn(col("shingle")).as("k"), col("shingle"))
+        .withColumn("df", count(lit(1))
+          .over(Window.partitionBy(col("k"), col("shingle"))))
+        .filter(col("df") <= ShingleDfCap)
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("k"), col("shingle")).orderBy(col("doc_id"))))
+        .cache()
+      // hashes carrying 2+ distinct SURVIVING strings (the pre-filter
+      // nv above is a superset: a hash whose strings all but one fell
+      // to the df cap joins safely on the bare key here too)
+      val multiK = sh.filter(col("rn") === 1)
+        .groupBy(col("k")).agg(count(lit(1)).as("nv"))
+        .filter(col("nv") > 1).select(col("k"))
+      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("df"), col("shingle"))
+      val probe = (probeK match {
+          case Some(k) =>
+            sh.withColumn("pos", row_number().over(w)).filter(col("pos") <= k)
+          case None => sh
+        })
+        .join(sizes, "doc_id")
+        .select(col("doc_id").as("doc_a"), col("k"), col("shingle"),
+          probeK.map(k => least(col("n_sh"), lit(k.toLong)))
+            .getOrElse(col("n_sh")).as("den"))
       val probeSafe = probe.join(multiK, Seq("k"), "left_anti")
         .select(col("doc_a"), col("k"), col("den"))
       val probeColl = probe.join(multiK, Seq("k"), "left_semi")
@@ -413,11 +479,16 @@ object DedupOps {
         .select(col("doc_id").as("doc_b"), col("k"), col("shingle"))
       // a safe probe row's hash is never a collided hash, so the two
       // mention streams are disjoint per shingle — union, then aggregate
-      probeSafe.join(corpusSafe, "k")
+      containmentScore(probeSafe.join(corpusSafe, "k")
         .select(col("doc_a"), col("doc_b"), col("den"))
         .union(probeColl.join(corpusColl, Seq("k", "shingle"))
-          .select(col("doc_a"), col("doc_b"), col("den")))
+          .select(col("doc_a"), col("doc_b"), col("den"))))
     }
+  }
+
+  /** Shared tail of both [[containmentKeyed]] branches: directed-pair
+    * intersection counts over the mention stream, then the threshold. */
+  private def containmentScore(mentions: DataFrame): DataFrame =
     mentions
       .filter(col("doc_a") =!= col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))
@@ -425,7 +496,6 @@ object DedupOps {
       .withColumn("containment", col("c").cast("double") / col("den"))
       .filter(col("containment") >= ContainmentTau)
       .select(col("doc_a"), col("doc_b"), col("containment"))
-  }
 
   val containmentOracle: String = s"""
     WITH words AS (
@@ -1037,6 +1107,104 @@ object DedupOps {
         min(col("y.off")).as("first_off_b"))
   }
 
+  /** DuckDB oracle for [[substringDedup]] (round 14, VERDICT item 6:
+    * the op's 24 → 51-row mid-build redesign was driver-unverifiable
+    * while it carried no oracle). An EXACT SQL recompute of token
+    * winnowing — not an invariant:
+    *  - per-word FNV-1a 64 runs in `list_reduce` over HUGEINT kept in
+    *    [0, 2⁶⁴): DuckDB BIGINT arithmetic raises on overflow, so the
+    *    JVM's wrapping two's-complement multiply is emulated as
+    *    128-bit multiply mod 2⁶⁴ (products ≤ 2⁶⁴·2⁴¹ fit HUGEINT);
+    *    the XOR-with-a-code-unit touches only the low 16 bits, so it
+    *    runs on BIGINT after `% 65536`. `unicode(substr(w,j,1))` is
+    *    the codepoint = the UTF-16 code unit Java's charAt feeds FNV
+    *    for every BMP character — the corpora are pure ASCII (checked
+    *    at all three SFs), and a non-BMP character would be a DATA
+    *    change this oracle should flag anyway.
+    *  - the 4-gram polynomial hash folds the same way (B = 10⁹+7,
+    *    mod 2⁶⁴ each step), then converts to signed for comparisons —
+    *    [[graft.functions.Winnowing]] selects by SIGNED Long order.
+    *  - winnowing selection: per window of 10 consecutive gram
+    *    hashes, the RIGHTMOST argmin (Winnowing.select scans with
+    *    `<=`, so later indices win ties), deduped by position —
+    *    rightmost-tie argmins are monotone under a sliding window, so
+    *    Scala's consecutive-dedup equals DISTINCT position. Sequences
+    *    of m ≤ 10 grams keep one global rightmost min: the unified
+    *    `greatest(m-10, 0) + 1` window-start range reproduces both
+    *    branches.
+    * Validated against an independent Python port of the Scala code:
+    * row-identical at sf0.001 (66 rows) and sf0.01 (51 rows). */
+  val substringOracle: String = s"""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    tok AS (
+      SELECT doc_id, unnest(range(1, len(ws)+1)) AS wi, ws FROM w),
+    whv AS (
+      SELECT doc_id, wi,
+        list_reduce(
+          list_prepend(14695981039346656037::HUGEINT,
+            list_transform(range(1, length(ws[wi])+1),
+              j -> unicode(substr(ws[wi], j, 1))::HUGEINT)),
+          (acc, c) -> ((acc - acc % 65536
+                        + xor((acc % 65536)::BIGINT, c::BIGINT)::HUGEINT)
+                       * 1099511628211::HUGEINT)
+                      % 18446744073709551616::HUGEINT
+        ) AS wh
+      FROM tok),
+    whl AS (
+      SELECT doc_id, list(wh ORDER BY wi) AS whs, count(*) AS n
+      FROM whv GROUP BY doc_id),
+    grams AS (
+      SELECT doc_id, unnest(range(1, n-3+1)) AS j, whs, n
+      FROM whl WHERE n >= 4),
+    gh AS (
+      SELECT doc_id, j,
+        ((((whs[j::INT] * 1000000007::HUGEINT
+              % 18446744073709551616::HUGEINT
+            + whs[(j+1)::INT]) % 18446744073709551616::HUGEINT)
+              * 1000000007::HUGEINT % 18446744073709551616::HUGEINT
+            + whs[(j+2)::INT]) % 18446744073709551616::HUGEINT
+              * 1000000007::HUGEINT % 18446744073709551616::HUGEINT
+            + whs[(j+3)::INT]) % 18446744073709551616::HUGEINT AS hu
+      FROM grams),
+    ghs AS (
+      SELECT doc_id, j, hu,
+        CASE WHEN hu >= 9223372036854775808::HUGEINT
+             THEN (hu - 18446744073709551616::HUGEINT)::BIGINT
+             ELSE hu::BIGINT END AS sh,
+        count(*) OVER (PARTITION BY doc_id) AS m
+      FROM gh),
+    winstarts AS (
+      SELECT doc_id, unnest(range(1, greatest(m - 10, 0)::BIGINT + 2)) AS j0
+      FROM (SELECT DISTINCT doc_id, m FROM ghs)),
+    wmem AS (
+      SELECT g.doc_id, s.j0, g.j, g.sh
+      FROM ghs g JOIN winstarts s ON g.doc_id = s.doc_id
+      WHERE g.j BETWEEN s.j0 AND s.j0 + 9),
+    wmin AS (
+      SELECT doc_id, j0, min(sh) AS mn FROM wmem GROUP BY doc_id, j0),
+    best AS (
+      SELECT w.doc_id, w.j0, max(w.j) AS bj
+      FROM wmem w JOIN wmin USING (doc_id, j0)
+      WHERE w.sh = wmin.mn
+      GROUP BY w.doc_id, w.j0),
+    sel AS (SELECT DISTINCT doc_id, bj FROM best),
+    fps AS (
+      SELECT s.doc_id, g.hu AS fph, (s.bj - 1)::INT AS off,
+             array_to_string(w.ws[s.bj::INT : (s.bj+3)::INT], ' ') AS win
+      FROM sel s
+      JOIN ghs g ON g.doc_id = s.doc_id AND g.j = s.bj
+      JOIN w ON w.doc_id = s.doc_id),
+    dfc AS (SELECT fph, count(*) AS df FROM fps GROUP BY fph),
+    cool AS (
+      SELECT f.* FROM fps f JOIN dfc USING (fph) WHERE dfc.df <= $FpDfCap)
+    SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+           count(*) AS n_shared_windows,
+           min(x.off) AS first_off_a, min(y.off) AS first_off_b
+    FROM cool x JOIN cool y
+      ON x.fph = y.fph AND x.win = y.win AND x.doc_id < y.doc_id
+    GROUP BY x.doc_id, y.doc_id"""
+
   // --------------------------------------- Bloom-filter cross-corpus
 
   /** Reference corpus for cross-corpus membership: one source split
@@ -1121,6 +1289,7 @@ object DedupOps {
 
   val oracles: Map[String, String] = Map(
     "dedup_exact" -> exactOracle,
+    "dedup_substring" -> substringOracle,
     "dedup_ngram_jaccard" -> ngramJaccardOracle,
     "dedup_containment" -> containmentOracle,
     "dedup_containment_exact" -> containmentExactOracle,
